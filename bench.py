@@ -1,0 +1,69 @@
+"""Benchmark runner — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full plan execution,
+no driver collect). A warmup query first absorbs JVM/codegen startup
+so per-query numbers measure the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from data_engineering_zoomcamp_projects_spark.registry import all_queries
+from data_engineering_zoomcamp_projects_spark.session import get_spark
+
+#: queries benched every round; keep roughly stable so BENCH_r{N}.json
+#: files are comparable across rounds.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench")
+
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warmup: run the first headline once to pay JVM/codegen startup
+    if names:
+        materialize(queries[names[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

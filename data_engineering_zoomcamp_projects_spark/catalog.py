@@ -1,0 +1,56 @@
+"""Table catalog over the testdata star schema.
+
+The reference materialized one Postgres table per month/year
+(reference: citibike_project/etl/ingest_data.py:159, :277 — table-per-
+month layout). Spark-first, the catalog is instead a set of named
+DataFrames / temp views over columnar files; partition pruning replaces
+table-per-period.
+
+``register_tables(spark, sf_dir)`` loads the ten driver-generated
+parquet tables and registers each as a temp view so both the DataFrame
+API and ``spark.sql`` paths see the same relations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables bounded in size at any scale factor — always safe to
+#: broadcast (region=5, nation=25; supplier/part/customer grow with SF but
+#: stay orders of magnitude below the fact tables; Catalyst/AQE decides
+#: for those from observed stats, we only hard-broadcast the fixed dims).
+FIXED_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one table; Catalyst handles column pruning and
+    predicate pushdown into this parquet read."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load all testdata tables and register temp views.
+
+    Returns name -> DataFrame so callers can use either API. Idempotent.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,83 @@
+"""Numeric/temporal parity helpers for oracle-differential checking.
+
+The correctness gate compares Spark results against DuckDB running
+equivalent ANSI SQL (row-count + schema + order-insensitive value
+hash). Floating-point aggregation is order-dependent, and Spark/DuckDB
+sum in different orders — so every float aggregate in a checked query
+goes through these helpers on BOTH sides:
+
+- sums: cast each input to DECIMAL(38,10) (exact, order-independent),
+  sum exactly, round, cast back to double;
+- averages: exact decimal sum -> double, divide by count (single IEEE
+  op, deterministic), round;
+- timestamps: always rendered to strings (`yyyy-MM-dd[ HH:mm:ss]`) so
+  timezone/precision representations (testdata mixes ms and ns) never
+  reach the comparator.
+
+These are harness-parity conventions, not engine semantics: the engine
+itself computes in native double; only oracle-checked query surfaces
+apply the decimal canonicalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,10)"
+
+
+def dsum(col: Column, alias: str, scale: int = 2) -> Column:
+    """Order-independent SUM of a double expression, rounded to `scale`."""
+    return F.round(F.sum(col.cast(DEC)), scale).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str, scale: int = 6) -> Column:
+    """Order-independent AVG: exact decimal sum -> double / count."""
+    return (
+        F.round(F.sum(col.cast(DEC)).cast("double") / F.count(col), scale)
+        .alias(alias)
+    )
+
+
+def rnd(col: Column, alias: str, scale: int = 6) -> Column:
+    """Round a scalar double for stable comparison."""
+    return F.round(col, scale).alias(alias)
+
+
+def ts_str(col: Column, alias: str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
+    """Render a timestamp to a canonical string (session tz is UTC)."""
+    return F.date_format(col, fmt).alias(alias)
+
+
+def date_str(col: Column, alias: str) -> Column:
+    return F.date_format(col, "yyyy-MM-dd").alias(alias)
+
+
+# --- DuckDB-side SQL fragments (same canonicalization) ---------------------
+
+
+def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,10))), {scale}) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+        f" / COUNT({expr}), {scale}) AS {alias}"
+    )
+
+
+def sql_rnd(expr: str, alias: str, scale: int = 6) -> str:
+    return f"ROUND({expr}, {scale}) AS {alias}"
+
+
+def sql_ts_str(expr: str, alias: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S') AS {alias}"
+
+
+def sql_date_str(expr: str, alias: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d') AS {alias}"

@@ -1,0 +1,36 @@
+"""Central registry: collects QUERIES/ORACLES dicts from every operator
+module into the flat dicts the driver contract (__spark_entry__.py)
+exposes. Each module keeps its own pair so coverage stays reviewable
+per domain (SURVEY.md §2 parts A/B/C)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from importlib import import_module
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: module path (relative to this package) -> description
+_MODULES = [
+    "operators.relational",
+]
+
+
+def _collect(attr: str) -> dict:
+    out: dict = {}
+    for mod_name in _MODULES:
+        mod = import_module(f"{__package__}.{mod_name}")
+        part = getattr(mod, attr, {})
+        dup = set(out) & set(part)
+        if dup:
+            raise ValueError(f"duplicate query names {dup} in {mod_name}")
+        out.update(part)
+    return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _collect("QUERIES")
+
+
+def all_oracles() -> dict[str, str]:
+    return _collect("ORACLES")

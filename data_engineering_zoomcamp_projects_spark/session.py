@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Replaces the reference's configured-but-empty Spark cluster slot
+(reference: citibike_project/spark/Dockerfile:2-43,
+citibike_project/docker-compose.yaml:78-113 — empty job file
+spark-submit/app/my_spark_job.py). One session factory, tuned for
+local[N] testing but with every scale-relevant knob set the way a
+1000-executor cluster run would want it (AQE, skew-join handling,
+partition coalescing, UTC session time).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_engineering_zoomcamp_projects_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Scale posture: AQE enabled so shuffle partition counts and join
+    strategies re-plan at runtime from observed sizes (the local
+    ``shuffle_partitions`` default is a ceiling, not a schedule);
+    skew-join splitting on so a hot key cannot stall a stage; UTC
+    session timezone so timestamp semantics are cluster-invariant.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) * 2
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,68 @@
+"""Local twin of the driver's oracle-differential harness.
+
+Runs a queries() entry on Spark and its oracle_sql() twin on DuckDB
+over the same parquet tables, then compares row count, column names,
+and order-insensitive values (exact; floats must match bit-for-bit —
+the parity helpers in operators/parity.py are designed to make that
+hold)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from data_engineering_zoomcamp_projects_spark.catalog import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    return sorted(canon, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def compare(spark_df, oracle_pdf, name: str = "query") -> list[str]:
+    """Return list of mismatch descriptions (empty == parity)."""
+    problems: list[str] = []
+    s_cols = list(spark_df.columns)
+    o_cols = list(oracle_pdf.columns)
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"{name}: columns differ spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return problems
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    o_rows = [tuple(r) for r in oracle_pdf.itertuples(index=False, name=None)]
+    if len(s_rows) != len(o_rows):
+        problems.append(f"{name}: rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+    sc = _canon_rows(s_cols, s_rows)
+    oc = _canon_rows(o_cols, o_rows)
+    n_bad = 0
+    for i, (a, b) in enumerate(zip(sc, oc)):
+        if a != b:
+            n_bad += 1
+            if n_bad <= 5:
+                problems.append(f"{name}: row {i} differs\n  spark : {a}\n  oracle: {b}")
+    if n_bad > 5:
+        problems.append(f"{name}: ... {n_bad} differing rows total")
+    return problems
