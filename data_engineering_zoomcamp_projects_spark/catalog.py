@@ -14,6 +14,7 @@ API and ``spark.sql`` paths see the same relations.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -37,8 +38,17 @@ FIXED_DIMS = ("region", "nation")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; Catalyst handles column pruning and
-    predicate pushdown into this parquet read."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    predicate pushdown into this parquet read.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads only
+    as a raw long (see session.py nanosAsLong); convert to a
+    microsecond-precision timestamp exactly the way DuckDB does
+    (truncating integer division), so oracle comparisons agree.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_tables(

@@ -40,9 +40,33 @@ def davg(col: Column, alias: str, scale: int = 6) -> Column:
     )
 
 
+def dsum0(col: Column, alias: str, scale: int = 2) -> Column:
+    """Like dsum but null-free (empty/all-null group -> 0.0). Use in any
+    query whose groups can be empty: a NULL double surfaces as NaN via
+    pandas on the DuckDB side but None on the Spark side, which breaks
+    value-hash comparison."""
+    return (
+        F.round(F.coalesce(F.sum(col.cast(DEC)), F.lit(0).cast(DEC)), scale)
+        .cast("double")
+        .alias(alias)
+    )
+
+
 def rnd(col: Column, alias: str, scale: int = 6) -> Column:
-    """Round a scalar double for stable comparison."""
+    """Round a scalar double for stable comparison. Use ONLY for
+    unstructured values (transcendentals, quotients): money-style
+    products of 2-dp inputs land exactly on .xx5 ties where Spark and
+    DuckDB double-rounding disagree — use drnd for those."""
     return F.round(col, scale).alias(alias)
+
+
+def drnd(col: Column, alias: str, scale: int = 2) -> Column:
+    """Tie-safe per-row rounding: cast to exact decimal first, then
+    round (both engines round decimals half-away-from-zero), then back
+    to double. Required whenever the value is a product/sum of 2-dp
+    inputs whose exact decimal representation hits the rounding
+    boundary."""
+    return F.round(col.cast(DEC), scale).cast("double").alias(alias)
 
 
 def ts_str(col: Column, alias: str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
@@ -71,8 +95,22 @@ def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
     )
 
 
+def sql_dsum0(expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(ROUND(COALESCE(SUM(CAST(({expr}) AS DECIMAL(38,10))), 0), {scale})"
+        f" AS DOUBLE) AS {alias}"
+    )
+
+
 def sql_rnd(expr: str, alias: str, scale: int = 6) -> str:
     return f"ROUND({expr}, {scale}) AS {alias}"
+
+
+def sql_drnd(expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(ROUND(CAST(({expr}) AS DECIMAL(38,10)), {scale}) AS DOUBLE)"
+        f" AS {alias}"
+    )
 
 
 def sql_ts_str(expr: str, alias: str) -> str:

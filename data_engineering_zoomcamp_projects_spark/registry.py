@@ -13,6 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 #: module path (relative to this package) -> description
 _MODULES = [
     "operators.relational",
+    "operators.joins",
+    "operators.aggregates",
+    "operators.windows",
+    "operators.setops",
+    "operators.scalars",
+    "operators.subqueries",
 ]
 
 

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects; read as raw long nanos, the catalog
+        # converts to a microsecond timestamp (matching DuckDB's own
+        # ns->us truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -28,12 +28,21 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def _canon_cell(v):
+    """Type-strict canonicalization: int vs float must NOT compare equal
+    (the driver hashes values; 175 != 175.0 there). NaN made hashable."""
     if v is None:
         return None
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+        # numpy scalar -> native python so the type tag is meaningful
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return "float:NaN"
+        return f"float:{v!r}"
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
     return v
 
 
