@@ -23,9 +23,26 @@ from data_engineering_zoomcamp_projects_spark.session import get_spark
 #: queries benched every round; keep roughly stable so BENCH_r{N}.json
 #: files are comparable across rounds.
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "agg_rollup_flag_status",
+    "join_range_trailing_shipments",
+    "join_asof_purchase_prior_view",
+    "window_running_sum",
+    "topk_per_group",
+    "fn_math_suite",
+    # streaming semantics (batch mode)
+    "stream_tumbling_hourly",
+    "stream_session_30m",
+    # LLM-data ops
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_tfidf_top_terms",
+    # transform layer
+    "mart_daily_revenue",
 ]
 
 

@@ -1,0 +1,47 @@
+"""Text expression builders: tokenization, n-gram shingling,
+fingerprinting — shared by the dedup/text-analysis operators.
+
+Native column expressions only; the shingle builder is the core of the
+MinHash pipeline (shingle -> hash -> min per permutation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (documents.text is space-separated)."""
+    return F.split(col, " ")
+
+
+def shingles(col: Column, n: int = 5) -> Column:
+    """Distinct n-gram shingles (token n-grams joined by space).
+
+    transform(sequence(1, len-n+1), i -> array_join(slice(toks,i,n))) —
+    all native; documents shorter than n yield one truncated shingle,
+    matching the oracle's slice semantics."""
+    t = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+    )
+
+
+def sql_shingle_cte(n: int = 5, table: str = "documents") -> str:
+    """DuckDB CTE producing (doc_id, s) distinct shingle rows."""
+    return f"""
+tok AS (SELECT doc_id, split(text, ' ') AS ts FROM {table}),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+{n - 1}], ' ') AS s
+  FROM tok, (SELECT unnest(generate_series(1, 500)) AS i) g
+  WHERE i <= greatest(len(ts) - {n - 1}, 1)
+)"""
+
+
+def doc_fingerprint_md5(col: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set (classic near-dup blocking key)."""
+    return F.md5(F.array_join(F.sort_array(F.array_distinct(tokens(col))), " "))

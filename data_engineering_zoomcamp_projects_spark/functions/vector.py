@@ -1,0 +1,71 @@
+"""Vector math over `array<float>` embedding columns — native
+higher-order functions only (zip_with + aggregate), no UDFs: the whole
+expression stays inside whole-stage codegen.
+
+Exactness contract: dot products and squared norms accumulate in
+DECIMAL(38,10) so they are order-independent and bit-identical to the
+DuckDB oracle (each elementwise double product is IEEE-deterministic;
+the decimal sum is exact). Cosine is then a fixed sequence of IEEE
+double ops on identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,10)"
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot_dec(a: Column, b: Column) -> Column:
+    """Exact decimal dot product of two double arrays.
+
+    The merge re-casts to DECIMAL(38,10): Spark widens decimal addition
+    to scale 9 which would break aggregate's type contract; since sums
+    of scale-10 values stay at scale 10 the cast is lossless."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast(DEC)),
+        F.lit(0).cast(DEC),
+        lambda acc, x: (acc + x).cast(DEC),
+    )
+
+
+def norm_sq_dec(a: Column) -> Column:
+    return dot_dec(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity, decimal-exact accumulation."""
+    return dot_dec(a, b).cast("double") / (
+        F.sqrt(norm_sq_dec(a).cast("double")) * F.sqrt(norm_sq_dec(b).cast("double"))
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(norm_sq_dec(a).cast("double"))
+
+
+# --- DuckDB twins ----------------------------------------------------------
+
+
+def sql_dot_dec(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip(({a})::DOUBLE[], ({b})::DOUBLE[]),"
+        f" s -> CAST(s[1]*s[2] AS DECIMAL(38,10))))"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return (
+        f"(CAST({sql_dot_dec(a, b)} AS DOUBLE) / "
+        f"(sqrt(CAST({sql_dot_dec(a, a)} AS DOUBLE))"
+        f" * sqrt(CAST({sql_dot_dec(b, b)} AS DOUBLE))))"
+    )
+
+
+def sql_norm(a: str) -> str:
+    return f"sqrt(CAST({sql_dot_dec(a, a)} AS DOUBLE))"

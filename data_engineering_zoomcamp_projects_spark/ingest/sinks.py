@@ -1,0 +1,78 @@
+"""Sink operators (SURVEY.md §2 Part A: A8-A11, A17-A18).
+
+Replaces the reference's table-per-month Postgres layout
+(reference citibike_project/etl/ingest_data.py:159, :166) with
+partitioned columnar tables, and fixes its overwrite-per-chunk bug
+(ingest_data.py:277-280: every BigQuery chunk wrote with
+if_exists='replace', so only the final chunk survived — documented
+divergence: we overwrite once, then append)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "month",
+    ts_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Monthly-partitioned parquet sink — the lakehouse replacement for
+    table-per-month (partition pruning gives the same per-month access
+    path without N tables). If `ts_col` is given, derives the partition
+    column from it."""
+    out = df
+    if ts_col is not None:
+        out = df.withColumn(
+            partition_col, F.date_format(F.date_trunc("month", ts_col), "yyyy-MM")
+        )
+    out.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_csv_gzip(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Compressed CSV sink (reference A17 gzipped files post-hoc with
+    shutil; the writer compresses inline)."""
+    df.write.mode(mode).option("header", True).option("compression", "gzip").csv(path)
+
+
+def overwrite_then_append(
+    batches: list[DataFrame], path: str, fmt: str = "parquet"
+) -> None:
+    """Correct incremental materialization: first batch overwrites, the
+    rest append. This is the fixed semantics of the reference's buggy
+    per-chunk replace (ingest_data.py:277-280)."""
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite" if i == 0 else "append").format(fmt).save(path)
+
+
+def schema_only_write(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Zero-row schema materialization (reference A8:
+    df.head(0).to_sql(if_exists='replace') locked DDL before append)."""
+    df.limit(0).write.mode("overwrite").format(fmt).save(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    **options: str,
+) -> None:
+    """JDBC sink (reference A10/A11; postgres JDBC jar was already baked
+    into the reference's Spark image, spark/Dockerfile:42-43). Requires
+    the driver jar at deploy time — not available in this environment."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def write_object_store(df: DataFrame, uri: str, fmt: str = "parquet") -> None:
+    """Object-store sink (reference A18 uploaded files via
+    google-cloud-storage; Spark writes s3a://, gs:// URIs directly given
+    the hadoop connector jars — the reference's own spark-defaults.conf
+    already wired s3a to MinIO, spark/spark-defaults.conf:5-8)."""
+    df.write.mode("overwrite").format(fmt).save(uri)

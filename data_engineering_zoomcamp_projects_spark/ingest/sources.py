@@ -1,0 +1,171 @@
+"""Source operators — the reference's ingestion surface re-expressed
+Spark-first (SURVEY.md §2 Part A).
+
+Reference parity map (paths relative to /root/reference/):
+- A1 HTTP source listing  citibike_project/etl/ingest_data.py:59-69
+  -> parse_s3_listing / list_source_urls (driver-side discovery feeding
+     spark.read; no BeautifulSoup — stdlib XML over the bucket index)
+- A2 file fetch           ingest_data.py:72-92 (wget subprocess)
+  -> fetch_url (stdlib urllib, driver-side, gated; production reads
+     s3a:// directly so fetch is usually unnecessary)
+- A3/A4 decompress        ingest_data.py:95-113
+  -> extract_archive (zip/tar driver-side); gz/bz2 need nothing —
+     Spark's text/csv codecs decompress transparently
+- A5 file-glob scan       ingest_data.py:122-143 (parquet TODO :137)
+  -> read_csv_tree glob paths; read_parquet covers the TODO
+- A6 CSV + timestamp cast ingest_data.py:161-162
+  -> read_trips_csv with explicit StructType (inference is the
+     schema-drift fallback, mirroring the reference's inferred model)
+- A7 chunked iteration    ingest_data.py:168-181
+  -> nothing to do: file-split partitioning replaces manual chunking
+     (tune spark.sql.files.maxPartitionBytes)
+- A12 federated extract   ingest_data.py:264-284
+  -> read_jdbc_partitioned: predicate pushdown + partitionColumn
+     parallel read replaces LIMIT/OFFSET pagination
+"""
+
+from __future__ import annotations
+
+import tarfile
+import urllib.request
+import zipfile
+from pathlib import Path
+from xml.etree import ElementTree
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Citibike monthly-file schema (FIXTURES.md §2 trips_modern; timestamp
+#: columns evidenced at reference ingest_data.py:162 parse_dates)
+TRIPS_SCHEMA = T.StructType(
+    [
+        T.StructField("ride_id", T.StringType()),
+        T.StructField("rideable_type", T.StringType()),
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("ended_at", T.TimestampType()),
+        T.StructField("start_station_name", T.StringType()),
+        T.StructField("start_station_id", T.StringType()),
+        T.StructField("end_station_name", T.StringType()),
+        T.StructField("end_station_id", T.StringType()),
+        T.StructField("start_lat", T.DoubleType()),
+        T.StructField("start_lng", T.DoubleType()),
+        T.StructField("end_lat", T.DoubleType()),
+        T.StructField("end_lng", T.DoubleType()),
+        T.StructField("member_casual", T.StringType()),
+    ]
+)
+
+
+def parse_s3_listing(xml_text: str, suffix: str = ".zip") -> list[str]:
+    """Parse an S3 bucket-index XML document into matching keys
+    (reference A1 scraped https://s3.amazonaws.com/tripdata/ the same
+    way with BeautifulSoup)."""
+    root = ElementTree.fromstring(xml_text)
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[: root.tag.index("}") + 1]
+    keys = [el.text for el in root.iter(f"{ns}Key") if el.text]
+    return [k for k in keys if k.endswith(suffix)]
+
+
+def list_source_urls(xml_text: str, base_url: str, suffix: str = ".zip") -> list[str]:
+    return [f"{base_url.rstrip('/')}/{k}" for k in parse_s3_listing(xml_text, suffix)]
+
+
+def fetch_url(url: str, dest_dir: str, timeout: int = 60) -> Path:
+    """Driver-side idempotent fetch (reference A2 used `wget -N`).
+    Network-gated: only used in deployments that cannot read object
+    storage directly."""
+    dest = Path(dest_dir) / url.rsplit("/", 1)[-1]
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    if not dest.exists():
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(dest, "wb") as f:
+            f.write(r.read())
+    return dest
+
+
+def extract_archive(path: str | Path, out_dir: str | Path) -> list[Path]:
+    """Driver-side decompression for container formats (reference A3/A4).
+    gz/bz2 single-file compression never needs this — Spark reads
+    `.csv.gz` transparently."""
+    path, out_dir = Path(path), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if zipfile.is_zipfile(path):
+        with zipfile.ZipFile(path) as z:
+            z.extractall(out_dir)
+    elif tarfile.is_tarfile(path):
+        with tarfile.open(path) as t:
+            t.extractall(out_dir)
+    else:
+        raise ValueError(f"not a zip/tar archive: {path}")
+    return sorted(p for p in out_dir.rglob("*") if p.is_file())
+
+
+def read_trips_csv(
+    spark: SparkSession, paths: str | list[str], infer: bool = False
+) -> DataFrame:
+    """CSV scan with timestamp parsing (reference A6). Explicit schema
+    by default — schema inference (`infer=True`) mirrors the
+    reference's pandas behavior and is the schema-drift fallback."""
+    reader = spark.read.option("header", True)
+    if infer:
+        reader = reader.option("inferSchema", True)
+    else:
+        reader = reader.schema(TRIPS_SCHEMA)
+    return reader.csv(paths)
+
+
+def read_csv_tree(spark: SparkSession, root_glob: str) -> DataFrame:
+    """Glob scan over a month-per-directory tree (reference A5 walked
+    unzipped_files/*/ in Python; one glob path does it distributed).
+    Drifted schemas across months are unioned by name."""
+    return (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("recursiveFileLookup", True)
+        .csv(root_glob)
+    )
+
+
+def read_json_records(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower: int,
+    upper: int,
+    num_partitions: int = 8,
+    predicate: str | None = None,
+    **options: str,
+):
+    """Parallel JDBC read with pushdown (reference A12's federated
+    `EXTRACT(YEAR ...)` filter + LIMIT/OFFSET pagination collapses into
+    partitionColumn ranges; Catalyst pushes `predicate` into the remote
+    WHERE clause).
+
+    Returns the configured reader's DataFrame; requires a JDBC driver
+    jar on the classpath (none in this environment — exercised via unit
+    tests only up to .load())."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower))
+        .option("upperBound", str(upper))
+        .option("numPartitions", str(num_partitions))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    if predicate:
+        df = df.filter(predicate)
+    return df

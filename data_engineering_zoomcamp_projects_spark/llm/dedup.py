@@ -1,0 +1,316 @@
+"""Deduplication operators for LLM training-data pipelines
+(driver-contract extension; SURVEY.md §2 Part C LLM-data ops).
+
+Five strategies, each a first-class query:
+
+- exact          hash-groupBy on content (one shuffle on the hash key)
+- shingle-Jaccard  exact 5-gram set similarity via a shingle self-join
+- MinHash + LSH  banded signatures -> candidate pairs -> exact verify
+- SimHash        64-bit fingerprints, banded hamming-distance pairs
+- embedding      cosine near-dup with label blocking
+
+Scale notes:
+- the shingle join's cost is sum over shingles of df(s)^2; 5-gram
+  shingles are near-unique except for true near-dups, so this is ~linear
+  in practice. The MinHash path bounds it harder: candidate generation
+  is O(docs x bands), verification only touches LSH-confirmed pairs —
+  that is THE 100 TB path (exact-Jaccard-join is the small-SF oracle).
+- banding parameters (32 hashes, 16 bands x 2 rows) give
+  P(candidate | j=0.8) = 1-(1-0.8^2)^16 ≈ 1-8.4e-8, so the verified
+  output equals the exact-Jaccard answer with near-certainty — which is
+  why the MinHash query shares the exact oracle.
+- embedding near-dup uses label blocking (any bounded partition key:
+  language, shard, LSH bucket) to avoid the quadratic global pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import shingles, sql_shingle_cte
+from ..functions.vector import as_double_array, cosine, sql_cosine
+
+JACCARD_THRESHOLD = 0.8
+N_MINHASH = 32
+N_BANDS = 16  # 2 rows per band
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per distinct text.
+    At scale the groupBy key would be sha2(text) to keep shuffle rows
+    narrow; here the canonical form groups the text itself."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingle_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for all pairs sharing >= 1 shingle."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+    )
+
+
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs at threshold 0.8."""
+    pairs = _shingle_pairs_exact(spark, sf_dir)
+    return (
+        pairs.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {sql_shingle_cte(5)},
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE), 6) AS jaccard
+FROM pair
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, exact-verified.
+
+    Pipeline (all native expressions, one pass over shingles):
+      1. 32 minhash values per doc: min over shingles of
+         xxhash64(shingle, seed_i) — no modular arithmetic, no overflow.
+      2. 16 bands of 2 rows; band key = hash of the row pair.
+      3. Candidate pairs = docs sharing any band key (equi-join on
+         (band_id, band_key) — the ONLY join, linear in candidates).
+      4. Exact Jaccard verification on candidates only, via
+         array_intersect of the distinct-shingle arrays.
+
+    Shares the exact-Jaccard oracle: at these banding parameters the
+    LSH miss probability at j >= 0.8 is ~8e-8.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", shingles(F.col("text")).alias("sh_arr"))
+    sh = docs.select("doc_id", F.explode("sh_arr").alias("s"))
+
+    minhash_aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*minhash_aggs)
+
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.xxhash64(F.col(f"h{2 * i}"), F.col(f"h{2 * i + 1}")).alias("band_key"),
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_cols).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming distance <= 6 on 64-bit
+    fingerprints), banded into 4x16-bit blocks for candidate generation
+    (a pair within distance d <= 6 shares at least one identical 16-bit
+    block... pigeonhole holds only for d <= 3; with 4 blocks and d<=6 we
+    accept the standard multi-block recall tradeoff — documented, and
+    the exact-verify step keeps precision at 1).
+
+    No SQL oracle (bit-level fingerprints are engine-specific); driver
+    records rows-only, pytest pins determinism.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # features = 5-gram shingles, not unigrams: the corpus vocabulary is
+    # tiny so unigram token SETS are near-identical across documents —
+    # shingles make the fingerprint discriminative
+    hashes = F.transform(shingles(F.col("text")), lambda t: F.xxhash64(t))
+    fp = d.select("doc_id", hashes.alias("hs"))
+    # one signed vote per bit position across token hashes, packed
+    # directly into 4 x 16-bit blocks (bit positions are Python ints —
+    # shift amounts must be literals for the native bit ops)
+    def _vote_fn(bitpos: int):
+        # NB: the merge lambda must take EXACTLY two params — a default
+        # arg would be seen as a third lambda variable by PySpark
+        def merge(acc, h):
+            return acc + (
+                F.shiftrightunsigned(h, bitpos).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+
+        return merge
+
+    for blk in range(4):
+        block_val = F.lit(0).cast("long")
+        for j in range(16):
+            vote = F.aggregate(
+                F.col("hs"), F.lit(0).cast("long"), _vote_fn(blk * 16 + j)
+            )
+            bit = F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            block_val = block_val * 2 + bit
+        fp = fp.withColumn(f"blk{blk}", block_val)
+    fp = fp.drop("hs")
+
+    blocks = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("block_id"), F.col(f"blk{i}").alias("block_val"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+        *[F.col(f"blk{i}") for i in range(4)],
+    ).select(
+        "doc_id",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.block_val").alias("block_val"),
+        *[F.col(f"blk{i}") for i in range(4)],
+    )
+
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.blk{i}").bitwiseXOR(F.col(f"b.blk{i}"))) for i in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs: cosine >= 0.35 within label
+    blocks. Blocking (here: label; in production: shard/lang/LSH bucket)
+    bounds the pair space — the global quadratic join is never built."""
+    from ..functions.vector import dot_dec, norm
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double_array(F.col("embedding")).alias("v"))
+        .withColumn("vnorm", norm(F.col("v")))
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = dot_dec(F.col("a.v"), F.col("b.v")).cast("double") / (
+        F.col("a.vnorm") * F.col("b.vnorm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_shingle_jaccard": dedup_shingle_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_shingle_jaccard": DEDUP_JACCARD_SQL,
+    # minhash shares the exact-jaccard oracle (see docstring)
+    "dedup_minhash_lsh": DEDUP_JACCARD_SQL,
+    # dedup_simhash: rows-only (bit-level, engine-specific)
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+}

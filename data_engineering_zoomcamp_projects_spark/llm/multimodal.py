@@ -1,0 +1,143 @@
+"""Multimodal column support (driver-contract extension).
+
+Treats image/audio/video payloads as opaque `binary` columns with typed
+metadata, exactly as a 100 TB multimodal corpus stores them. The Spark
+plumbing — schemas, Arrow-batched mapInPandas decode operators, batch
+shapes, partitioning — is real and tested; the actual media decoding is
+STUBBED (no image/audio libraries in this environment):
+
+- `decode_image` raises NotImplementedError (clearly-marked stub slot
+  for PIL/ffmpeg in deployment);
+- `fake_decode_features`/`fake_frame_sample` are deterministic fakes
+  that exercise the identical Arrow path with verifiable outputs.
+
+The testdata has no binary column, so the payload is synthesized as
+unhex(md5(text)) — 16 deterministic bytes per row."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vector import norm, sql_norm
+
+FEATURE_SCHEMA = "doc_id long, n_bytes int, first_byte int, byte_checksum int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_feature double"
+
+
+def with_binary_payload(df: DataFrame) -> DataFrame:
+    """Attach the synthetic binary payload column (stands in for an
+    image/audio blob; at scale this column is read straight from
+    parquet/iceberg as `binary`)."""
+    return df.withColumn("payload", F.unhex(F.md5("text")))
+
+
+def decode_image(payload: bytes):  # pragma: no cover - deliberate stub
+    """STUB: real image decode (PIL/libjpeg) is unavailable in this
+    environment. Deployment swaps this for the actual decoder; the
+    Spark-side plumbing (mapInPandas over binary columns) is identical.
+    """
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips — not installed; "
+        "use fake_decode_features for the plumbing path"
+    )
+
+
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: parquet scan -> binary payload ->
+    Arrow-batched mapInPandas feature extraction. Driver check is
+    rows-only (binary semantics live in the fake decoder); pytest pins
+    exact values against hashlib.
+
+    The decoder is a CLOSURE, not a module function: cloudpickle then
+    ships it by value, so executors never need this package on their
+    PYTHONPATH (mandatory for running under an external harness)."""
+
+    def fake_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(lambda b: b[0]).astype("int32"),
+                    "byte_checksum": payloads.map(lambda b: sum(b) % 256).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        fake_features, schema=FEATURE_SCHEMA
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline shape: 1 binary row -> N frame rows
+    (fan-out inside mapInPandas, no shuffle). Deterministic fake frame
+    sampler: 4 'frames' per payload, feature = byte at stride position
+    (real video path: ffmpeg keyframe sample, identical batch shape)."""
+
+    def fake_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_feature": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for k in range(4):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(k)
+                    rows["frame_feature"].append(float(payload[k * 4]))
+            yield _pd.DataFrame(rows)
+
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(fake_frames, schema=FRAME_SCHEMA)
+
+
+def multimodal_join_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal record join: text metadata ⋈ vector modality on
+    doc_id = vec_id, with an embedding-norm feature. At scale both sides
+    are bucketed on the id so this join is shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "label",
+            F.round(norm(F.col("embedding").cast("array<double>")), 6).alias(
+                "embedding_norm"
+            ),
+        )
+    )
+
+
+MULTIMODAL_JOIN_SQL = f"""
+SELECT doc_id, lang, source, n_chars, label,
+       ROUND({sql_norm('embedding')}, 6) AS embedding_norm
+FROM documents JOIN embeddings ON doc_id = vec_id
+"""
+
+
+QUERIES = {
+    "multimodal_binary_features": multimodal_binary_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_join_docs_embeddings": multimodal_join_docs_embeddings,
+}
+
+ORACLES = {
+    # binary_features / frame_sample: rows-only (fake-decoder semantics,
+    # pinned exactly by unit tests against hashlib)
+    "multimodal_join_docs_embeddings": MULTIMODAL_JOIN_SQL,
+}

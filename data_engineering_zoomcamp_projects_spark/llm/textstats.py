@@ -1,0 +1,267 @@
+"""Text analysis for training-data pipelines (driver-contract extension):
+quality scoring, token counting, language-ID, tf-idf, fingerprinting,
+corpus rollups. All native expressions — one scan per query, no UDFs.
+
+Cross-engine notes: every ratio is int/int double division (exact);
+corpus-relative scores use decimal accumulation; idf uses the rational
+N/df form rather than log so no transcendental crosses the oracle
+boundary."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import doc_fingerprint_md5
+from ..operators.parity import davg, sql_davg
+
+#: tokens treated as stopwords in quality scoring (from the corpus
+#: vocabulary; any fixed lexicon works the same way at scale)
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token counts, type-token ratio,
+    average token length, stopword ratio, and a composite score —
+    the standard cheap pre-filters before expensive LLM-data steps."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    avg_len = F.col("n_chars").cast("double") / n_tokens.cast("double")
+    ttr = n_distinct.cast("double") / n_tokens.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        ((n_tokens >= 20) & (stop_ratio < 0.5)).cast("int").alias("passes_quality"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id, lang,
+  len(split(text, ' ')) AS n_tokens,
+  len(list_distinct(split(text, ' '))) AS n_distinct,
+  ROUND(CAST(len(list_distinct(split(text, ' '))) AS DOUBLE)
+        / CAST(len(split(text, ' ')) AS DOUBLE), 6) AS ttr,
+  ROUND(CAST(n_chars AS DOUBLE) / CAST(len(split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+  ROUND(CAST(len(list_filter(split(text, ' '),
+        t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+        / CAST(len(split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+  CAST(len(split(text, ' ')) >= 20
+       AND CAST(len(list_filter(split(text, ' '),
+             t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+           / CAST(len(split(text, ' ')) AS DOUBLE) < 0.5 AS INT) AS passes_quality
+FROM documents
+"""
+
+
+def text_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, characters, vowel-group count
+    (regexp), and a BPE-style token estimate (chars/4 heuristic used for
+    budget planning in LLM pipelines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.length("text").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]+")).alias("n_vowel_groups"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+TEXT_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+  len(split(text, ' ')) AS n_ws_tokens,
+  length(text) AS n_chars,
+  len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_groups,
+  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+"""
+
+
+def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-profile language ID: build per-language token
+    distributions from the labeled corpus, then classify each document
+    by the highest total token probability (rational scores, decimal
+    accumulation, deterministic lang-asc tie-break).
+
+    This is the degenerate-but-deterministic stand-in for char-n-gram
+    langid; the architecture (broadcast profile join + argmax window) is
+    exactly what a real fastText-style scorer would use."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    profile = (
+        tok.groupBy(F.col("lang").alias("p_lang"), "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy("p_lang"))
+        )
+        .withColumn("p", F.col("cnt").cast("double") / F.col("total").cast("double"))
+        .select("p_lang", "token", "p")
+    )
+    scored = (
+        tok.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(
+            F.sum(F.col("p").cast("decimal(38,10)")).cast("double").alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("p_lang").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("p_lang").alias("predicted_lang"),
+            F.col("lang").alias("actual_lang"),
+            (F.col("p_lang") == F.col("lang")).cast("int").alias("correct"),
+        )
+    )
+
+
+TEXT_LANGID_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(split(text, ' ')) AS token FROM documents
+), profile AS (
+  SELECT lang AS p_lang, token, COUNT(*) AS cnt,
+         SUM(COUNT(*)) OVER (PARTITION BY lang) AS total
+  FROM tok GROUP BY lang, token
+), scored AS (
+  SELECT t.doc_id, t.lang, p.p_lang,
+         CAST(SUM(CAST(CAST(p.cnt AS DOUBLE) / CAST(p.total AS DOUBLE)
+              AS DECIMAL(38,10))) AS DOUBLE) AS score
+  FROM tok t JOIN profile p ON t.token = p.token
+  GROUP BY t.doc_id, t.lang, p.p_lang
+)
+SELECT doc_id, p_lang AS predicted_lang, lang AS actual_lang,
+       CAST(p_lang = lang AS INT) AS correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, p_lang ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 + sha256 of the canonicalized (sorted
+    distinct-token) form — dedup/blocking keys."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ")
+    return d.select(
+        "doc_id",
+        doc_fingerprint_md5(F.col("text")).alias("md5_fp"),
+        F.sha2(canon, 256).alias("sha256_fp"),
+        F.length(canon).alias("canon_len"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(split(text, ' '))), ' ')) AS md5_fp,
+  sha256(array_to_string(list_sort(list_distinct(split(text, ' '))), ' ')) AS sha256_fp,
+  length(array_to_string(list_sort(list_distinct(split(text, ' '))), ' ')) AS canon_len
+FROM documents
+"""
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (rational idf
+    N/df — no log crosses the oracle). df computed corpus-wide, joined
+    back broadcast; one shuffle for the per-doc window."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "token", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, rk, token, tfidf FROM (
+  SELECT tf.doc_id, tf.token,
+    ROUND(CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf,
+    ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY
+      CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+      tf.token ASC) AS rk
+  FROM tf JOIN df ON tf.token = df.token, n
+) WHERE rk <= 3
+"""
+
+
+def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup per (lang, source): doc counts, size
+    stats, token totals — the monitoring surface of a data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.col("n_chars").cast("double"), "avg_chars"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+TEXT_ROLLUP_SQL = f"""
+SELECT lang, source, COUNT(*) AS n_docs,
+  {sql_davg('CAST(n_chars AS DOUBLE)', 'avg_chars')},
+  CAST(SUM(len(split(text, ' '))) AS BIGINT) AS total_tokens,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+QUERIES = {
+    "text_quality_scores": text_quality_scores,
+    "text_token_counting": text_token_counting,
+    "text_langid_profile": text_langid_profile,
+    "text_fingerprints": text_fingerprints,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_corpus_rollup": text_corpus_rollup,
+}
+
+ORACLES = {
+    "text_quality_scores": TEXT_QUALITY_SQL,
+    "text_token_counting": TEXT_TOKEN_COUNT_SQL,
+    "text_langid_profile": TEXT_LANGID_SQL,
+    "text_fingerprints": TEXT_FINGERPRINT_SQL,
+    "text_tfidf_top_terms": TEXT_TFIDF_SQL,
+    "text_corpus_rollup": TEXT_ROLLUP_SQL,
+}

@@ -212,10 +212,12 @@ def join_range_trailing_shipments(spark: SparkSession, sf_dir: str) -> DataFrame
     """Range join at day granularity: for each order, how many lineitems
     (system-wide) shipped in the 7 days ending on its order date.
 
-    Scale design: instead of a nested-loop range join row-to-row
-    (O(orders x lineitem)), pre-aggregate shipments per day — the
-    distinct-day relation is bounded (~2.5k rows for 7 years of data)
-    at ANY scale factor — then broadcast it into a bounded range join.
+    Scale design: a row-level range join would be a nested loop
+    (O(orders x days) condition evals — measured 17s at sf0.1). Instead:
+    (1) pre-aggregate shipments per day (bounded: ~2.5k rows for 7 years
+    at ANY scale factor), (2) expand each day by the 7 window offsets —
+    still bounded — and (3) broadcast EQUI-join on the day. The range
+    predicate is compiled away; the probe side streams once.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.date_trunc("day", "o_orderdate").alias("o_day")
@@ -225,12 +227,14 @@ def join_range_trailing_shipments(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.date_trunc("day", "l_shipdate").alias("ship_day"))
         .agg(F.count(F.lit(1)).alias("n_shipped"))
     )
-    joined = orders.join(
-        F.broadcast(daily),
-        (F.col("ship_day") <= F.col("o_day"))
-        & (F.col("ship_day") >= F.col("o_day") - F.expr("INTERVAL 6 DAYS")),
-        "left",
+    # expand: ship_day contributes to window-end days ship_day..ship_day+6
+    expanded = daily.select(
+        F.explode(
+            F.expr("sequence(ship_day, ship_day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("o_day"),
+        "n_shipped",
     )
+    joined = orders.join(F.broadcast(expanded), "o_day", "left")
     return (
         joined.groupBy("o_orderkey")
         .agg(F.coalesce(F.sum("n_shipped"), F.lit(0)).alias("shipped_7d"))

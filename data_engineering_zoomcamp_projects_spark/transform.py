@@ -1,0 +1,119 @@
+"""SQL transformation layer — the dbt slot (SURVEY.md §2 B3).
+
+The reference shipped a dbt-postgres container with no models
+(reference citibike_project/docker-compose.yaml:115-126,
+dbt/requirements.txt:1-2); Spark SQL IS the transform layer here: a
+staging -> mart chain of temp views built with `spark.sql` CTAS-style
+statements over the registered catalog.
+
+Marts double as oracle-checked queries (registry entries below), so the
+transformation layer is covered by the same correctness gate as the
+operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import register_tables
+from .operators.parity import sql_davg, sql_dsum
+
+#: staging views: typed/renamed projections of the raw tables
+_STAGING = {
+    "stg_orders": """
+        SELECT o_orderkey AS order_key, o_custkey AS customer_key,
+               o_orderstatus AS status, o_totalprice AS total_price,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_orderpriority AS priority
+        FROM orders
+    """,
+    "stg_lineitem": """
+        SELECT l_orderkey AS order_key, l_partkey AS part_key,
+               l_suppkey AS supplier_key, l_quantity AS quantity,
+               l_extendedprice AS extended_price, l_discount AS discount,
+               l_extendedprice * (1 - l_discount) AS net_price,
+               CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem
+    """,
+    "stg_customers": """
+        SELECT c_custkey AS customer_key, c_name AS name,
+               c_mktsegment AS segment, c_nationkey AS nation_key
+        FROM customer
+    """,
+}
+
+#: marts built on staging views
+_MARTS = {
+    "fct_daily_revenue": """
+        SELECT ship_date,
+               CAST(ROUND(SUM(CAST(net_price AS DECIMAL(38,10))), 2) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_lines,
+               COUNT(DISTINCT order_key) AS n_orders
+        FROM stg_lineitem
+        GROUP BY ship_date
+    """,
+    "dim_customer_activity": """
+        SELECT c.customer_key, c.segment,
+               COUNT(o.order_key) AS n_orders,
+               CAST(ROUND(COALESCE(SUM(CAST(o.total_price AS DECIMAL(38,10))), 0), 2)
+                    AS DOUBLE) AS lifetime_value
+        FROM stg_customers c
+        LEFT JOIN stg_orders o ON o.customer_key = c.customer_key
+        GROUP BY c.customer_key, c.segment
+    """,
+}
+
+
+def build_transform_layer(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Materialize the staging -> mart chain as temp views (CTAS to
+    managed tables at deploy time). Returns the view names in build
+    order — the lineage a dbt DAG would show."""
+    register_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
+    built = []
+    for name, sql in {**_STAGING, **_MARTS}.items():
+        spark.sql(sql).createOrReplaceTempView(name)
+        built.append(name)
+    return built
+
+
+def mart_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build_transform_layer(spark, sf_dir)
+    return spark.sql(
+        "SELECT date_format(ship_date, 'yyyy-MM-dd') AS ship_date, revenue,"
+        " n_lines, n_orders FROM fct_daily_revenue"
+    )
+
+
+MART_DAILY_REVENUE_SQL = f"""
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY 1
+"""
+
+
+def mart_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build_transform_layer(spark, sf_dir)
+    return spark.sql("SELECT * FROM dim_customer_activity")
+
+
+MART_CUSTOMER_ACTIVITY_SQL = """
+SELECT c_custkey AS customer_key, c_mktsegment AS segment,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 0), 2) AS DOUBLE)
+         AS lifetime_value
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+QUERIES = {
+    "mart_daily_revenue": mart_daily_revenue,
+    "mart_customer_activity": mart_customer_activity,
+}
+
+ORACLES = {
+    "mart_daily_revenue": MART_DAILY_REVENUE_SQL,
+    "mart_customer_activity": MART_CUSTOMER_ACTIVITY_SQL,
+}

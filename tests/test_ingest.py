@@ -1,0 +1,182 @@
+"""Ingestion-path unit tests on inline citibike-shaped fixtures
+(FIXTURES.md §2): listing parse, archive extraction, CSV scan with
+schema drift, partitioned lakehouse write, overwrite-then-append
+semantics (the reference-bug fix), DDL probes, observability."""
+
+from __future__ import annotations
+
+import gzip
+import logging
+import zipfile
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_engineering_zoomcamp_projects_spark.ingest import ddl, observability, pipeline, sinks, sources
+
+S3_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+  <Name>tripdata</Name>
+  <Contents><Key>202401-citibike-tripdata.zip</Key></Contents>
+  <Contents><Key>202402-citibike-tripdata.zip</Key></Contents>
+  <Contents><Key>index.html</Key></Contents>
+</ListBucketResult>"""
+
+CSV_HEADER = (
+    "ride_id,rideable_type,started_at,ended_at,start_station_name,"
+    "start_station_id,end_station_name,end_station_id,start_lat,start_lng,"
+    "end_lat,end_lng,member_casual"
+)
+
+MONTH1_ROWS = [
+    f"r{i},classic_bike,2024-01-0{(i % 8) + 1} 08:00:00,2024-01-0{(i % 8) + 1} 08:3{i % 6}:00,"
+    f"A st,st1,B st,st2,40.7,-74.0,40.8,-73.9,member"
+    for i in range(10)
+]
+# month 2 drops end_station_id (schema drift twist from FIXTURES.md)
+DRIFT_HEADER = CSV_HEADER.replace(",end_station_id", "")
+MONTH2_ROWS = [
+    f"q{i},electric_bike,2024-02-01 09:00:00,2024-02-01 09:15:00,"
+    f"C st,st3,D st,40.7,-74.0,40.8,-73.9,casual"
+    for i in range(5)
+]
+
+
+@pytest.fixture
+def trips_tree(tmp_path: Path) -> Path:
+    m1 = tmp_path / "202401"
+    m2 = tmp_path / "202402"
+    m1.mkdir(), m2.mkdir()
+    (m1 / "trips.csv").write_text("\n".join([CSV_HEADER, *MONTH1_ROWS]))
+    (m2 / "trips.csv").write_text("\n".join([DRIFT_HEADER, *MONTH2_ROWS]))
+    return tmp_path
+
+
+def test_parse_s3_listing():
+    keys = sources.parse_s3_listing(S3_XML)
+    assert keys == ["202401-citibike-tripdata.zip", "202402-citibike-tripdata.zip"]
+    urls = sources.list_source_urls(S3_XML, "https://example.test/tripdata")
+    assert urls[0] == "https://example.test/tripdata/202401-citibike-tripdata.zip"
+
+
+def test_extract_archive_zip(tmp_path: Path):
+    archive = tmp_path / "m.zip"
+    with zipfile.ZipFile(archive, "w") as z:
+        z.writestr("202401/trips.csv", "\n".join([CSV_HEADER, *MONTH1_ROWS]))
+    files = sources.extract_archive(archive, tmp_path / "out")
+    assert [f.name for f in files] == ["trips.csv"]
+    not_an_archive = tmp_path / "plain.txt"
+    not_an_archive.write_text("not compressed")
+    with pytest.raises(ValueError):
+        sources.extract_archive(not_an_archive, tmp_path / "out2")
+
+
+def test_read_trips_csv_schema_and_timestamps(spark, trips_tree):
+    df = sources.read_trips_csv(spark, str(trips_tree / "202401" / "trips.csv"))
+    assert dict(df.dtypes)["started_at"] == "timestamp"
+    assert df.count() == 10
+    # gz read path: Spark decompresses .csv.gz transparently (A17/A4)
+    gz = trips_tree / "202403"
+    gz.mkdir()
+    raw = "\n".join([CSV_HEADER, *MONTH1_ROWS]).encode()
+    (gz / "trips.csv.gz").write_bytes(gzip.compress(raw))
+    df2 = sources.read_trips_csv(spark, str(gz / "trips.csv.gz"))
+    assert df2.count() == 10
+
+
+def test_read_csv_tree_with_drift(spark, trips_tree):
+    df = sources.read_csv_tree(spark, str(trips_tree))
+    assert df.count() == 15
+    # drifted month has null end_station_id after union-by-name
+    assert "end_station_id" in df.columns
+
+
+def test_pipeline_end_to_end(spark, trips_tree, tmp_path):
+    out = str(tmp_path / "lakehouse" / "trips")
+    res = pipeline.run_trips_pipeline(
+        spark, [str(trips_tree / "202401" / "trips.csv")], out
+    )
+    assert res.n_rows == 10
+    assert res.n_months == 1
+    written = spark.read.parquet(out)
+    assert "month" in written.columns
+    assert written.filter(F.col("duration_min") < 0).count() == 0
+    assert set(res.timings) >= {"scan_clean", "write", "verify"}
+
+
+def test_pipeline_with_archive(spark, tmp_path):
+    archive = tmp_path / "202401.zip"
+    with zipfile.ZipFile(archive, "w") as z:
+        z.writestr("trips.csv", "\n".join([CSV_HEADER, *MONTH1_ROWS]))
+    out = str(tmp_path / "out")
+    res = pipeline.run_trips_pipeline(
+        spark,
+        [],
+        out,
+        archives=[str(archive)],
+        scratch_dir=str(tmp_path / "scratch"),
+    )
+    assert res.n_rows == 10
+
+
+def test_overwrite_then_append_fixes_reference_bug(spark, tmp_path):
+    out = str(tmp_path / "chunks")
+    batches = [spark.range(5), spark.range(5, 8), spark.range(8, 10)]
+    sinks.overwrite_then_append(batches, out)
+    # reference behavior would have kept only the last chunk (2 rows);
+    # correct semantics keep all 10
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_schema_only_write(spark, tmp_path):
+    out = str(tmp_path / "schema_only")
+    sinks.schema_only_write(spark.range(100).withColumn("x", F.rand()), out)
+    df = spark.read.parquet(out)
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "x"}
+
+
+def test_write_csv_gzip_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "gzcsv")
+    sinks.write_csv_gzip(spark.range(20).withColumn("y", F.col("id") * 2), out)
+    files = list(Path(out).glob("*.csv.gz"))
+    assert files, "expected gzip csv part files"
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 20
+
+
+def test_ddl_probes_and_schema(spark, tmp_path):
+    assert ddl.database_exists(spark, "default")
+    assert not ddl.database_exists(spark, "nope_db")
+    assert not ddl.table_exists(spark, "nope_table")
+    d = spark.range(3).withColumn("s", F.lit("x"))
+    assert "BIGINT" in ddl.schema_ddl(d)
+
+
+def test_guarded_stage_logs_and_reraises(caplog):
+    log = observability.make_logger("t_guard", logging.INFO)
+
+    @observability.guarded_stage(log)
+    def boom():
+        raise RuntimeError("nope")
+
+    @observability.guarded_stage(log)
+    def ok():
+        return 42
+
+    with caplog.at_level(logging.INFO, logger="t_guard"):
+        assert ok() == 42
+        with pytest.raises(RuntimeError):
+            boom()
+    messages = " ".join(r.getMessage() for r in caplog.records)
+    assert "stage ok: ok" in messages
+    assert "stage boom: FAILED" in messages
+
+
+def test_stopwatch_records():
+    sink: dict[str, float] = {}
+    with observability.stopwatch("step", sink):
+        pass
+    assert "step" in sink and sink["step"] >= 0

@@ -1,0 +1,105 @@
+"""Stream-batch parity + stateful-op tests (SURVEY.md §5 strategy #4).
+
+Each streaming job runs to completion on the events file via the memory
+sink and is compared against the batch query that pins its semantics."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_engineering_zoomcamp_projects_spark.catalog import load_table
+from data_engineering_zoomcamp_projects_spark.streaming import jobs
+
+
+def _rows(df, cols):
+    return sorted(tuple(str(x) for x in r) for r in df.select(*cols).collect())
+
+
+def test_stream_batch_parity_tumbling(spark, sf_dir):
+    ev_stream = jobs.load_events_stream(spark, sf_dir)
+    jobs.run_to_memory(jobs.tumbling_counts(ev_stream), "t_tumbling")
+    got = spark.table("t_tumbling")
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    want = (
+        ev_batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    cols = ["window_start", "window_end", "event_type", "n", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_batch_parity_session(spark, sf_dir):
+    ev_stream = jobs.load_events_stream(spark, sf_dir)
+    jobs.run_to_memory(jobs.session_counts(ev_stream), "t_session")
+    got = spark.table("t_session")
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    want = (
+        ev_batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    ev_stream = jobs.load_events_stream(spark, sf_dir)
+    deduped = jobs.dedup_events(ev_stream)
+    jobs.run_to_memory(deduped.select("event_id"), "t_dedup", output_mode="append")
+    got = spark.table("t_dedup")
+    n_batch = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got.count() == n_batch
+    assert got.distinct().count() == n_batch
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    ev_stream = jobs.load_events_stream(spark, sf_dir)
+    jobs.run_to_memory(
+        jobs.running_user_totals(ev_stream), "t_state", output_mode="update"
+    )
+    got = spark.table("t_state")
+    # one batch -> one update row per user with that user's full totals
+    ev_batch = load_table(spark, sf_dir, "events")
+    want = ev_batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    got_counts = {r["user_id"]: r["n_events"] for r in got.collect()}
+    for r in want.collect():
+        assert got_counts[r["user_id"]] == r["n_events"]
+
+
+def test_foreach_batch_sink(spark, sf_dir):
+    ev_stream = jobs.load_events_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        out, ckpt = f"{d}/out", f"{d}/ckpt"
+        jobs.sink_foreach_batch_parquet(
+            ev_stream.select("event_id", "ts", "event_type"), out, ckpt
+        )
+        written = spark.read.parquet(out)
+        n = load_table(spark, sf_dir, "events").count()
+        assert written.count() == n
+        assert "_epoch" in written.columns
+
+
+def test_sliding_stream_smoke(spark, sf_dir):
+    ev_stream = jobs.load_events_stream(spark, sf_dir)
+    jobs.run_to_memory(jobs.sliding_counts(ev_stream), "t_sliding")
+    got = spark.table("t_sliding")
+    # every event lands in exactly 4 sliding windows
+    total = got.agg(F.sum("n")).collect()[0][0]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == 4 * n_events
