@@ -1,0 +1,156 @@
+"""Additional operator coverage: collection aggregates, percentiles,
+unpivot, positional explode, sampling (SURVEY.md §2 C-relational tail).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .parity import dsum, sql_dsum
+
+
+def agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates with deterministic rendering: sorted
+    collect_set / sorted collect_list as joined strings (array order is
+    nondeterministic in a distributed agg, so canonicalize by sorting)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), "|").alias(
+                "priorities"
+            ),
+            F.size(F.collect_list("o_orderkey")).alias("n_collected"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_COLLECT_SQL = """
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+       CAST(COUNT(o_orderkey) AS INT) AS n_collected
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median & quartiles) per group.
+    Spark `percentile` and DuckDB `quantile_cont` share the linear
+    interpolation definition; results rounded to absorb last-ulp
+    differences. The approx variant (percentile_approx) is the 100 TB
+    path — single-pass sketch, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median"),
+            F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentile (the scalable path). Rows-only: sketch
+    internals are engine-specific."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def unpivot_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): wide per-status quantity columns back to long
+    form — the inverse of agg_pivot_status."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum(F.col("l_quantity"), "q"))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_open"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_finished"),
+        )
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'open', qty_open, 'finished', qty_finished) AS (status_kind, qty)",
+    )
+
+
+UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_open')},
+         {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_finished')}
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'open' AS status_kind, COALESCE(qty_open, 0) AS qty FROM wide
+UNION ALL
+SELECT l_returnflag, 'finished' AS status_kind, COALESCE(qty_finished, 0) AS qty FROM wide
+"""
+
+
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: (doc, position, token) for the first 5 tokens
+    — order-preserving lateral view."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "token"),
+    )
+
+
+POSEXPLODE_SQL = """
+SELECT doc_id, i - 1 AS pos, ts[i] AS token
+FROM (SELECT doc_id, split(text, ' ')[1:5] AS ts FROM documents),
+     (SELECT unnest(generate_series(1, 5)) AS i) g
+WHERE i <= len(ts)
+"""
+
+
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling — the standard corpus-subsetting op.
+    Rows-only: the RNG stream is engine-specific (pytest pins that the
+    seed makes it deterministic within Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+QUERIES = {
+    "agg_collect_sets": agg_collect_sets,
+    "agg_percentiles": agg_percentiles,
+    "agg_percentile_approx": agg_percentile_approx,
+    "unpivot_quantities": unpivot_quantities,
+    "posexplode_tokens": posexplode_tokens,
+    "sample_fraction": sample_fraction,
+}
+
+ORACLES = {
+    "agg_collect_sets": AGG_COLLECT_SQL,
+    "agg_percentiles": AGG_PERCENTILES_SQL,
+    # agg_percentile_approx: rows-only (sketch)
+    "unpivot_quantities": UNPIVOT_SQL,
+    "posexplode_tokens": POSEXPLODE_SQL,
+    # sample_fraction: rows-only (engine-specific RNG)
+}

@@ -23,8 +23,10 @@ _MODULES = [
     "llm.dedup",
     "llm.similarity",
     "llm.textstats",
+    "operators.extras",
     "llm.multimodal",
     "transform",
+    "ml",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Physical-plan assertions (SURVEY.md §4): pushdown, pruning,
+broadcast, codegen — the 100TB-survivability checks in executable form."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_zoomcamp_projects_spark.catalog import load_table
+from data_engineering_zoomcamp_projects_spark.operators.relational import (
+    q1_pricing_summary,
+    q5_local_supplier_volume,
+)
+from data_engineering_zoomcamp_projects_spark.plans import explain
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 30.0
+    ).select("l_orderkey")
+    assert explain.has_pushed_filter(df, "l_quantity")
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = explain.read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_q1_scan_is_pruned_and_pushed(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    # only the 7 columns q1 needs are read
+    cols = set(explain.read_schema_columns(df))
+    assert cols == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+    assert explain.has_pushed_filter(df, "l_shipdate")
+    # codegen spans only materialize on the non-adaptive compile; build
+    # the same plan with AQE off to count them
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df_noaqe = q1_pricing_summary(spark, sf_dir)
+        assert explain.whole_stage_codegen_spans(df_noaqe) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q5_broadcasts_fixed_dims(spark, sf_dir):
+    df = q5_local_supplier_volume(spark, sf_dir)
+    assert explain.uses_broadcast_join(df)
+
+
+def test_semi_join_is_not_full_join(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    plan = explain.formatted_plan(semi)
+    assert "LeftSemi" in plan
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+    )
+    plan = explain.formatted_plan(df)
+    # two HashAggregate operators = map-side partial + final
+    assert plan.count("HashAggregate") >= 2
