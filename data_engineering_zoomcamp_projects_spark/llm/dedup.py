@@ -125,10 +125,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     docs = d.select("doc_id", shingles(F.col("text")).alias("sh_arr"))
-    sh = docs.select("doc_id", F.explode("sh_arr").alias("s"))
+    # hash each shingle string ONCE; the 32 permutations re-hash the
+    # 8-byte value, not the string (~3x cheaper at scale)
+    sh = docs.select(
+        "doc_id", F.explode(F.transform("sh_arr", lambda s: F.xxhash64(s))).alias("s64")
+    )
 
     minhash_aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("s64"), F.lit(i))).alias(f"h{i}")
         for i in range(N_MINHASH)
     ]
     sigs = sh.groupBy("doc_id").agg(*minhash_aggs)
