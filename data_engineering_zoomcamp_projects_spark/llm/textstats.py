@@ -265,3 +265,55 @@ ORACLES = {
     "text_tfidf_top_terms": TEXT_TFIDF_SQL,
     "text_corpus_rollup": TEXT_ROLLUP_SQL,
 }
+
+
+#: fixed sentiment-style lexicon (token -> weight); deploy-time this is
+#: any broadcast vocabulary (toxicity lists, domain terms, ...)
+LEXICON = {"fast": 1.0, "big": 0.5, "slow": -1.0, "small": -0.5}
+
+
+def text_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon scoring via pure expressions: per-token weight lookup
+    (CASE chain compiled from the broadcast lexicon) accumulated
+    decimally — the SURVEY C-LLM 'simple lexicon scoring via map
+    lookup + aggregate' op."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def weight(t):
+        expr = F.lit(0.0)
+        for token, w in LEXICON.items():
+            expr = F.when(t == token, F.lit(w)).otherwise(expr)
+        return expr.cast("decimal(38,10)")
+
+    score = F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("decimal(38,10)"),
+        lambda acc, x: (acc + x).cast("decimal(38,10)"),
+    )
+    n_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LEXICON.keys()))
+    )
+    return d.select(
+        "doc_id",
+        F.round(score, 2).cast("double").alias("lexicon_score"),
+        n_hits.alias("n_lexicon_hits"),
+    )
+
+
+_LEX_CASE = " ".join(
+    f"WHEN t = '{tok}' THEN {w}" for tok, w in LEXICON.items()
+)
+
+TEXT_LEXICON_SQL = f"""
+SELECT doc_id,
+  CAST(ROUND(list_sum(list_transform(split(text, ' '),
+    t -> CAST(CASE {_LEX_CASE} ELSE 0.0 END AS DECIMAL(38,10)))), 2) AS DOUBLE)
+    AS lexicon_score,
+  len(list_filter(split(text, ' '),
+    t -> list_contains({list(LEXICON.keys())!r}, t))) AS n_lexicon_hits
+FROM documents
+"""
+
+QUERIES["text_lexicon_score"] = text_lexicon_score
+ORACLES["text_lexicon_score"] = TEXT_LEXICON_SQL

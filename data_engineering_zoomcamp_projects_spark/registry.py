@@ -24,6 +24,7 @@ _MODULES = [
     "llm.similarity",
     "llm.textstats",
     "operators.extras",
+    "operators.tpch_plus",
     "llm.multimodal",
     "transform",
     "ml",

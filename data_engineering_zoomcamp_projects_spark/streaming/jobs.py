@@ -193,3 +193,30 @@ def sink_foreach_batch_parquet(df: DataFrame, out_dir: str, checkpoint: str):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def purchase_view_stream_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    views within the preceding hour. Both sides watermarked — Spark
+    buffers each side's state only within the watermark + range bound,
+    which is what keeps the join state finite on an unbounded stream."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            "user_id = v_user AND "
+            "view_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+        ),
+        "inner",
+    ).select("event_id", "user_id", "purchase_ts", "view_ts")

@@ -23,3 +23,67 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     }
     for flag, med in exact.items():
         assert abs(approx[flag] - med) / med < 0.05
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        skew.salted_join(li, orders, "l_orderkey", "o_orderkey", salt_buckets=4)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_sum_equals_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("s")
+    )
+    salted = skew.salted_sum(li, "l_returnflag", F.col("l_quantity"), "s", 4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_upsert_last_writer_wins(spark):
+    from data_engineering_zoomcamp_projects_spark.ingest.upsert import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, x int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "k int, v string, x int"
+    )
+    out = {r["k"]: (r["v"], r["x"]) for r in upsert(target, updates, "k").collect()}
+    assert out == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_scd2_versioning(spark):
+    from data_engineering_zoomcamp_projects_spark.ingest.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "old", "2020-01-01", 1)],
+        "k int, attr string, effective_from string, is_current int",
+    )
+    changes = spark.createDataFrame(
+        [(1, "new", "2021-01-01")], "k int, attr string, effective_from string"
+    )
+    out = scd2_apply(dim, changes, "k")
+    rows = {(r["attr"]): r["is_current"] for r in out.collect()}
+    assert rows == {"old": 0, "new": 1}
+    assert out.count() == 2

@@ -103,3 +103,28 @@ def test_sliding_stream_smoke(spark, sf_dir):
     total = got.agg(F.sum("n")).collect()[0][0]
     n_events = load_table(spark, sf_dir, "events").count()
     assert total == 4 * n_events
+
+
+def test_stream_stream_join_parity(spark, sf_dir):
+    ev_stream = jobs.load_events_stream(spark, sf_dir)
+    jobs.run_to_memory(
+        jobs.purchase_view_stream_join(ev_stream), "t_ssjoin", output_mode="append"
+    )
+    got = spark.table("t_ssjoin")
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    want = purchases.join(
+        views,
+        F.expr(
+            "user_id = v_user AND "
+            "view_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+        ),
+    ).select("event_id", "user_id", "purchase_ts", "view_ts")
+    cols = ["event_id", "user_id", "purchase_ts", "view_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
