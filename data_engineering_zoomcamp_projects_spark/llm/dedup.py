@@ -60,9 +60,18 @@ FROM documents GROUP BY md5(text)
 
 
 def _shingle_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for all pairs sharing >= 1 shingle."""
+    """(doc_a, doc_b, jaccard) for all pairs sharing >= 1 shingle.
+
+    The self-join keys on xxhash64(shingle) rather than the ~25-char
+    shingle string: an 8-byte shuffle key instead of a string (smaller
+    exchange, cheaper compares). 64-bit collisions would perturb counts
+    with probability ~1e-9 across the corpus — negligible against the
+    oracle."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))).alias("s"),
+    )
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -55,5 +55,7 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Exchange operators in the plan = shuffles this query will run."""
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", formatted_plan(df)))
+    """Exchange operators in the plan = shuffles this query will run
+    (formatted plans put the operator header `(n) Exchange` and its
+    partitioning arguments on separate lines)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))

@@ -72,3 +72,31 @@ def test_groupby_has_partial_aggregation(spark, sf_dir):
     plan = explain.formatted_plan(df)
     # two HashAggregate operators = map-side partial + final
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Bucketing both sides on the join key co-locates them: the join
+    plan has no Exchange on the bucketed sides (the 100 TB answer to
+    repeated fact-fact joins on the same key)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("b_lineitem")
+    orders.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("b_orders")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert explain.shuffle_count(joined) == 0
+        # and the same join over raw (unbucketed) parquet shuffles both sides
+        raw = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert explain.shuffle_count(raw) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
