@@ -48,6 +48,9 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one file = one batch in
     tests; a directory of arriving files in production). Nanos -> µs
     timestamp conversion matches the batch catalog."""
+    # defensive for externally built sessions (see catalog.load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_FILE_SCHEMA)
         # file stream sources take a directory; select just the events
