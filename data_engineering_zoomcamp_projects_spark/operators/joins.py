@@ -148,9 +148,12 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders at all."""
+    """Left-anti join: customers who never placed an URGENT order
+    (filtered right side keeps the result non-degenerate at every SF)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
@@ -159,7 +162,8 @@ def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 

@@ -25,7 +25,7 @@ def _urgent(spark, sf_dir):
 def _high_value(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 150000.0)
+        .filter(F.col("o_totalprice") > 250000.0)
         .select("o_custkey")
     )
 
@@ -44,7 +44,7 @@ SETOP_UNION_ALL_SQL = """
 SELECT o_custkey, COUNT(*) AS n FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   UNION ALL
-  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+  SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0
 ) GROUP BY o_custkey
 """
 
@@ -57,7 +57,7 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SETOP_UNION_DISTINCT_SQL = """
 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 UNION
-SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0
 """
 
 
@@ -69,7 +69,7 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 SETOP_INTERSECT_SQL = """
 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 INTERSECT
-SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0
 """
 
 
@@ -82,7 +82,7 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 SETOP_EXCEPT_SQL = """
 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 EXCEPT
-SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0
 """
 
 
