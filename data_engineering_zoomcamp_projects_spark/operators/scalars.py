@@ -286,3 +286,36 @@ ORACLES = {
     "fn_explode_tokens": FN_EXPLODE_SQL,
     "fn_json_suite": FN_JSON_SQL,
 }
+
+
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator breadth over integer keys: AND/OR/XOR, bit
+    count, shifts (literal shift amounts — a Spark requirement)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    p = F.col("l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(p).alias("k_and_p"),
+        k.bitwiseOR(p).alias("k_or_p"),
+        k.bitwiseXOR(p).alias("k_xor_p"),
+        F.bit_count(k).alias("k_bits"),
+        F.shiftleft(k, 2).alias("k_shl2"),
+        F.shiftright(k, 1).alias("k_shr1"),
+    )
+
+
+FN_BITWISE_SQL = """
+SELECT l_orderkey, l_linenumber,
+  l_orderkey & l_partkey AS k_and_p,
+  l_orderkey | l_partkey AS k_or_p,
+  xor(l_orderkey, l_partkey) AS k_xor_p,
+  CAST(bit_count(l_orderkey) AS INT) AS k_bits,
+  l_orderkey << 2 AS k_shl2,
+  l_orderkey >> 1 AS k_shr1
+FROM lineitem
+"""
+
+QUERIES["fn_bitwise_suite"] = fn_bitwise_suite
+ORACLES["fn_bitwise_suite"] = FN_BITWISE_SQL

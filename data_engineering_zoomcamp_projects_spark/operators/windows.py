@@ -234,3 +234,31 @@ ORACLES = {
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "topk_global": TOPK_GLOBAL_SQL,
 }
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-based frame (value range, not row count): per customer, how
+    many of their orders fall within ±10k of each order's price."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+    )
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+    AS n_similar_price
+FROM orders
+"""
+
+QUERIES["window_range_frame"] = window_range_frame
+ORACLES["window_range_frame"] = WINDOW_RANGE_FRAME_SQL

@@ -100,3 +100,23 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partition_pruning_on_monthly_layout(spark, sf_dir, tmp_path):
+    """The table-per-month replacement must prune: a month-filtered read
+    of the partitioned layout scans only that partition."""
+    from data_engineering_zoomcamp_projects_spark.ingest.sinks import (
+        write_partitioned_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_month")
+    write_partitioned_parquet(orders, out, ts_col="o_orderdate")
+    df = spark.read.parquet(out).filter(F.col("month") == "1996-03")
+    plan = explain.formatted_plan(df)
+    assert "PartitionFilters" in plan and "month" in plan
+    # pruned read returns exactly that month's rows
+    want = orders.filter(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM") == "1996-03"
+    ).count()
+    assert df.count() == want

@@ -128,3 +128,16 @@ def test_stream_stream_join_parity(spark, sf_dir):
     ).select("event_id", "user_id", "purchase_ts", "view_ts")
     cols = ["event_id", "user_id", "purchase_ts", "view_ts"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_foreach_batch_checkpoint_no_reprocess(spark, sf_dir, tmp_path):
+    """Exactly-once via checkpoint: re-starting the same stream over the
+    same source with the same checkpoint reprocesses nothing."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ev = jobs.load_events_stream(spark, sf_dir).select("event_id")
+    jobs.sink_foreach_batch_parquet(ev, out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    # second run, same checkpoint: no new input -> no new rows
+    ev2 = jobs.load_events_stream(spark, sf_dir).select("event_id")
+    jobs.sink_foreach_batch_parquet(ev2, out, ckpt)
+    assert spark.read.parquet(out).count() == n_first
