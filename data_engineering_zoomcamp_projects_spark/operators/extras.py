@@ -154,3 +154,29 @@ ORACLES = {
     "posexplode_tokens": POSEXPLODE_SQL,
     # sample_fraction: rows-only (engine-specific RNG)
 }
+
+
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) per group, rendered as ints."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.every(F.col("o_totalprice") > 1000.0).cast("int").alias("all_over_1k"),
+            F.some(F.col("o_orderpriority") == "1-URGENT").cast("int").alias("any_urgent"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_BOOLEAN_SQL = """
+SELECT o_orderstatus,
+       CAST(bool_and(o_totalprice > 1000.0) AS INT) AS all_over_1k,
+       CAST(bool_or(o_orderpriority = '1-URGENT') AS INT) AS any_urgent,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["agg_boolean"] = agg_boolean
+ORACLES["agg_boolean"] = AGG_BOOLEAN_SQL

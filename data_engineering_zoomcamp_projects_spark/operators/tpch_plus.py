@@ -186,3 +186,77 @@ ORACLES = {
     "q13_customer_distribution": Q13_SQL,
     "q18_large_volume_customers": Q18_SQL,
 }
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part correlated average feeding a filter —
+    revenue from lineitems below half their part's average quantity.
+    Decorrelated: one agg + broadcast re-join on partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double")
+            / F.count("l_quantity"),
+            6,
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum(F.col("l_extendedprice"), "small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = f"""
+SELECT {sql_dsum('l_extendedprice', 'small_qty_revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN (SELECT l_partkey AS pk,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+                   / COUNT(l_quantity), 6) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) p
+  ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS —
+    above-average-balance customers who never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double")
+            / F.count("c_acctbal"),
+            6,
+        ).alias("threshold")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+Q22_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+               / COUNT(c_acctbal), 6)
+  FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+QUERIES["q17_small_quantity_revenue"] = q17_small_quantity_revenue
+QUERIES["q22_idle_rich_customers"] = q22_idle_rich_customers
+ORACLES["q17_small_quantity_revenue"] = Q17_SQL
+ORACLES["q22_idle_rich_customers"] = Q22_SQL
