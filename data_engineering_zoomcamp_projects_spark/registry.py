@@ -26,6 +26,7 @@ _MODULES = [
     "operators.extras",
     "operators.tpch_plus",
     "llm.multimodal",
+    "llm.curation",
     "transform",
     "ml",
 ]

@@ -16,7 +16,7 @@ session_window does exactly this under the hood)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -177,3 +177,73 @@ ORACLES = {
     "stream_dedup_summary": STREAM_DEDUP_SQL,
     "stream_event_type_rates": STREAM_RATES_SQL,
 }
+
+
+def stream_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel: per user, sessions (30-min gap) that contain
+    a view followed (strictly later) by a purchase — the conversion
+    metric a streaming analytics pipeline maintains incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sessioned = (
+        ev.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias(
+            "last_purchase"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                (
+                    F.col("first_view").isNotNull()
+                    & F.col("last_purchase").isNotNull()
+                    & (F.col("last_purchase") > F.col("first_view"))
+                ).cast("long")
+            ).alias("n_converting_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id,
+    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+    MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+  CAST(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+                 AND last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_converting_sessions
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["stream_funnel_view_purchase"] = stream_funnel_view_purchase
+ORACLES["stream_funnel_view_purchase"] = STREAM_FUNNEL_SQL

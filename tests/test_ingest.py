@@ -200,3 +200,30 @@ def test_lakehouse_managed_table_roundtrip(spark, tmp_path):
         assert "BIGINT" in ddl.schema_ddl(spark.table("t_lake"))
     finally:
         spark.sql("DROP TABLE IF EXISTS t_lake")
+
+
+def test_cli_query_and_ingest(spark, trips_tree, tmp_path, capsys):
+    """EP1-parity CLI: query subcommand shows a frame; ingest runs the
+    pipeline; unknown query exits 2 with the available list."""
+    from data_engineering_zoomcamp_projects_spark.__main__ import main
+
+    assert main(["query", "--name", "q1_pricing_summary", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out
+
+    assert (
+        main(
+            [
+                "ingest",
+                "--source",
+                str(trips_tree / "202401" / "trips.csv"),
+                "--out",
+                str(tmp_path / "cli_out"),
+            ]
+        )
+        == 0
+    )
+    assert "ingested rows=10" in capsys.readouterr().out
+
+    assert main(["query", "--name", "no_such_query"]) == 2
+    assert "available:" in capsys.readouterr().err
