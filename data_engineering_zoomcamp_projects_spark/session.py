@@ -34,6 +34,9 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
+        # 2x cores as the pre-AQE ceiling; A/B at sf0.1 showed 32 vs 64
+        # within run-to-run noise (AQE coalesces either way), so the
+        # default favors headroom at larger scale factors
         shuffle_partitions = int(cpus) * 2
 
     builder = (
