@@ -327,3 +327,94 @@ ORACLES = {
     # dedup_simhash: rows-only (bit-level, engine-specific)
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
 }
+
+
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the near-dup graph (docs joined by
+    Jaccard>=0.8 edges): every doc labeled with the min doc_id reachable
+    through near-dup links — the cluster key for keep-one-per-cluster
+    dedup.
+
+    Spark side: iterative label propagation (min-label flood) — the
+    canonical DataFrame formulation of an iterative algorithm: loop of
+    join + groupBy-min with a driver-side convergence check on a
+    METADATA count (never collecting data rows). Diameter of near-dup
+    clusters is tiny, so it converges in 2-3 rounds.
+
+    Oracle: DuckDB recursive CTE computing min reachable id — same
+    fixpoint, declarative form.
+    """
+    pairs = dedup_shingle_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()
+    )
+    # only docs touching an edge need iteration; isolated docs are their
+    # own component and are unioned back at the end — the loop then runs
+    # over the (tiny) near-dup subgraph, not the corpus
+    edges.count()  # materialize the cache once; every iteration reuses it
+    linked = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = linked.select("doc_id", F.col("doc_id").alias("component"))
+    # fixed iteration count; each round is checkpointed eagerly so the
+    # plan stays shallow (deeply nested iterative join trees cost more
+    # in Catalyst compile time than the tiny subgraph costs to compute).
+    # 6 rounds of min-label flooding covers any near-dup cluster of
+    # diameter <= 6; real near-dup clusters are near-cliques (1-2)
+    for _ in range(6):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                    "component", "n_comp"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("n_comp").alias("n_comp"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    isolated = docs.join(linked, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    return labels.unionByName(isolated)
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {sql_shingle_cte(5)},
+hashed AS (SELECT doc_id, s FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM hashed a JOIN hashed b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near AS (
+  SELECT doc_a, doc_b FROM pair
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM near
+  UNION ALL SELECT doc_b, doc_a FROM near
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+"""
+
+QUERIES["dedup_cluster_components"] = dedup_cluster_components
+ORACLES["dedup_cluster_components"] = DEDUP_COMPONENTS_SQL
