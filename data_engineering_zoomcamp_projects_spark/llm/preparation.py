@@ -1,0 +1,170 @@
+"""Training-data preparation operators — the steps between a curated
+corpus and a training run: deterministic splitting, sequence packing,
+benchmark decontamination, and embedding quantization.
+
+All are pure integer/deterministic arithmetic so every one is
+oracle-checked (splitting deliberately uses an arithmetic hash rather
+than an engine hash function so both engines compute the same buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import sql_shingle_cte
+
+#: Knuth multiplicative-hash constant; bucket space kept prime
+_SPLIT_MULT = 2654435761
+_SPLIT_MOD = 97
+CONTEXT_TOKENS = 2048
+
+
+def prep_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based split (78/10/12-ish over 97 buckets):
+    the id -> bucket mapping is pure integer arithmetic, so the split is
+    reproducible across engines, runs, and cluster sizes — the property
+    a training pipeline must have (no sampling RNG)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % _SPLIT_MOD
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 78, "train")
+        .when(bucket < 88, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+PREP_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+  (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} AS bucket,
+  CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} < 78 THEN 'train'
+       WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} < 88 THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def prep_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents (ordered by id within
+    language) are assigned to fixed-size context bins by cumulative
+    token count — the packing plan a pretraining dataloader consumes.
+    One window per language partition; bin id = floor(prefix/context)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum(n_tokens).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.floor((cum - n_tokens) / CONTEXT_TOKENS).cast("long").alias("bin_id"),
+    )
+
+
+PREP_PACKING_SQL = f"""
+SELECT doc_id, lang,
+  len(split(text, ' ')) AS n_tokens,
+  CAST(FLOOR((SUM(len(split(text, ' '))) OVER w - len(split(text, ' ')))
+       / {CONTEXT_TOKENS}) AS BIGINT) AS bin_id
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 8-gram with
+    the held-out benchmark set (source = 'src0' stands in for the eval
+    suite). The canonical n-gram-overlap contamination check — a
+    shingle equi-join between the two sets, counting shared shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import shingles
+
+    sh = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(shingles(F.col("text"), 8)).alias("s")
+    )
+    bench = sh(d.filter(F.col("source") == "src0")).select(
+        F.col("doc_id").alias("bench_doc"), "s"
+    )
+    train = sh(d.filter(F.col("source") != "src0"))
+    return (
+        train.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("bench_doc").alias("n_bench_docs_hit"),
+        )
+    )
+
+
+PREP_DECONTAM_SQL = f"""
+WITH {sql_shingle_cte(8)},
+bench AS (SELECT sh.doc_id AS bench_doc, s FROM sh
+          JOIN documents USING (doc_id) WHERE source = 'src0'),
+train AS (SELECT sh.doc_id, s FROM sh
+          JOIN documents USING (doc_id) WHERE source <> 'src0')
+SELECT doc_id,
+       COUNT(DISTINCT s) AS n_shared_shingles,
+       COUNT(DISTINCT bench_doc) AS n_bench_docs_hit
+FROM train JOIN bench USING (s)
+GROUP BY doc_id
+"""
+
+
+def prep_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings (the 4x storage cut a
+    100 TB vector corpus takes): per-vector absmax scale, rounded int8
+    codes. Output is an integer checksum of the codes plus the scale —
+    both engine-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = absmax / 127.0
+    codes = F.transform(v, lambda x: F.round(x / scale).cast("long"))
+    return e.select(
+        "vec_id",
+        F.round(scale, 8).alias("scale"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_checksum"
+        ),
+        F.array_max(codes).alias("max_code"),
+        F.array_min(codes).alias("min_code"),
+    )
+
+
+PREP_QUANTIZE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,
+    list_transform(embedding::DOUBLE[],
+      x -> CAST(round(x / (list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127.0)) AS BIGINT)) AS codes
+  FROM embeddings
+)
+SELECT vec_id, ROUND(scale, 8) AS scale,
+  CAST(list_sum(codes) AS BIGINT) AS code_checksum,
+  list_max(codes) AS max_code,
+  list_min(codes) AS min_code
+FROM q
+"""
+
+
+QUERIES = {
+    "prep_train_test_split": prep_train_test_split,
+    "prep_sequence_packing": prep_sequence_packing,
+    "prep_decontaminate": prep_decontaminate,
+    "prep_quantize_int8": prep_quantize_int8,
+}
+
+ORACLES = {
+    "prep_train_test_split": PREP_SPLIT_SQL,
+    "prep_sequence_packing": PREP_PACKING_SQL,
+    "prep_decontaminate": PREP_DECONTAM_SQL,
+    "prep_quantize_int8": PREP_QUANTIZE_SQL,
+}

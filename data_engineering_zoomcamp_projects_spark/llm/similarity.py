@@ -207,3 +207,74 @@ ORACLES = {
     # sim_topk_lsh: rows-only (ANN recall < 1 by design)
     "sim_label_centroids": SIM_CENTROID_SQL,
 }
+
+
+def _dot_double(a: Column, b: Column) -> Column:
+    """Plain double dot product — used for IVF cell ASSIGNMENT, where
+    only the argmax matters (no cross-engine parity needed)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse codebook (every 53rd
+    vector) partitions the corpus into cells by nearest centroid;
+    queries probe only their nearest `nprobe=2` cells.
+
+    This is the inverted-file index pattern (train k-means centroids at
+    deploy time; the deterministic sample here keeps tests stable).
+    Rows-only check: recall < 1 by design, measured in pytest against
+    brute force."""
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    from ..functions.vector import dot_dec
+
+    centroids = (
+        corpus.filter(F.col("vec_id") % 53 == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+
+    def nearest_cells(df, vec_col, out_col, n_keep):
+        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "_sim", _dot_double(F.col(vec_col), F.col("cv"))
+        )
+        w = Window.partitionBy(*df.columns).orderBy(
+            F.col("_sim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_keep)
+            .select(*df.columns, F.col("cent_id").alias(out_col))
+        )
+
+    corpus_cells = nearest_cells(corpus, "v", "cell", 1)
+    query_cells = nearest_cells(queries, "qv", "qcell", 2)  # nprobe=2
+
+    scored = (
+        corpus_cells.join(
+            F.broadcast(query_cells),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            dot_dec(F.col("qv"), F.col("v")).cast("double")
+            / (F.col("qnorm") * F.col("vnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+QUERIES["sim_topk_ivf"] = sim_topk_ivf
+# rows-only: IVF recall < 1 by design (pytest measures vs brute force)

@@ -27,6 +27,7 @@ _MODULES = [
     "operators.tpch_plus",
     "llm.multimodal",
     "llm.curation",
+    "llm.preparation",
     "transform",
     "ml",
 ]

@@ -102,3 +102,17 @@ def test_langid_deterministic(spark, sf_dir):
     b = sorted(map(tuple, textstats.text_langid_profile(spark, sf_dir).collect()))
     assert a == b
     assert len(a) == load_table(spark, sf_dir, "documents").count()
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    brute = similarity.sim_topk_bruteforce(spark, sf_dir).collect()
+    ivf = similarity.sim_topk_ivf(spark, sf_dir).collect()
+    ivf2 = similarity.sim_topk_ivf(spark, sf_dir).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
+    # every IVF hit's score must equal the brute-force score for the
+    # same (query, neighbor) — IVF reduces candidates, never rescores
+    brute_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute}
+    for r in ivf:
+        k = (r["query_id"], r["neighbor_id"])
+        if k in brute_scores:
+            assert brute_scores[k] == r["cos_sim"]
