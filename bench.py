@@ -39,8 +39,11 @@ HEADLINE = [
     # LLM-data ops
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
     "sim_topk_bruteforce",
     "text_tfidf_top_terms",
+    "pipeline_corpus_curation",
+    "prep_decontaminate",
     # transform layer
     "mart_daily_revenue",
 ]
