@@ -227,3 +227,41 @@ def test_cli_query_and_ingest(spark, trips_tree, tmp_path, capsys):
 
     assert main(["query", "--name", "no_such_query"]) == 2
     assert "available:" in capsys.readouterr().err
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """A10-A12 end-to-end against a real JDBC database (embedded Derby,
+    bundled with Spark): write, then partitioned parallel read with a
+    pushed predicate — the path that replaces the reference's
+    LIMIT/OFFSET pagination (reference ingest_data.py:258-284)."""
+    from pyspark.sql import functions as F
+
+    url = "jdbc:derby:memory:t_jdbc;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = (
+        spark.range(100)
+        .withColumn("v", F.col("id") * 1.5)
+        .withColumn("name", F.concat(F.lit("row"), F.col("id")))
+    )
+    sinks.write_jdbc(df, url, "t_trips", mode="overwrite", driver=drv)
+    # append mode on an existing table (A10 semantics)
+    sinks.write_jdbc(df.filter(F.col("id") < 5), url, "t_trips", driver=drv)
+
+    back = sources.read_jdbc_partitioned(
+        spark,
+        url,
+        "t_trips",
+        partition_column="id",
+        lower=0,
+        upper=100,
+        num_partitions=4,
+        predicate="id >= 50",
+        driver=drv,
+    )
+    assert back.count() == 50
+    assert back.rdd.getNumPartitions() == 4
+    total = sources.read_jdbc_partitioned(
+        spark, url, "t_trips", partition_column="id", lower=0, upper=100,
+        num_partitions=4, driver=drv,
+    )
+    assert total.count() == 105  # 100 + 5 appended
