@@ -23,8 +23,18 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .operators.parity import DEC
 
-#: fixed linear-model weights (deploy-time: broadcast joblib model)
-_WEIGHTS = {"intercept": 0.5, "n_orders": 0.1, "avg_value": 0.00001, "urgent_ratio": 2.0}
+#: fixed linear-model weights (deploy-time: broadcast joblib model).
+#: All powers of two: a decimal weight like 1e-5 shifts avg_value's
+#: 6-dp digits exactly onto the score's 6-dp rounding boundary, putting
+#: ~15% of rows on an exact .5 tie where Spark and DuckDB rounding can
+#: disagree (observed at sf0.1). Power-of-two weights are exact in
+#: binary, so the score's decimal tail is noise-like and tie-free.
+_WEIGHTS = {
+    "intercept": 0.5,
+    "n_orders": 0.125,
+    "avg_value": 2.0 ** -17,
+    "urgent_ratio": 2.0,
+}
 
 
 def customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,17 +44,25 @@ def customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
-            / F.count("o_totalprice"),
+            (
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+                / F.count("o_totalprice")
+            ).cast(DEC),
             6,
-        ).alias("avg_value"),
+        )
+        .cast("double")
+        .alias("avg_value"),
         F.round(
-            F.sum(
-                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
-            ).cast("double")
-            / F.count(F.lit(1)),
+            (
+                F.sum(
+                    F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).cast(DEC),
             6,
-        ).alias("urgent_ratio"),
+        )
+        .cast("double")
+        .alias("urgent_ratio"),
     )
 
 
@@ -68,7 +86,12 @@ def ml_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "avg_value",
         "urgent_ratio",
-        F.round(score("n_orders", "avg_value", "urgent_ratio"), 6).alias("score"),
+        # tie-safe rounding: decimal-cast first (plain ROUND(double, 6)
+        # hit a binary near-tie on 1 row in 15k at sf0.1 where the
+        # engines' rounding implementations disagree)
+        F.round(score("n_orders", "avg_value", "urgent_ratio").cast(DEC), 6)
+        .cast("double")
+        .alias("score"),
     )
 
 
@@ -76,17 +99,18 @@ ML_SCORES_SQL = f"""
 WITH feats AS (
   SELECT o_custkey AS custkey,
     COUNT(*) AS n_orders,
-    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
-          / COUNT(o_totalprice), 6) AS avg_value,
-    ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE)
-          / COUNT(*), 6) AS urgent_ratio
+    CAST(ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+          / COUNT(o_totalprice) AS DECIMAL(38,10)), 6) AS DOUBLE) AS avg_value,
+    CAST(ROUND(CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS DECIMAL(38,10)), 6) AS DOUBLE) AS urgent_ratio
   FROM orders GROUP BY o_custkey
 )
 SELECT custkey, n_orders, avg_value, urgent_ratio,
-  ROUND({_WEIGHTS['intercept']}
+  CAST(ROUND(CAST({_WEIGHTS['intercept']}
         + {_WEIGHTS['n_orders']} * n_orders
         + {_WEIGHTS['avg_value']} * avg_value
-        + {_WEIGHTS['urgent_ratio']} * urgent_ratio, 6) AS score
+        + {_WEIGHTS['urgent_ratio']} * urgent_ratio AS DECIMAL(38,10)), 6)
+    AS DOUBLE) AS score
 FROM feats
 """
 

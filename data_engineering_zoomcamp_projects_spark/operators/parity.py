@@ -33,11 +33,15 @@ def dsum(col: Column, alias: str, scale: int = 2) -> Column:
 
 
 def davg(col: Column, alias: str, scale: int = 6) -> Column:
-    """Order-independent AVG: exact decimal sum -> double / count."""
-    return (
-        F.round(F.sum(col.cast(DEC)).cast("double") / F.count(col), scale)
-        .alias(alias)
-    )
+    """Order-independent AVG: exact decimal sum -> double / count.
+
+    The final rounding goes through a decimal cast: 2-dp money sums
+    divided by power-of-two-ish counts produce terminating expansions
+    whose digit exactly at the rounding boundary makes plain
+    ROUND(double) implementation-divergent; rounding the same decimal
+    value is consistent on both engines even on true ties."""
+    quotient = F.sum(col.cast(DEC)).cast("double") / F.count(col)
+    return F.round(quotient.cast(DEC), scale).cast("double").alias(alias)
 
 
 def dsum0(col: Column, alias: str, scale: int = 2) -> Column:
@@ -90,8 +94,8 @@ def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
 
 def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
     return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
-        f" / COUNT({expr}), {scale}) AS {alias}"
+        f"CAST(ROUND(CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DECIMAL(38,10)), {scale}) AS DOUBLE) AS {alias}"
     )
 
 

@@ -21,8 +21,11 @@ def subq_scalar_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     price. Decorrelated form: broadcast the 1-row aggregate and use it
     as a filter (exactly what Catalyst does with the SQL form)."""
     part = load_table(spark, sf_dir, "part")
+    quotient = F.sum(F.col("p_retailprice").cast(DEC)).cast("double") / F.count(
+        "p_retailprice"
+    )
     avg_price = part.agg(
-        F.round(F.sum(F.col("p_retailprice").cast(DEC)).cast("double") / F.count("p_retailprice"), 6).alias("threshold")
+        F.round(quotient.cast(DEC), 6).cast("double").alias("threshold")
     )
     return (
         part.crossJoin(F.broadcast(avg_price))
@@ -35,8 +38,8 @@ SUBQ_SCALAR_SQL = """
 SELECT p_partkey, p_name, p_retailprice
 FROM part
 WHERE p_retailprice > (
-  SELECT ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,10))) AS DOUBLE)
-               / COUNT(p_retailprice), 6)
+  SELECT CAST(ROUND(CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,10))) AS DOUBLE)
+               / COUNT(p_retailprice) AS DECIMAL(38,10)), 6) AS DOUBLE)
   FROM part)
 """
 
@@ -104,10 +107,14 @@ def subq_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFram
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.round(
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
-            / F.count("o_totalprice"),
+            (
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+                / F.count("o_totalprice")
+            ).cast(DEC),
             6,
-        ).alias("cust_avg")
+        )
+        .cast("double")
+        .alias("cust_avg")
     )
     return (
         orders.join(per_cust.withColumnRenamed("o_custkey", "ck"), F.col("o_custkey") == F.col("ck"))
@@ -120,8 +127,8 @@ SUBQ_CORRELATED_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
 FROM orders
 JOIN (SELECT o_custkey AS ck,
-             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
-                   / COUNT(o_totalprice), 6) AS cust_avg
+             CAST(ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+                   / COUNT(o_totalprice) AS DECIMAL(38,10)), 6) AS DOUBLE) AS cust_avg
       FROM orders GROUP BY o_custkey) a
   ON o_custkey = ck
 WHERE o_totalprice > cust_avg

@@ -195,10 +195,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.round(
-            F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double")
-            / F.count("l_quantity"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double")
+                / F.count("l_quantity")
+            ).cast("decimal(38,10)"),
             6,
-        ).alias("avg_qty")
+        )
+        .cast("double")
+        .alias("avg_qty")
     )
     return (
         li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
@@ -215,8 +219,8 @@ SELECT {sql_dsum('l_extendedprice', 'small_qty_revenue')},
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN (SELECT l_partkey AS pk,
-             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
-                   / COUNT(l_quantity), 6) AS avg_qty
+             CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+                   / COUNT(l_quantity) AS DECIMAL(38,10)), 6) AS DOUBLE) AS avg_qty
       FROM lineitem GROUP BY l_partkey) p
   ON l_partkey = pk
 WHERE l_quantity < 0.5 * avg_qty
@@ -230,10 +234,14 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.round(
-            F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double")
-            / F.count("c_acctbal"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double")
+                / F.count("c_acctbal")
+            ).cast("decimal(38,10)"),
             6,
-        ).alias("threshold")
+        )
+        .cast("double")
+        .alias("threshold")
     )
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
@@ -248,8 +256,8 @@ Q22_SQL = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
 WHERE c_acctbal > (
-  SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
-               / COUNT(c_acctbal), 6)
+  SELECT CAST(ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+               / COUNT(c_acctbal) AS DECIMAL(38,10)), 6) AS DOUBLE)
   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
