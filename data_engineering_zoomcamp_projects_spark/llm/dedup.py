@@ -96,7 +96,13 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _shingle_pairs_exact(spark, sf_dir)
     return (
         pairs.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard").cast("decimal(38,10)"), 6)
+            .cast("double")
+            .alias("jaccard"),
+        )
     )
 
 
@@ -109,7 +115,7 @@ pair AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE), 6) AS jaccard
+       CAST(ROUND(CAST(CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) AS DECIMAL(38,10)), 6) AS DOUBLE) AS jaccard
 FROM pair
 JOIN cnt ca ON ca.doc_id = doc_a
 JOIN cnt cb ON cb.doc_id = doc_b
@@ -185,7 +191,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard").cast("decimal(38,10)"), 6)
+        .cast("double")
+        .alias("jaccard"),
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -198,7 +198,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("doc_id", "rk", "token", F.round("tfidf", 6).alias("tfidf"))
+        .select(
+            "doc_id",
+            "rk",
+            "token",
+            F.round(F.col("tfidf").cast("decimal(38,10)"), 6).cast("double").alias("tfidf"),
+        )
     )
 
 
@@ -213,7 +218,7 @@ WITH tok AS (
 ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT doc_id, rk, token, tfidf FROM (
   SELECT tf.doc_id, tf.token,
-    ROUND(CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf,
+    CAST(ROUND(CAST(CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS DECIMAL(38,10)), 6) AS DOUBLE) AS tfidf,
     ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY
       CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
       tf.token ASC) AS rk

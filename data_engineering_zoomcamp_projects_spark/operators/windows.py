@@ -37,9 +37,9 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_det).alias("rn"),
         F.rank().over(w_ties).alias("rnk"),
         F.dense_rank().over(w_ties).alias("drnk"),
-        F.round(F.percent_rank().over(w_ties), 6).alias("prnk"),
+        F.round(F.percent_rank().over(w_ties).cast(DEC), 6).cast("double").alias("prnk"),
         F.ntile(4).over(w_det).alias("quartile"),
-        F.round(F.cume_dist().over(w_ties), 6).alias("cdist"),
+        F.round(F.cume_dist().over(w_ties).cast(DEC), 6).cast("double").alias("cdist"),
     )
 
 
@@ -48,9 +48,9 @@ SELECT o_orderkey, o_orderstatus, o_orderpriority,
   ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority, o_orderkey) AS rn,
   RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rnk,
   DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk,
-  ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority), 6) AS prnk,
+  CAST(ROUND(CAST(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS DECIMAL(38,10)), 6) AS DOUBLE) AS prnk,
   NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority, o_orderkey) AS quartile,
-  ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority), 6) AS cdist
+  CAST(ROUND(CAST(CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS DECIMAL(38,10)), 6) AS DOUBLE) AS cdist
 FROM orders
 """
 
