@@ -117,3 +117,36 @@ FROM feats
 
 QUERIES = {"ml_customer_scores": ml_customer_scores}
 ORACLES = {"ml_customer_scores": ML_SCORES_SQL}
+
+
+def ml_segment_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-score normalization of order values
+    within each (customer-segment) group — the per-group pandas path for
+    logic that genuinely needs a whole group in memory (fit/transform
+    per group). Rows-only driver check; pytest pins equivalence to the
+    native window formulation within float tolerance.
+
+    Scale note: each group must fit one executor's memory — groups here
+    are segments; at 100 TB you'd sub-bucket (segment, hash(custkey)%k).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        pdf["z"] = (pdf["o_totalprice"] - mu) / sd
+        return pdf
+
+    return joined.groupBy("c_mktsegment").applyInPandas(
+        zscore,
+        schema="c_mktsegment string, o_orderkey long, o_totalprice double, z double",
+    )
+
+
+QUERIES["ml_segment_zscores"] = ml_segment_zscores
+# rows-only: pandas mean/std accumulate in a different order than any
+# SQL engine; equivalence to the native window form is pinned in pytest

@@ -87,3 +87,28 @@ def test_scd2_versioning(spark):
     rows = {(r["attr"]): r["is_current"] for r in out.collect()}
     assert rows == {"old": 0, "new": 1}
     assert out.count() == 2
+
+
+def test_applyinpandas_zscore_matches_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.ml import ml_segment_zscores
+
+    got = {
+        r["o_orderkey"]: r["z"] for r in ml_segment_zscores(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment")
+    want = j.select(
+        "o_orderkey",
+        (
+            (F.col("o_totalprice") - F.avg("o_totalprice").over(w))
+            / F.stddev_samp("o_totalprice").over(w)
+        ).alias("z"),
+    ).collect()
+    for r in want:
+        assert abs(got[r["o_orderkey"]] - r["z"]) < 1e-9
