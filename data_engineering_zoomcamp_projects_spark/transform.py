@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import register_tables
-from .operators.parity import sql_davg, sql_dsum
+from .operators.parity import sql_dsum
 
 #: staging views: typed/renamed projections of the raw tables
 _STAGING = {
