@@ -11,14 +11,15 @@ from importlib import import_module
 from pyspark.sql import DataFrame, SparkSession
 
 #: module path (relative to this package) -> description
+#:
+#: Ordering note: the correctness driver verifies registry entries in
+#: insertion order with a bounded window (50 in round 1). Round 1 checked
+#: the classic-operator modules (relational .. subqueries, exactly 50
+#: entries); those modules now come LAST so the round-2 window lands on
+#: the previously unchecked half (streaming/llm/extras/tpch_plus/
+#: multimodal/curation/preparation/transform/ml — also exactly 50).
+#: Query NAMES are stable; only the iteration order changed.
 _MODULES = [
-    "operators.relational",
-    "operators.joins",
-    "operators.aggregates",
-    "operators.windows",
-    "operators.setops",
-    "operators.scalars",
-    "operators.subqueries",
     "streaming.batch_parity",
     "llm.dedup",
     "llm.similarity",
@@ -30,6 +31,13 @@ _MODULES = [
     "llm.preparation",
     "transform",
     "ml",
+    "operators.relational",
+    "operators.joins",
+    "operators.aggregates",
+    "operators.windows",
+    "operators.setops",
+    "operators.scalars",
+    "operators.subqueries",
 ]
 
 
