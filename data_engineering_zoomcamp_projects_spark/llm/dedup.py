@@ -341,6 +341,115 @@ ORACLES = {
 }
 
 
+def _ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Set a reliable checkpoint dir if the session has none.
+
+    Iterative algorithms must truncate lineage with RELIABLE checkpoints
+    (written to the checkpoint filesystem), not ``localCheckpoint``: a
+    local checkpoint lives in executor block storage, so one executor
+    loss mid-iteration invalidates the lineage and fails the job at
+    deploy scale. On a cluster the dir should point at HDFS/S3; here it
+    defaults to a session-scoped temp dir."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+
+
+def min_label_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Connected components via min-label flooding, run to CONVERGENCE.
+
+    ``edges`` is (src, dst) undirected pairs (symmetrized here);
+    ``vertices`` is (doc_id). Returns (doc_id, component) where
+    component = min doc_id reachable.
+
+    The loop exits when a round changes zero labels — a metadata-only
+    ``count()`` on the already-checkpointed round result, never a
+    data collect. Labels only ever decrease, so `new < old` counts
+    exactly the changed rows and fixpoint == correct components for ANY
+    graph diameter (a fixed round count would silently mislabel chains
+    longer than it; see tests/test_llm.py diameter-8 case).
+    ``max_rounds`` is a runaway backstop only — flooding needs at most
+    (graph diameter) rounds, and near-dup graphs are near-cliques.
+    """
+    _ensure_checkpoint_dir(spark)
+    sym = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .unionByName(edges.select(F.col("dst").alias("s"), F.col("src").alias("d")))
+        .cache()
+    )
+    # only vertices touching an edge need iteration; isolated vertices
+    # are their own component and are unioned back at the end — the loop
+    # runs over the (tiny) near-dup subgraph, not the corpus
+    n_edges = sym.count()  # materialize the cache once; reused every round
+    # size the iteration's parallelism from the OBSERVED subgraph, not
+    # the session default: a near-dup subgraph of a few hundred edges on
+    # 64 shuffle partitions is pure scheduler overhead, while a 100 TB
+    # run with 10^9 edges keeps the session default. Metadata-only
+    # decision (the count above), ~500k edges per partition.
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = max(1, min(default_parts, n_edges // 500_000 + 1))
+    sym = sym.repartition(parts, "d")
+    linked = sym.select(F.col("s").alias("doc_id")).distinct()
+    labels = linked.select("doc_id", F.col("doc_id").alias("component"))
+    # periodic RELIABLE checkpoints (GraphFrames-style interval): every
+    # round persists (cache reuse + the convergence count materializes
+    # it); every CKPT_EVERY-th round also checkpoints to the checkpoint
+    # filesystem, bounding lineage depth at CKPT_EVERY joins while
+    # surviving executor loss (unlike localCheckpoint, whose blocks die
+    # with the executor). Recovery recomputes at most CKPT_EVERY tiny
+    # rounds from the last checkpoint.
+    CKPT_EVERY = 3
+    prev_persisted = None
+    for i in range(max_rounds):
+        neighbor_min = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("d"), F.col("component").alias("n_comp")
+                ),
+                "d",
+            )
+            .groupBy(F.col("s").alias("doc_id"))
+            .agg(F.min("n_comp").alias("n_comp"))
+        )
+        # old + new side by side so the convergence check is a
+        # metadata-only count (labels only decrease, so new < old
+        # counts exactly the changed rows)
+        pre_ckpt = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("component").alias("prev"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .repartition(parts, "doc_id")
+            .persist()
+        )
+        stepped = (
+            pre_ckpt.checkpoint(eager=True) if (i + 1) % CKPT_EVERY == 0 else pre_ckpt
+        )
+        changed = stepped.filter(F.col("component") < F.col("prev")).count()
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = pre_ckpt
+        labels = stepped.select("doc_id", "component")
+        if changed == 0:
+            break
+    sym.unpersist()
+    isolated = vertices.join(linked, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    return labels.unionByName(isolated)
+
+
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the near-dup graph (docs joined by
     Jaccard>=0.8 edges): every doc labeled with the min doc_id reachable
@@ -350,57 +459,18 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side: iterative label propagation (min-label flood) — the
     canonical DataFrame formulation of an iterative algorithm: loop of
     join + groupBy-min with a driver-side convergence check on a
-    METADATA count (never collecting data rows). Diameter of near-dup
-    clusters is tiny, so it converges in 2-3 rounds.
+    METADATA count (never collecting data rows); see
+    ``min_label_components``. Diameter of near-dup clusters is tiny, so
+    it converges in 2-3 rounds — but the exit is the observed fixpoint,
+    not an assumed diameter.
 
     Oracle: DuckDB recursive CTE computing min reachable id — same
     fixpoint, declarative form.
     """
     pairs = dedup_shingle_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .cache()
-    )
-    # only docs touching an edge need iteration; isolated docs are their
-    # own component and are unioned back at the end — the loop then runs
-    # over the (tiny) near-dup subgraph, not the corpus
-    edges.count()  # materialize the cache once; every iteration reuses it
-    linked = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = linked.select("doc_id", F.col("doc_id").alias("component"))
-    # fixed iteration count; each round is checkpointed eagerly so the
-    # plan stays shallow (deeply nested iterative join trees cost more
-    # in Catalyst compile time than the tiny subgraph costs to compute).
-    # 6 rounds of min-label flooding covers any near-dup cluster of
-    # diameter <= 6; real near-dup clusters are near-cliques (1-2)
-    for _ in range(6):
-        neighbor_min = (
-            edges.join(
-                labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
-                    "component", "n_comp"
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("n_comp").alias("n_comp"))
-        )
-        labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    isolated = docs.join(linked, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("component")
-    )
-    return labels.unionByName(isolated)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return min_label_components(spark, edges, docs)
 
 
 DEDUP_COMPONENTS_SQL = f"""

@@ -116,3 +116,30 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
         k = (r["query_id"], r["neighbor_id"])
         if k in brute_scores:
             assert brute_scores[k] == r["cos_sim"]
+
+
+def test_components_converge_past_fixed_round_counts(spark):
+    """A path graph of diameter 8 (9 nodes chained 1-2-...-9) needs 8
+    flooding rounds to label node 9 with component 1; any fixed round
+    count below that silently mislabels the tail. The convergence-exit
+    loop must label every node 1."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(1, 12)], "doc_id long")
+    out = {
+        r["doc_id"]: r["component"]
+        for r in dedup.min_label_components(spark, edges, vertices).collect()
+    }
+    assert {k: v for k, v in out.items() if k <= 9} == {i: 1 for i in range(1, 10)}
+    # isolated vertices are their own component
+    assert out[10] == 10 and out[11] == 11
+
+
+def test_components_use_reliable_checkpoint(spark):
+    """Iterative lineage must be truncated with reliable checkpoints
+    (survives executor loss), which requires a checkpoint dir."""
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    vertices = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    dedup.min_label_components(spark, edges, vertices).collect()
+    assert spark.sparkContext.getCheckpointDir() is not None
