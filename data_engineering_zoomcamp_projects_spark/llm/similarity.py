@@ -229,23 +229,51 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     from ..functions.vector import dot_dec
 
-    centroids = (
-        corpus.filter(F.col("vec_id") % 53 == 0)
+    # The codebook is MODEL STATE, not data: O(k x d) floats (here ~94
+    # x 64), trained/derived once and shipped to every task — so a
+    # driver-side collect is the correct pattern (same role as a
+    # broadcast k-means model in any IVF index). Folding it into a
+    # literal array lets cell assignment run MAP-SIDE: the corpus never
+    # shuffles for assignment (the old formulation re-exchanged the full
+    # corpus keyed on the 64-dim vector column).
+    codebook = [
+        (r["cent_id"], r["cv"])
+        for r in corpus.filter(F.col("vec_id") % 53 == 0)
         .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+        .collect()
+    ]
+    cells_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cid, cv in codebook
+        ]
     )
 
     def nearest_cells(df, vec_col, out_col, n_keep):
-        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-            "_sim", _dot_double(F.col(vec_col), F.col("cv"))
+        """Per-row top-n centroid ids, computed with native HOFs over
+        the folded codebook: dot each centroid (zip_with + aggregate),
+        sort by (sim desc, cent_id asc), keep n — no join, no shuffle,
+        no Python."""
+        scored_arr = F.transform(
+            cells_lit,
+            lambda c: F.struct(
+                _dot_double(F.col(vec_col), c["cv"]).alias("sim"),
+                c["cent_id"].alias("cent_id"),
+            ),
         )
-        w = Window.partitionBy(*df.columns).orderBy(
-            F.col("_sim").desc(), F.col("cent_id").asc()
+        ranked = F.array_sort(
+            scored_arr,
+            lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
+            .when(l["sim"] < r["sim"], F.lit(1))
+            .when(l["cent_id"] < r["cent_id"], F.lit(-1))
+            .when(l["cent_id"] > r["cent_id"], F.lit(1))
+            .otherwise(F.lit(0)),
         )
-        return (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= n_keep)
-            .select(*df.columns, F.col("cent_id").alias(out_col))
-        )
+        top_ids = F.transform(F.slice(ranked, 1, n_keep), lambda s: s["cent_id"])
+        return df.withColumn(out_col, F.explode(top_ids))
 
     corpus_cells = nearest_cells(corpus, "v", "cell", 1)
     query_cells = nearest_cells(queries, "qv", "qcell", 2)  # nprobe=2
