@@ -64,16 +64,32 @@ _MARTS = {
 }
 
 
-def build_transform_layer(spark: SparkSession, sf_dir: str) -> list[str]:
+#: spark application id -> sf_dir the view chain was LAST built from.
+#: Temp views live for the session, so rebuilding the chain on every
+#: mart call is pure catalog churn (~0.2 s/call). The memo tracks only
+#: the last dir: views are session-global names, so switching sf_dir
+#: overwrites them and a (session, dir) keyed cache would serve stale
+#: views when switching back.
+_LAST_BUILT: dict[str, str] = {}
+
+
+def build_transform_layer(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> list[str]:
     """Materialize the staging -> mart chain as temp views (CTAS to
     managed tables at deploy time). Returns the view names in build
-    order — the lineage a dbt DAG would show."""
+    order — the lineage a dbt DAG would show. Idempotent per session
+    while sf_dir is unchanged; pass ``force=True`` to rebuild (e.g.
+    after underlying files changed)."""
+    names = list(_STAGING) + list(_MARTS)
+    app_id = spark.sparkContext.applicationId
+    if not force and _LAST_BUILT.get(app_id) == sf_dir:
+        return names
     register_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
-    built = []
     for name, sql in {**_STAGING, **_MARTS}.items():
         spark.sql(sql).createOrReplaceTempView(name)
-        built.append(name)
-    return built
+    _LAST_BUILT[app_id] = sf_dir
+    return names
 
 
 def mart_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
