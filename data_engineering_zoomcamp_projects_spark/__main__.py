@@ -38,8 +38,18 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "bench":
-        import bench
+        # bench.py lives at the repo root (driver contract), not inside
+        # the package — resolve it relative to this file so the CLI
+        # works from any cwd, not just the repo root
+        import importlib.util
+        import os
 
+        bench_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+        )
+        spec = importlib.util.spec_from_file_location("bench", bench_path)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
         bench.main()
         return 0
 

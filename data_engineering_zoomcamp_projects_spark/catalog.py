@@ -45,14 +45,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond-precision timestamp exactly the way DuckDB does
     (truncating integer division), so oracle comparisons agree.
     """
-    if name == "events":
-        # defensive: both confs are runtime-settable, and an externally
-        # built session (the grading driver's) won't have them — without
-        # nanosAsLong the TIMESTAMP(NANOS) column fails the read
-        # outright, and a non-UTC session tz would shift the rendered
-        # event timestamps away from the (naive-UTC) oracle values
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # defensive: both confs are runtime-settable, and an externally
+    # built session (the grading driver's) won't have them — without
+    # nanosAsLong the events TIMESTAMP(NANOS) column fails the read
+    # outright, and a non-UTC session tz would shift EVERY rendered
+    # date/timestamp (orders/lineitem date_format, unix_timestamp, the
+    # events ts) away from the naive-UTC oracle values, so set both
+    # unconditionally on every load, not just for events. (No read-
+    # before-set guard: conf.get on an UNSET boolean conf validates the
+    # provided default's type and throws on a sentinel string, and
+    # conf.set of an unchanged value is cheap.)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -31,12 +31,20 @@ def shingles(col: Column, n: int = 5) -> Column:
 
 
 def sql_shingle_cte(n: int = 5, table: str = "documents") -> str:
-    """DuckDB CTE producing (doc_id, s) distinct shingle rows."""
+    """DuckDB CTE producing (doc_id, s) distinct shingle rows.
+
+    The index series bound is derived from the observed max token count
+    (scalar subquery), not a fixed cap: a constant like 500 would
+    silently DROP shingles of longer documents on the oracle side while
+    the Spark side has no cap, diverging every dedup oracle."""
     return f"""
 tok AS (SELECT doc_id, split(text, ' ') AS ts FROM {table}),
+idx AS (
+  SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(ts)), 1) FROM tok))) AS i
+),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(ts[i:i+{n - 1}], ' ') AS s
-  FROM tok, (SELECT unnest(generate_series(1, 500)) AS i) g
+  FROM tok, idx
   WHERE i <= greatest(len(ts) - {n - 1}, 1)
 )"""
 

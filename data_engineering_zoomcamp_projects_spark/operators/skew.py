@@ -23,10 +23,24 @@ def salted_join(
     """Equi-join with the fact side's hot keys spread over
     `salt_buckets` shuffle partitions: the fact rows get a random salt,
     the (smaller) right side is replicated once per salt value, and the
-    join key becomes (key, salt). Row multiplicity is unchanged.
+    join key becomes (key, salt).
+
+    Only fact-preserving join types are allowed: because the dim side is
+    replicated per salt bucket, a right/full outer join would emit
+    `salt_buckets` copies of every UNMATCHED dim row (matched rows are
+    fine — each fact row carries exactly one salt). inner/left/
+    left_semi/left_anti preserve row multiplicity exactly.
 
     Use when one join key dominates; replication factor = salt_buckets
     on the right side only."""
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+            "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join supports fact-preserving join types {sorted(safe)}; "
+            f"got {how!r} — an outer join on the replicated dim side would "
+            f"duplicate unmatched dim rows once per salt bucket"
+        )
     salted_fact = fact.withColumn(
         "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
     )

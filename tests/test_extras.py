@@ -112,3 +112,18 @@ def test_applyinpandas_zscore_matches_window(spark, sf_dir):
     ).collect()
     for r in want:
         assert abs(got[r["o_orderkey"]] - r["z"]) < 1e-9
+
+
+def test_salted_join_rejects_dim_duplicating_types(spark, sf_dir):
+    """right/full outer joins would emit one copy of each unmatched dim
+    row PER SALT BUCKET — the helper must refuse them."""
+    import pytest
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            skew.salted_join(li, orders, "l_orderkey", "o_orderkey", how=how)
