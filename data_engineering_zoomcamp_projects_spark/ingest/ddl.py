@@ -9,6 +9,7 @@ Spark's catalog API does all of it natively."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 
 def database_exists(spark: SparkSession, name: str) -> bool:
@@ -32,6 +33,47 @@ def schema_ddl(df: DataFrame) -> str:
     """DDL column list from a DataFrame schema (reference A9 used
     pd.io.sql.get_schema on inferred dtypes)."""
     return df.schema.toDDL()
+
+
+#: Catalyst type -> Postgres column type, the same mapping Spark's JDBC
+#: PostgresDialect applies when writing a DataFrame to Postgres (the
+#: reference's target DB, citibike_project/spark/Dockerfile:42-43).
+_PG_TYPES: dict[type, str] = {
+    T.StringType: "TEXT",
+    T.LongType: "BIGINT",
+    T.IntegerType: "INTEGER",
+    T.ShortType: "SMALLINT",
+    T.ByteType: "SMALLINT",
+    T.DoubleType: "DOUBLE PRECISION",
+    T.FloatType: "REAL",
+    T.BooleanType: "BOOLEAN",
+    T.DateType: "DATE",
+    T.TimestampType: "TIMESTAMP",
+    T.BinaryType: "BYTEA",
+}
+
+
+def postgres_ddl(df: DataFrame, table: str) -> str:
+    """CREATE TABLE statement in POSTGRES dialect for the frame's schema
+    (reference A9 generated Postgres DDL via pd.io.sql.get_schema;
+    Spark's ``schema.toDDL`` emits Catalyst types like STRING that
+    Postgres rejects). Validated against a live Postgres server in
+    tests/test_ingest.py."""
+    cols = []
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.DecimalType):
+            pg = f"NUMERIC({dt.precision},{dt.scale})"
+        else:
+            try:
+                pg = _PG_TYPES[type(dt)]
+            except KeyError:
+                raise ValueError(
+                    f"no Postgres mapping for column {f.name!r} of type {dt}"
+                ) from None
+        null = "" if f.nullable else " NOT NULL"
+        cols.append(f'"{f.name}" {pg}{null}')
+    return f'CREATE TABLE "{table}" ({", ".join(cols)})'
 
 
 def create_table_from_frame(

@@ -9,8 +9,10 @@ Reference parity map (paths relative to /root/reference/):
   -> fetch_url (stdlib urllib, driver-side, gated; production reads
      s3a:// directly so fetch is usually unnecessary)
 - A3/A4 decompress        ingest_data.py:95-113
-  -> extract_archive (zip/tar driver-side); gz/bz2 need nothing —
-     Spark's text/csv codecs decompress transparently
+  -> extract_zip_distributed (binaryFile + mapInPandas, executor-side —
+     the scale path) with extract_archive (zip/tar driver-side) as the
+     small-file fallback; gz/bz2 need nothing — Spark's text/csv codecs
+     decompress transparently
 - A5 file-glob scan       ingest_data.py:122-143 (parquet TODO :137)
   -> read_csv_tree glob paths; read_parquet covers the TODO
 - A6 CSV + timestamp cast ingest_data.py:161-162
@@ -100,6 +102,87 @@ def extract_archive(path: str | Path, out_dir: str | Path) -> list[Path]:
     else:
         raise ValueError(f"not a zip/tar archive: {path}")
     return sorted(p for p in out_dir.rglob("*") if p.is_file())
+
+
+def extract_zip_distributed(spark: SparkSession, path_glob: str) -> DataFrame:
+    """EXECUTOR-side zip extraction (the 100 TB path for reference A3;
+    SURVEY.md:110): a ``binaryFile`` scan partitions the archives across
+    the cluster and an Arrow ``mapInPandas`` unzips each archive where
+    its bytes landed — the driver never touches archive content (the
+    driver-side ``extract_archive`` remains the small-file fallback).
+
+    Returns (archive, member, n_bytes, content) one row per zip member.
+    Scale notes: binaryFile assigns whole files to tasks, so parallelism
+    = number of archives (monthly zips -> hundreds of tasks); memory per
+    task is bounded by one archive's decompressed size."""
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(path_glob)
+        .select("path", "content")
+    )
+
+    def unzip(batches):
+        import io
+        import zipfile as zf
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with zf.ZipFile(io.BytesIO(content)) as z:
+                    for info in z.infolist():
+                        if info.is_dir():
+                            continue
+                        rows.append(
+                            (path, info.filename, info.file_size, z.read(info))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["archive", "member", "n_bytes", "content"]
+            )
+
+    return bin_df.mapInPandas(
+        unzip, "archive string, member string, n_bytes long, content binary"
+    )
+
+
+def read_zipped_trips_csv(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed unzip + CSV parse in one pass: zip members are parsed
+    with pandas inside the same Arrow batch that extracted them, so
+    archive bytes never move to the driver and never hit local disk.
+    Output schema/typing matches ``read_trips_csv`` (TRIPS_SCHEMA)."""
+    members = extract_zip_distributed(spark, path_glob).filter(
+        F.col("member").endswith(".csv")
+    )
+    ts_cols = [
+        f.name for f in TRIPS_SCHEMA.fields if isinstance(f.dataType, T.TimestampType)
+    ]
+    names = [f.name for f in TRIPS_SCHEMA.fields]
+
+    def parse(batches):
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            frames = []
+            for content in pdf["content"]:
+                df = pd.read_csv(io.BytesIO(content))
+                df = df[[c for c in names if c in df.columns]]
+                for c in names:
+                    if c not in df.columns:
+                        df[c] = None
+                for c in ts_cols:
+                    df[c] = pd.to_datetime(df[c])
+                frames.append(df[names])
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame({c: [] for c in names})
+            )
+
+    return members.select("content").mapInPandas(parse, TRIPS_SCHEMA)
 
 
 def read_trips_csv(

@@ -265,3 +265,114 @@ def test_jdbc_roundtrip_embedded_derby(spark):
         num_partitions=4, driver=drv,
     )
     assert total.count() == 105  # 100 + 5 appended
+
+
+def test_extract_zip_distributed_matches_driver_side(spark, tmp_path):
+    """Executor-side unzip (binaryFile + mapInPandas) must produce the
+    same members/bytes as the driver-side fallback, across multiple
+    multi-member archives."""
+    for month, n in (("202401", 3), ("202402", 2)):
+        with zipfile.ZipFile(tmp_path / f"{month}.zip", "w") as z:
+            for i in range(n):
+                z.writestr(
+                    f"{month}/part{i}.csv",
+                    "\n".join([CSV_HEADER, *MONTH1_ROWS[: 4 + i]]),
+                )
+    dist = sources.extract_zip_distributed(spark, str(tmp_path)).collect()
+    got = {
+        (Path(r["archive"].replace("file:", "")).name, r["member"]): (
+            r["n_bytes"],
+            bytes(r["content"]),
+        )
+        for r in dist
+    }
+    expect = {}
+    for arch in tmp_path.glob("*.zip"):
+        out = tmp_path / "drv" / arch.stem
+        for f in sources.extract_archive(arch, out):
+            member = f"{arch.stem}/{f.name}"
+            data = f.read_bytes()
+            expect[(arch.name, member)] = (len(data), data)
+    assert got == expect
+
+
+def test_read_zipped_trips_csv_distributed(spark, tmp_path):
+    """Distributed unzip+parse returns the same typed rows as the
+    driver-side extract + read_trips_csv path."""
+    with zipfile.ZipFile(tmp_path / "202401.zip", "w") as z:
+        z.writestr("trips.csv", "\n".join([CSV_HEADER, *MONTH1_ROWS]))
+    dist = sources.read_zipped_trips_csv(spark, str(tmp_path))
+    assert dist.schema == sources.TRIPS_SCHEMA
+    extracted = sources.extract_archive(tmp_path / "202401.zip", tmp_path / "drv")
+    drv = sources.read_trips_csv(spark, [str(f) for f in extracted])
+    assert sorted(map(tuple, dist.collect())) == sorted(map(tuple, drv.collect()))
+
+
+def test_object_store_sink_roundtrip_s3a(spark, s3a_shim, tmp_path):
+    """A18 end-to-end: write a partitioned parquet through an s3a://
+    URI (scheme resolution, committer protocol, partition layout) and
+    read it back through the same URI. The shim serves s3a from local
+    disk, so the full Hadoop FileSystem path — not just writer config —
+    is exercised; production swaps in hadoop-aws S3AFileSystem."""
+    df = spark.range(200).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS part", "id * 2 AS v"
+    )
+    uri = f"{s3a_shim}{tmp_path}/obj_store/out"
+    sinks.write_partitioned_parquet(df, uri, partition_col="part")
+    back = spark.read.parquet(uri)
+    assert back.count() == 200
+    assert sorted(
+        r["part"] for r in back.select("part").distinct().collect()
+    ) == [0, 1, 2, 3]
+    # the bytes really landed where the bucket-less key maps on disk
+    local = Path(f"{tmp_path}/obj_store/out")
+    assert (local / "_SUCCESS").exists()
+    assert sorted(p.name for p in local.glob("part=*")) == [
+        "part=0", "part=1", "part=2", "part=3",
+    ]
+    # plain (unpartitioned) object-store sink helper
+    obj_uri = f"{s3a_shim}{tmp_path}/obj_store/plain"
+    sinks.write_object_store(df, obj_uri)
+    assert spark.read.parquet(obj_uri).count() == 200
+
+
+def test_postgres_ddl_valid_on_live_server(spark, pg_server, tmp_path):
+    """A9/A15 Postgres-dialect check: the generated CREATE TABLE must be
+    accepted verbatim by a real Postgres 15 server, and a typed row must
+    survive an insert/select roundtrip. (Spark JDBC against this server
+    needs the postgresql driver jar, which is unobtainable in-sandbox —
+    see COVERAGE.md 'Unobtainable dependencies'.)"""
+    import subprocess
+
+    df = spark.createDataFrame(
+        [(1, "a b", 1.5, True, bytearray(b"\x01"))],
+        "k long, txt string, score double, flag boolean, payload binary",
+    ).selectExpr(
+        "k", "txt", "score", "flag", "payload",
+        "CAST('2024-01-31' AS DATE) AS d",
+        "CAST('2024-01-31 12:00:00' AS TIMESTAMP) AS ts",
+        "CAST(1.25 AS DECIMAL(10,2)) AS price",
+    )
+    stmt = ddl.postgres_ddl(df, "trips_schema_check")
+    assert '"txt" TEXT' in stmt and '"price" NUMERIC(10,2)' in stmt
+
+    def run_sql(sql: str) -> str:
+        r = subprocess.run(
+            [pg_server["psql"], "-h", pg_server["host"], "-p", pg_server["port"],
+             "-U", "postgres", "-d", "postgres", "-v", "ON_ERROR_STOP=1",
+             "-tA", "-c", sql],
+            capture_output=True, timeout=60,
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        return r.stdout.decode().strip()
+
+    run_sql("DROP TABLE IF EXISTS trips_schema_check")
+    run_sql(stmt)
+    run_sql(
+        "INSERT INTO trips_schema_check VALUES "
+        "(1, 'a b', 1.5, true, '\\x01', '2024-01-31', '2024-01-31 12:00:00', 1.25)"
+    )
+    out = run_sql(
+        "SELECT k, txt, score, flag, d, ts, price FROM trips_schema_check"
+    )
+    assert out == "1|a b|1.5|t|2024-01-31|2024-01-31 12:00:00|1.25"
