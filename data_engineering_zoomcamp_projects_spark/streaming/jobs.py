@@ -44,20 +44,32 @@ EVENTS_FILE_SCHEMA = StructType(
 )
 
 
-def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events table (one file = one batch in
     tests; a directory of arriving files in production). Nanos -> µs
-    timestamp conversion matches the batch catalog."""
+    timestamp conversion matches the batch catalog.
+
+    ``max_files_per_trigger`` bounds each micro-batch to N source files
+    — in production it paces reprocessing of a large backlog; in tests
+    it makes multi-batch arrival order deterministic (files are picked
+    up oldest-modification-time first)."""
     # defensive for externally built sessions (see catalog.load_table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = (
+    reader = (
         spark.readStream.schema(EVENTS_FILE_SCHEMA)
         # file stream sources take a directory; select just the events
         # table out of the shared testdata dir
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

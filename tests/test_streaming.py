@@ -141,3 +141,98 @@ def test_foreach_batch_checkpoint_no_reprocess(spark, sf_dir, tmp_path):
     ev2 = jobs.load_events_stream(spark, sf_dir).select("event_id")
     jobs.sink_foreach_batch_parquet(ev2, out, ckpt)
     assert spark.read.parquet(out).count() == n_first
+
+
+def _write_event_file(spark, dir_, name, rows):
+    """One parquet file of events with ts in raw NANOS (the on-disk
+    layout load_events_stream expects). rows: (event_id, iso_ts,
+    user_id, event_type)."""
+    import os
+    import time
+
+    data = [
+        (eid, _nanos(ts), uid, etype, 1.0, "{}") for eid, ts, uid, etype in rows
+    ]
+    df = spark.createDataFrame(data, schema=jobs.EVENTS_FILE_SCHEMA)
+    tmp = f"{dir_}/_stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.replace(f"{tmp}/{part}", f"{dir_}/{name}")
+    import shutil as _sh
+
+    _sh.rmtree(tmp)
+    time.sleep(1.05)  # distinct modification times -> deterministic pickup order
+
+
+def _nanos(iso: str) -> int:
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000_000)
+
+
+def test_dedup_late_data_semantics(spark, tmp_path):
+    """dropDuplicatesWithinWatermark late-data case (beyond parity): a
+    duplicate id arriving in a later batch within the watermark delay is
+    dropped; a row older than the advanced watermark is dropped as late;
+    fresh ids pass."""
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    _write_event_file(
+        spark, src, "f1.parquet",
+        [(1, "2024-01-01 10:00:00", 7, "view"),
+         (2, "2024-01-01 10:05:00", 7, "view")],
+    )
+    _write_event_file(
+        spark, src, "f2.parquet",
+        [(1, "2024-01-01 10:06:00", 7, "view"),     # dup within watermark
+         (3, "2024-01-01 10:30:00", 8, "click")],
+    )
+    _write_event_file(
+        spark, src, "f3.parquet",
+        [(4, "2024-01-01 12:00:00", 9, "view"),      # advances watermark to 11:50
+         (5, "2024-01-01 09:00:00", 9, "view")],     # far below watermark -> late
+    )
+    ev = jobs.load_events_stream(
+        spark, src, glob="*.parquet", max_files_per_trigger=1
+    )
+    deduped = jobs.dedup_events(ev, watermark="10 minutes")
+    jobs.run_to_memory(
+        deduped.select("event_id"), "t_dedup_late", output_mode="append"
+    )
+    got = sorted(r["event_id"] for r in spark.table("t_dedup_late").collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_foreach_batch_kill_resume_no_duplicates(spark, tmp_path):
+    """Checkpoint recovery: stop the query, new data arrives, a NEW
+    query resumes from the same checkpoint — every source row is
+    written exactly once and resumed epochs don't collide with
+    pre-kill epochs."""
+    import os
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    _write_event_file(
+        spark, src, "f1.parquet",
+        [(1, "2024-01-01 10:00:00", 7, "view"),
+         (2, "2024-01-01 10:05:00", 7, "view")],
+    )
+    ev = jobs.load_events_stream(spark, src, glob="*.parquet")
+    jobs.sink_foreach_batch_parquet(ev.select("event_id"), out, ckpt)  # then "kill"
+    first = spark.read.parquet(out)
+    assert sorted(r["event_id"] for r in first.collect()) == [1, 2]
+    epochs_before = {r["_epoch"] for r in first.select("_epoch").distinct().collect()}
+
+    _write_event_file(
+        spark, src, "f2.parquet",
+        [(3, "2024-01-01 10:10:00", 8, "view")],
+    )
+    ev2 = jobs.load_events_stream(spark, src, glob="*.parquet")
+    jobs.sink_foreach_batch_parquet(ev2.select("event_id"), out, ckpt)  # resume
+    res = spark.read.parquet(out)
+    assert sorted(r["event_id"] for r in res.collect()) == [1, 2, 3]
+    epochs_after = {r["_epoch"] for r in res.select("_epoch").distinct().collect()}
+    assert len(epochs_after - epochs_before) == 1  # resumed epoch advanced, no reuse
