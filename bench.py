@@ -27,6 +27,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q18_large_volume_customers",
     "agg_rollup_flag_status",
     "join_range_trailing_shipments",
     "join_asof_purchase_prior_view",
@@ -40,7 +42,9 @@ HEADLINE = [
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
+    "dedup_embedding_cosine",
     "sim_topk_bruteforce",
+    "sim_topk_ivf",
     "text_tfidf_top_terms",
     "pipeline_corpus_curation",
     "prep_decontaminate",

