@@ -38,6 +38,10 @@ _MODULES = [
     "operators.setops",
     "operators.scalars",
     "operators.subqueries",
+    # round-2+ additions go BELOW the first 100 so the two certified
+    # driver windows (r01: classic 50, r02: llm/streaming 50) keep
+    # covering the same entries
+    "operators.tpch_full",
 ]
 
 

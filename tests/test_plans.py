@@ -120,3 +120,31 @@ def test_partition_pruning_on_monthly_layout(spark, sf_dir, tmp_path):
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM") == "1996-03"
     ).count()
     assert df.count() == want
+
+
+def test_q6_predicates_reach_scan_no_join(spark, sf_dir):
+    """Q6 is the pushdown benchmark: every predicate column is pushed
+    to the parquet scan, only needed columns are read, and the plan has
+    no join or shuffle beyond the scalar-agg exchange."""
+    from data_engineering_zoomcamp_projects_spark.operators.tpch_full import (
+        q6_forecast_revenue,
+    )
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    assert explain.has_pushed_filter(df, "l_discount")
+    assert explain.has_pushed_filter(df, "l_quantity")
+    cols = set(explain.read_schema_columns(df))
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    plan = explain.formatted_plan(df)
+    assert "Join" not in plan
+
+
+def test_q8_broadcasts_all_dims(spark, sf_dir):
+    """Q8's 5-way star join must broadcast every dim side — the fact
+    table is the only shuffle participant."""
+    from data_engineering_zoomcamp_projects_spark.operators.tpch_full import (
+        q8_market_share,
+    )
+
+    df = q8_market_share(spark, sf_dir)
+    assert explain.uses_broadcast_join(df)
