@@ -1,0 +1,115 @@
+"""Corpus scrubbing + repetition analysis (round-2 additions to the
+LLM-data surface; registered past the certified driver windows).
+
+- sensitive-term redaction: the PII-scrubbing slot of a training-data
+  pipeline. Production swaps the term lexicon for email/phone/SSN
+  regexes (same regexp_replace plumbing, both engines support RE2-style
+  classes and word boundaries); this corpus has no digit-bearing tokens
+  (verified), so the demonstration lexicon is drawn from the corpus
+  vocabulary to give the operator a real, checkable effect.
+- repetition scoring: duplicate-bigram ratios and hot-bigram counts,
+  the standard cheap detector for degenerate/boilerplate documents
+  before training (a doc that repeats one phrase shows dup_ratio -> 1).
+
+All native expressions, one scan per query; ratios are int/int double
+divisions (exact on both engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: stand-in sensitive terms (see module docstring); word-boundary
+#: anchored so substrings inside longer tokens survive
+SENSITIVE_TERMS = ("key", "hash")
+_PATTERN = r"\b(" + "|".join(SENSITIVE_TERMS) + r")\b"
+_MASK = "<REDACTED>"
+
+
+def text_redact_sensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact sensitive terms and report per-document counts — emits
+    (doc_id, n_redactions, redacted_text). The full-text output column
+    is the point: downstream stages train on the scrubbed text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PATTERN)).alias("n_redactions"),
+        F.regexp_replace(F.col("text"), _PATTERN, _MASK).alias("redacted_text"),
+    )
+
+
+REDACT_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PATTERN}')) AS n_redactions,
+       regexp_replace(text, '{_PATTERN}', '{_MASK}', 'g') AS redacted_text
+FROM documents
+"""
+
+
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals from token bigrams: total and
+    distinct bigram counts, the duplicate-bigram ratio, and the hottest
+    bigram's frequency. One explode + two-level aggregation — the same
+    shape at 100 TB (bigrams are corpus-partitioned by doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    per_bigram = bg.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_bigram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.max("cnt").cast("long").alias("max_bigram_freq"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                1
+                - F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ),
+        )
+        .withColumn("is_repetitive", (F.col("dup_ratio") > 0.5).cast("int"))
+    )
+
+
+REPETITION_SQL = """
+WITH bg AS (
+  SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS bigram
+  FROM (SELECT doc_id, split(text, ' ') AS ts FROM documents) tok,
+       (SELECT unnest(generate_series(1,
+           (SELECT COALESCE(MAX(len(split(text, ' '))), 1) FROM documents))) AS i) g
+  WHERE i <= greatest(len(ts) - 1, 1)
+), per_bigram AS (
+  SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       COUNT(*) AS n_distinct_bigrams,
+       CAST(MAX(cnt) AS BIGINT) AS max_bigram_freq,
+       ROUND(1 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_ratio,
+       CAST(ROUND(1 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) > 0.5 AS INT) AS is_repetitive
+FROM per_bigram
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "text_redact_sensitive": text_redact_sensitive,
+    "text_repetition_scores": text_repetition_scores,
+}
+
+ORACLES = {
+    "text_redact_sensitive": REDACT_SQL,
+    "text_repetition_scores": REPETITION_SQL,
+}

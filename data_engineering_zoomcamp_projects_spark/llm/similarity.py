@@ -51,23 +51,38 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query set is 1% of the corpus — broadcast it; the scan over the
     corpus stays partition-parallel with no shuffle until the final
-    per-query top-k (window over query_id)."""
-    from ..functions.vector import dot_dec
+    per-query top-k (window over query_id).
+
+    Two-phase scoring: all pairs are ranked by the cheap IEEE-double
+    cosine first and only the fast top (K + 20) per query pay the
+    order-independent decimal cosine the oracle needs, then re-rank
+    exactly. Fast and exact scores differ by ~1e-13 relative, so a true
+    top-10 member could be excluded only if 20+ rivals sat within that
+    sliver above it — far beyond the corpus's score spacing (and the
+    oracle gate would catch it)."""
+    from ..functions.vector import dot_dec, dot_double
 
     queries, corpus = _queries_and_corpus(spark, sf_dir)
-    scored = (
+    denom = F.col("qnorm") * F.col("vnorm")
+    scored_fast = (
         corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            dot_dec(F.col("qv"), F.col("v")).cast("double")
-            / (F.col("qnorm") * F.col("vnorm")),
-        )
+        .withColumn("cos_fast", dot_double(F.col("qv"), F.col("v")) / denom)
+    )
+    w_fast = Window.partitionBy("query_id").orderBy(
+        F.col("cos_fast").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored_fast.withColumn("rk_fast", F.row_number().over(w_fast))
+        .filter(F.col("rk_fast") <= TOP_K + 20)
+    )
+    exact = cand.withColumn(
+        "cos_sim", dot_dec(F.col("qv"), F.col("v")).cast("double") / denom
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",

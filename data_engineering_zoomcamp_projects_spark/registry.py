@@ -42,6 +42,7 @@ _MODULES = [
     # driver windows (r01: classic 50, r02: llm/streaming 50) keep
     # covering the same entries
     "operators.tpch_full",
+    "llm.scrub",
 ]
 
 
