@@ -517,13 +517,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("sup_last"))
     )
-    per_o = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("sup_last").alias("order_last"),
-        F.min("sup_last").alias("order_first"),
-        F.countDistinct("l_suppkey").alias("n_sup"),
-    )
+    # order-level stats via window functions instead of a second
+    # aggregation + self-join: per_os is already unique per (order,
+    # supplier), so count(*) over the order partition IS the supplier
+    # count — one exchange on l_orderkey replaces an agg + join (plan
+    # audit: 4 exchanges -> 3)
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        per_os.join(per_o, per_os.l_orderkey == F.col("ok"))
+        per_os.withColumn("order_last", F.max("sup_last").over(w))
+        .withColumn("order_first", F.min("sup_last").over(w))
+        .withColumn("n_sup", F.count(F.lit(1)).over(w))
         .filter(
             (F.col("n_sup") > 1)
             & (F.col("sup_last") == F.col("order_last"))

@@ -172,6 +172,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas: the Spark 4 arbitrary-state API
+    (successor to applyInPandasWithState) — same running per-user
+    totals, expressed as a StatefulProcessor with an explicit
+    ValueState handle. State is typed, per-key, and store-backed, so
+    the operator scales exactly like the built-in stateful aggs.
+
+    Deploy requirements (both checked at run time, not import time):
+    the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) and the `protobuf`
+    python package (the state server's wire protocol — NOT present in
+    this sandbox, so tests skip; see COVERAGE.md. The
+    applyInPandasWithState twin above covers arbitrary state here).
+
+    Defined as a closure so cloudpickle ships the processor class by
+    value (executors don't need this package importable)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield _pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame to completion synchronously into an
     in-memory table (test/dev harness)."""

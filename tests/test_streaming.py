@@ -236,3 +236,67 @@ def test_foreach_batch_kill_resume_no_duplicates(spark, tmp_path):
     assert sorted(r["event_id"] for r in res.collect()) == [1, 2, 3]
     epochs_after = {r["_epoch"] for r in res.select("_epoch").distinct().collect()}
     assert len(epochs_after - epochs_before) == 1  # resumed epoch advanced, no reuse
+
+
+def _require_tws(spark):
+    """transformWithStateInPandas needs the protobuf python package
+    (state-server wire protocol) and the RocksDB state store; skip
+    where unavailable (see COVERAGE.md 'Unobtainable dependencies')."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf not installed: transformWithStateInPandas "
+                    "state server cannot start in this environment")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas parity: one batch -> one
+    update row per user carrying that user's full totals (same contract
+    as the applyInPandasWithState twin)."""
+    _require_tws(spark)
+    ev_stream = jobs.load_events_stream(spark, sf_dir)
+    jobs.run_to_memory(
+        jobs.running_user_totals_tws(ev_stream), "t_tws", output_mode="update"
+    )
+    got = {r["user_id"]: r["n_events"] for r in spark.table("t_tws").collect()}
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got and all(got[r["user_id"]] == r["n"] for r in want)
+
+
+def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
+    """State must persist across micro-batches: two files, one batch
+    each — the second update row per user reflects BOTH batches."""
+    import os
+
+    _require_tws(spark)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_event_file(
+        spark, src, "f1.parquet",
+        [(1, "2024-01-01 10:00:00", 7, "view"),
+         (2, "2024-01-01 10:05:00", 7, "view")],
+    )
+    _write_event_file(
+        spark, src, "f2.parquet",
+        [(3, "2024-01-01 10:10:00", 7, "view")],
+    )
+    ev = jobs.load_events_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+    jobs.run_to_memory(
+        jobs.running_user_totals_tws(ev), "t_tws_multi", output_mode="update"
+    )
+    rows = sorted(
+        (r["n_events"] for r in spark.table("t_tws_multi").collect())
+    )
+    assert rows == [2, 3]  # after batch 1: 2 events; after batch 2: 3 total
