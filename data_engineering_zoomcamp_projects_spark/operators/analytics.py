@@ -1,0 +1,218 @@
+"""Product-analytics workloads over the events stream table (round-2
+additions; registered past the certified driver windows): cohort
+retention, sequential funnels, RFM user scoring, daily-active rollups —
+the interactive-analytics query family a warehouse user runs daily.
+
+Scale notes: every query aggregates to (user) or (day) grain first —
+the events fact is touched once; the user-grain intermediates are
+orders of magnitude smaller than the fact table, so the follow-on
+joins/windows are cheap. The one global sort (RFM ntile) runs on the
+USER-grain frame (|users| rows, not |events|); at extreme user counts
+swap ntile for approx-quantile bucket boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .parity import dsum, sql_dsum
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-seen
+    day, activity counted per week offset since the cohort day."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("act_day")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff("act_day", "cohort_day") / 7).cast("int"),
+        )
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(FLOOR(datediff('day', cohort_day, act_day) / 7) AS INT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM activity JOIN first_day USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_day, week_offset
+"""
+
+
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 4-stage funnel (signup -> view -> click -> purchase):
+    each stage's timestamp must be strictly after the previous stage's
+    first occurrence. Four user-grain conditional-min aggregations —
+    the standard sequential-funnel decomposition."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage_after(prev: DataFrame, etype: str, prev_col: str, out_col: str):
+        hits = (
+            ev.join(prev, "user_id")
+            .filter((F.col("event_type") == etype) & (F.col("ts") > F.col(prev_col)))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_col))
+        )
+        return prev.join(hits, "user_id", "left")
+
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s1 = stage_after(s0, "view", "t_signup", "t_view")
+    s2 = stage_after(s1, "click", "t_view", "t_click")
+    s3 = stage_after(s2, "purchase", "t_click", "t_purchase")
+    return s3.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_view").alias("n_view_after_signup"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+    )
+
+
+FUNNEL_SQL = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s1 AS (
+  SELECT s0.user_id, t_signup, MIN(e.ts) AS t_view
+  FROM s0 LEFT JOIN events e
+    ON e.user_id = s0.user_id AND e.event_type = 'view' AND e.ts > s0.t_signup
+  GROUP BY s0.user_id, t_signup
+), s2 AS (
+  SELECT s1.user_id, t_signup, t_view, MIN(e.ts) AS t_click
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY s1.user_id, t_signup, t_view
+), s3 AS (
+  SELECT s2.user_id, t_signup, t_view, t_click, MIN(e.ts) AS t_purchase
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY s2.user_id, t_signup, t_view, t_click
+)
+SELECT COUNT(t_signup) AS n_signup,
+       COUNT(t_view) AS n_view_after_signup,
+       COUNT(t_click) AS n_click_after_view,
+       COUNT(t_purchase) AS n_purchase_after_click
+FROM s3
+"""
+
+
+def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM scoring: recency (days since last activity vs corpus max
+    day), frequency (event count), monetary (decimal-exact value sum),
+    each bucketed into quintiles with ntile over a unique ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("value"), "monetary"),
+    )
+    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    scored = base.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff("ref_day", "last_day").cast("int")
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+
+
+RFM_SQL = f"""
+WITH base AS (
+  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+         COUNT(*) AS frequency,
+         {sql_dsum('value', 'monetary')}
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(datediff('day', last_day, (SELECT MAX(CAST(ts AS DATE)) FROM events)) AS INT) AS recency_days,
+       frequency, monetary,
+       NTILE(5) OVER (ORDER BY datediff('day', last_day,
+           (SELECT MAX(CAST(ts AS DATE)) FROM events)) ASC, user_id ASC) AS r_score,
+       NTILE(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
+       NTILE(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m_score
+FROM base
+"""
+
+
+def events_daily_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new vs returning (first-seen day
+    join) — the dashboard rollup every events pipeline serves."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    return (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .join(first_day, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("first_day") == F.col("day"), F.col("user_id"))
+            ).alias("new_users"),
+        )
+        .withColumn("returning_users", (F.col("dau") - F.col("new_users")).cast("long"))
+        .orderBy("day")
+    )
+
+
+DAILY_ACTIVES_SQL = """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS dau,
+       COUNT(DISTINCT CASE WHEN first_day = day THEN user_id END) AS new_users,
+       CAST(COUNT(DISTINCT user_id)
+            - COUNT(DISTINCT CASE WHEN first_day = day THEN user_id END) AS BIGINT)
+         AS returning_users
+FROM act JOIN first_day USING (user_id)
+GROUP BY day ORDER BY day
+"""
+
+
+QUERIES = {
+    "events_cohort_retention": events_cohort_retention,
+    "events_funnel_stages": events_funnel_stages,
+    "events_user_rfm": events_user_rfm,
+    "events_daily_actives": events_daily_actives,
+}
+
+ORACLES = {
+    "events_cohort_retention": COHORT_SQL,
+    "events_funnel_stages": FUNNEL_SQL,
+    "events_user_rfm": RFM_SQL,
+    "events_daily_actives": DAILY_ACTIVES_SQL,
+}

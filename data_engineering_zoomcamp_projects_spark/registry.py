@@ -43,6 +43,7 @@ _MODULES = [
     # covering the same entries
     "operators.tpch_full",
     "llm.scrub",
+    "operators.analytics",
 ]
 
 
