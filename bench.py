@@ -23,8 +23,11 @@ from data_engineering_zoomcamp_projects_spark.session import get_spark
 #: queries benched every round; keep roughly stable so BENCH_r{N}.json
 #: files are comparable across rounds.
 HEADLINE = [
-    # relational core
+    # relational core (q1_native_double = the same plan minus the
+    # decimal oracle-parity canonicalization; the pair quantifies the
+    # documented parity tax every round, see BASELINE.md §3)
     "q1_pricing_summary",
+    "q1_native_double",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q9_product_profit",

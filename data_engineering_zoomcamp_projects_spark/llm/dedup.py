@@ -405,7 +405,13 @@ def min_label_components(
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(1, min(default_parts, n_edges // 500_000 + 1))
     sym = sym.repartition(parts, "d")
-    linked = sym.select(F.col("s").alias("doc_id")).distinct()
+    # checkpoint the linked-vertex set eagerly: the returned frame's
+    # isolated-vertex anti-join consumes it AFTER sym is unpersisted
+    # below — without this, collecting the result re-derives the whole
+    # edge subtree a second time
+    linked = (
+        sym.select(F.col("s").alias("doc_id")).distinct().checkpoint(eager=True)
+    )
     labels = linked.select("doc_id", F.col("doc_id").alias("component"))
     # periodic RELIABLE checkpoints (GraphFrames-style interval): every
     # round persists (cache reuse + the convergence count materializes
@@ -475,11 +481,24 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB recursive CTE computing min reachable id — same
     fixpoint, declarative form.
+
+    Edges come from the MinHash-LSH path, not the exact shingle
+    self-join: the two emit identical pair sets at these banding
+    parameters (miss prob ~8e-8 at j>=0.8, pinned exactly equal by
+    tests/test_llm.py::test_minhash_equals_exact_jaccard) and LSH is
+    both the 100 TB path and ~30% cheaper at bench scale.
     """
-    pairs = dedup_shingle_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # cache the (tiny) pair set: the symmetrizing union inside
+    # min_label_components consumes it twice, and exchange reuse does
+    # not always cover the LSH plan's join subtree
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    return min_label_components(spark, edges, docs)
+    out = min_label_components(spark, edges, docs)
+    # min_label_components materialized everything it needs (counts +
+    # eager checkpoints), so the cache can be released immediately
+    pairs.unpersist()
+    return out
 
 
 DEDUP_COMPONENTS_SQL = f"""

@@ -564,7 +564,40 @@ LIMIT 50
 """
 
 
+def q1_native_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1_pricing_summary WITHOUT the decimal parity canonicalization:
+    plain double sums/avgs, the plan the engine runs when no
+    cross-engine bit-exactness gate applies. Exists to keep the bench
+    honest about native throughput — BASELINE.md §3 documents the
+    ~4x decimal-parity tax on q1-family aggregates; this query measures
+    the untaxed side of that trade every round. Rows-only check by
+    design: double summation order differs between engines (and runs),
+    so a value hash would be meaningless — the oracle-gated twin is
+    q1_pricing_summary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 QUERIES = {
+    "q1_native_double": q1_native_double,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,

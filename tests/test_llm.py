@@ -143,3 +143,43 @@ def test_components_use_reliable_checkpoint(spark):
     vertices = spark.createDataFrame([(1,), (2,)], "doc_id long")
     dedup.min_label_components(spark, edges, vertices).collect()
     assert spark.sparkContext.getCheckpointDir() is not None
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Property check the oracle can't vary: on seeded random graphs,
+    min_label_components must equal a driver-side union-find."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = 30
+        edges = [
+            (rng.randint(1, n), rng.randint(1, n))
+            for _ in range(rng.randint(5, 25))
+        ]
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in range(1, n + 1)}
+        # canonicalize: component label = min member id
+        comp_min: dict[int, int] = {}
+        for v, r in want.items():
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[r] for v, r in want.items()}
+
+        edges_df = spark.createDataFrame(edges, "src long, dst long")
+        verts_df = spark.createDataFrame([(v,) for v in range(1, n + 1)], "doc_id long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in dedup.min_label_components(spark, edges_df, verts_df).collect()
+        }
+        assert got == want, f"seed {seed}"
