@@ -257,15 +257,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
         .collect()
     ]
-    cells_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("long").alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-            )
-            for cid, cv in codebook
-        ]
-    )
+    # two SINGLE Literal nodes (array<long>, array<array<double>>)
+    # instead of a k x d tree of scalar literals: Catalyst analysis and
+    # codegen see 2 nodes, not ~6000
+    cent_ids_lit = F.lit([int(cid) for cid, _ in codebook])
+    cent_vecs_lit = F.lit([[float(x) for x in cv] for _, cv in codebook])
+    idx = F.sequence(F.lit(1), F.lit(len(codebook)))
 
     def nearest_cells(df, vec_col, out_col, n_keep):
         """Per-row top-n centroid ids, computed with native HOFs over
@@ -273,10 +270,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         sort by (sim desc, cent_id asc), keep n — no join, no shuffle,
         no Python."""
         scored_arr = F.transform(
-            cells_lit,
-            lambda c: F.struct(
-                _dot_double(F.col(vec_col), c["cv"]).alias("sim"),
-                c["cent_id"].alias("cent_id"),
+            idx,
+            lambda i: F.struct(
+                _dot_double(
+                    F.col(vec_col), F.element_at(cent_vecs_lit, i)
+                ).alias("sim"),
+                F.element_at(cent_ids_lit, i).alias("cent_id"),
             ),
         )
         ranked = F.array_sort(
