@@ -104,12 +104,69 @@ GROUP BY doc_id
 """
 
 
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching: customer-name pairs within an
+    edit distance of 2, blocked by nation so the pair space is
+    per-block quadratic instead of corpus-quadratic (the same blocking
+    discipline as the embedding near-dup path — at 100 TB the block
+    key would be a phonetic/sorted-key bucket). levenshtein is
+    JVM-native on the Spark side and identical classic edit distance
+    on both engines."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    # the block key alone has ~25 distinct values — a bare equi-join
+    # leaves most cores idle. Salt SYMMETRICALLY: the left side gets a
+    # deterministic salt, the right side is replicated once per salt
+    # value, so every within-block pair still matches exactly once but
+    # the shuffle key (nation, salt) spreads over 25 x SALTS reducers.
+    SALTS = 8
+    a = c.withColumn("_salt", (F.col("c_custkey") % SALTS).cast("int"))
+    b = c.select(
+        F.col("c_custkey").alias("b_custkey"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("b_nationkey"),
+    ).withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(SALTS)])))
+    # thresholded levenshtein: O(threshold x len) early-exit DP instead
+    # of the full quadratic table; returns -1 above the threshold
+    dist = F.levenshtein(F.col("c_name"), F.col("b_name"), 2)
+    return (
+        a.join(
+            b,
+            (F.col("c_nationkey") == F.col("b_nationkey"))
+            & (a["_salt"] == b["_salt"])
+            & (F.col("c_custkey") < F.col("b_custkey")),
+        )
+        .withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") >= 0)
+        .select(
+            F.col("c_custkey").alias("cust_a"),
+            F.col("b_custkey").alias("cust_b"),
+            F.col("c_nationkey").alias("nation_key"),
+            F.col("edit_distance").cast("int").alias("edit_distance"),
+        )
+    )
+
+
+FUZZY_NAMES_SQL = """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       a.c_nationkey AS nation_key,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
 QUERIES = {
     "text_redact_sensitive": text_redact_sensitive,
     "text_repetition_scores": text_repetition_scores,
+    "dedup_fuzzy_names": dedup_fuzzy_names,
 }
 
 ORACLES = {
     "text_redact_sensitive": REDACT_SQL,
     "text_repetition_scores": REPETITION_SQL,
+    "dedup_fuzzy_names": FUZZY_NAMES_SQL,
 }

@@ -148,3 +148,42 @@ def test_q8_broadcasts_all_dims(spark, sf_dir):
 
     df = q8_market_share(spark, sf_dir)
     assert explain.uses_broadcast_join(df)
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """The session's AQE skew-join config must actually fire: a join
+    with one dominant key, thresholds lowered to test scale, shows
+    skew-split partitions in the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(150_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pad"),
+        )
+        dim = spark.range(97).select(
+            F.col("id").alias("k2"), F.lit("d").alias("dval")
+        )
+        joined = fact.join(dim, F.col("k") == F.col("k2"))
+        # the action must run on THIS DataFrame's QueryExecution —
+        # a writer action builds its own, leaving this plan unfinalized
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
