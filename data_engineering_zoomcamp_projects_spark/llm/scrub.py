@@ -16,10 +16,11 @@ divisions (exact on both engines)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.parity import DEC
 
 #: stand-in sensitive terms (see module docstring); word-boundary
 #: anchored so substrings inside longer tokens survive
@@ -159,14 +160,97 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
 
 
+def prep_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary build: top-100 tokens by corpus
+    frequency with each prefix's cumulative coverage share — the
+    greedy-frequency vocab selection every BPE/unigram trainer starts
+    from. Token counts shuffle once on the token; the running coverage
+    is a window over the (tiny) ranked head."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 100)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_cnt", F.sum("cnt").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            F.round(
+                (F.col("cum_cnt").cast("double") / F.col("total").cast("double")).cast(
+                    DEC
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("coverage"),
+        )
+        .orderBy("rank")
+    )
+
+
+VOCAB_SQL = """
+WITH counts AS (
+  SELECT t AS token, COUNT(*) AS cnt
+  FROM (SELECT unnest(split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+), ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_cnt
+  FROM counts
+)
+SELECT rank, token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROUND(CAST(CAST(cum_cnt AS DOUBLE)
+            / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM counts) AS DECIMAL(38,10)), 6)
+            AS DOUBLE) AS coverage
+FROM ranked WHERE rank <= 100 ORDER BY rank
+"""
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bucket width 50): the
+    one-pass distribution profile run before choosing quantization /
+    outlier thresholds. Single scan, one narrow-key shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 50).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(value / 50) AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
     "text_redact_sensitive": text_redact_sensitive,
     "text_repetition_scores": text_repetition_scores,
     "dedup_fuzzy_names": dedup_fuzzy_names,
+    "prep_vocab_topk": prep_vocab_topk,
+    "events_value_histogram": events_value_histogram,
 }
 
 ORACLES = {
     "text_redact_sensitive": REDACT_SQL,
     "text_repetition_scores": REPETITION_SQL,
     "dedup_fuzzy_names": FUZZY_NAMES_SQL,
+    "prep_vocab_topk": VOCAB_SQL,
+    "events_value_histogram": HISTOGRAM_SQL,
 }
