@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .parity import dsum, sql_dsum
+from .parity import DEC, dsum, sql_dsum
 
 
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,7 +203,66 @@ GROUP BY day ORDER BY day
 """
 
 
+def timeseries_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: project sparse observations (big
+    purchases) onto the full daily calendar — zero-fill the per-day
+    aggregates and FORWARD-FILL the last observed daily total
+    (last+ignorenulls over an ordered frame). The calendar spine comes
+    from sequence() over the observed min/max day: no driver loop, and
+    the spine's size is days, not rows."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 340))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = sparse.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("day_sum"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.coalesce("day_sum", F.lit(0.0)).alias("day_sum"),
+            F.coalesce(
+                F.last("day_sum", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("ffill_day_sum"),
+        )
+        .orderBy("day")
+    )
+
+
+GAPFILL_SQL = """
+WITH sparse AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_obs,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS day_sum
+  FROM events WHERE event_type = 'purchase' AND value > 340
+  GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT MIN(CAST(ts AS DATE)) FROM events),
+           (SELECT MAX(CAST(ts AS DATE)) FROM events),
+           INTERVAL 1 DAY)) AS DATE) AS day
+)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+       COALESCE(day_sum, 0.0) AS day_sum,
+       COALESCE(last_value(day_sum IGNORE NULLS) OVER (
+           ORDER BY spine.day ROWS UNBOUNDED PRECEDING), 0.0) AS ffill_day_sum
+FROM spine LEFT JOIN sparse ON spine.day = sparse.day
+ORDER BY day
+"""
+
+
 QUERIES = {
+    "timeseries_daily_gapfill": timeseries_daily_gapfill,
     "events_cohort_retention": events_cohort_retention,
     "events_funnel_stages": events_funnel_stages,
     "events_user_rfm": events_user_rfm,
@@ -211,6 +270,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "timeseries_daily_gapfill": GAPFILL_SQL,
     "events_cohort_retention": COHORT_SQL,
     "events_funnel_stages": FUNNEL_SQL,
     "events_user_rfm": RFM_SQL,
