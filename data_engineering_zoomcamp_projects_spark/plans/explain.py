@@ -59,3 +59,19 @@ def shuffle_count(df: DataFrame) -> int:
     (formatted plans put the operator header `(n) Exchange` and its
     partitioning arguments on separate lines)."""
     return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
+
+
+def plan_profile(df: DataFrame) -> dict[str, int]:
+    """Compact per-plan hygiene profile: shuffle / broadcast /
+    sort-merge-join / cartesian counts. Used by the registry-wide audit
+    (tests/test_plans.py) so a future edit that introduces an
+    unnecessary exchange or degrades a broadcast to a sort-merge join
+    fails a test instead of silently shipping."""
+    plan = formatted_plan(df)
+    return {
+        "exchanges": len(re.findall(r"\(\d+\) Exchange\b", plan)),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "cartesians": plan.count("CartesianProduct"),
+        "bnl_joins": plan.count("BroadcastNestedLoopJoin"),
+    }

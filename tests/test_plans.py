@@ -187,3 +187,45 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """Audit EVERY registry query's physical plan: no cartesian
+    products outside the known bounded ones, no sort-merge joins (all
+    dims broadcast at test scale), and a shuffle-count ceiling. This is
+    the regression guard for plan quality — a future edit that sneaks
+    in an extra exchange or degrades a broadcast fails here, not in the
+    next round's bench."""
+    from data_engineering_zoomcamp_projects_spark.registry import all_queries
+
+    # queries whose plans legitimately contain a BroadcastNestedLoop /
+    # cartesian: each is a 1-row scalar broadcast (threshold / total /
+    # ref-day cross join) or the 5x25 dim cross join — verified bounded;
+    # this is an EXACT set, so a new unbounded product anywhere fails
+    bounded_cartesian_ok = {
+        "events_user_rfm", "join_cross_region_nation", "prep_vocab_topk",
+        "q11_part_value_share", "q22_idle_rich_customers",
+        "sim_topk_bruteforce", "subq_scalar_above_avg_price",
+        "text_tfidf_top_terms",
+    }
+    # iterative queries execute during construction (convergence loop)
+    # and their rendered plan embeds cached/checkpointed subplan
+    # descriptions, inflating operator counts beyond what actually runs
+    # per round — audited separately by their own tests
+    iterative = {"dedup_cluster_components"}
+    # multi-stage composites get their own ceiling: curation fuses
+    # quality gate + exact dedup + shingle near-dup + census in one
+    # plan (12 exchanges measured, each stage's shuffles semantic)
+    ceilings = {"pipeline_corpus_curation": 14}
+    worst = []
+    for name, fn in sorted(all_queries().items()):
+        if name in iterative:
+            continue
+        prof = explain.plan_profile(fn(spark, sf_dir))
+        if prof["cartesians"] or prof["bnl_joins"]:
+            assert name in bounded_cartesian_ok, (name, prof)
+        assert prof["exchanges"] <= ceilings.get(name, 8), (name, prof)
+        worst.append((prof["exchanges"], name))
+    # every non-composite plan stays under the tight ceiling
+    worst.sort(reverse=True)
+    assert sum(1 for n, _ in worst if n > 8) <= 1, worst[:5]
