@@ -183,3 +183,19 @@ def test_components_match_union_find_on_random_graphs(spark):
             for r in dedup.min_label_components(spark, edges_df, verts_df).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_symspell_equals_quadratic_fuzzy_match(spark, sf_dir):
+    """The deletion-neighborhood candidate generator must be lossless
+    for edit distance <= 2: the SymSpell path and the per-block
+    quadratic path return identical pair sets."""
+    from data_engineering_zoomcamp_projects_spark.llm import scrub
+
+    quad = sorted(
+        map(tuple, scrub.dedup_fuzzy_names(spark, sf_dir).collect())
+    )
+    sym = sorted(
+        map(tuple, scrub.dedup_fuzzy_names_symspell(spark, sf_dir).collect())
+    )
+    assert quad == sym
+    assert quad  # non-trivial on the testdata
