@@ -321,7 +321,71 @@ FROM events GROUP BY 1 ORDER BY bucket
 """
 
 
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def prep_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 32 tokens, stride 24 —
+    8-token overlap): the windowing step before embedding/pretraining
+    tokenization. Chunk starts are 1, 1+stride, ... while start <=
+    n_tokens - 1 (every token appears in at least one chunk; the last
+    chunk may be short). Pure per-row array expressions — embarrassingly
+    parallel, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - CHUNK_SIZE).cast("double") / CHUNK_STRIDE).cast("int") + 1,
+        F.lit(1),
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * CHUNK_STRIDE + 1
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(F.slice(toks, s, CHUNK_SIZE), " ").alias("chunk_text"),
+            F.least(n - s + 1, F.lit(CHUNK_SIZE)).alias("chunk_tokens"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("c.start").alias("start_token"),
+            F.col("c.chunk_tokens").cast("int").alias("chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+CHUNK_SQL = f"""
+WITH tok AS (SELECT doc_id, split(text, ' ') AS ts FROM documents),
+n_chunks AS (
+  SELECT doc_id, ts,
+         GREATEST(CAST(CEIL(CAST(len(ts) - {CHUNK_SIZE} AS DOUBLE)
+                            / {CHUNK_STRIDE}) AS INT) + 1, 1) AS nc
+  FROM tok
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * {CHUNK_STRIDE} + 1 AS INT) AS start_token,
+       CAST(LEAST(len(ts) - (i * {CHUNK_STRIDE} + 1) + 1, {CHUNK_SIZE}) AS INT)
+         AS chunk_tokens,
+       array_to_string(ts[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_SIZE})], ' ')
+         AS chunk_text
+FROM n_chunks,
+     (SELECT unnest(generate_series(0,
+        (SELECT MAX(nc) - 1 FROM n_chunks))) AS i) g
+WHERE i < nc
+"""
+
+
 QUERIES = {
+    "prep_chunk_documents": prep_chunk_documents,
     "text_redact_sensitive": text_redact_sensitive,
     "text_repetition_scores": text_repetition_scores,
     "dedup_fuzzy_names": dedup_fuzzy_names,
@@ -331,6 +395,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "prep_chunk_documents": CHUNK_SQL,
     "text_redact_sensitive": REDACT_SQL,
     "text_repetition_scores": REPETITION_SQL,
     "dedup_fuzzy_names": FUZZY_NAMES_SQL,
