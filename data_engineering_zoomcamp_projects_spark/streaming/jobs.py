@@ -261,6 +261,24 @@ def sink_foreach_batch_parquet(df: DataFrame, out_dir: str, checkpoint: str):
     return q
 
 
+def enrich_events_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming join: each micro-batch of the stream joins the static
+    (batch) dimension. Spark broadcasts or re-plans the static side
+    per micro-batch; no watermark is needed because the static side
+    never grows state. The dim is keyed by customer key; stream rows
+    with no dim match pass through with nulls (left join) so the
+    pipeline never drops events on dim lag."""
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+    return events.join(F.broadcast(d), "user_id", "left").select(
+        "event_id", "user_id", "ts", "event_type", "value", "segment", "nation_key"
+    )
+
+
 def purchase_view_stream_join(events: DataFrame) -> DataFrame:
     """Stream-stream inner join: purchases matched to the same user's
     views within the preceding hour. Both sides watermarked — Spark

@@ -300,3 +300,21 @@ def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
         (r["n_events"] for r in spark.table("t_tws_multi").collect())
     )
     assert rows == [2, 3]  # after batch 1: 2 events; after batch 2: 3 total
+
+
+def test_stream_static_enrichment_parity(spark, sf_dir):
+    """Stream-static join parity: enriching the event stream with the
+    customer dim must equal the same join in batch; unmatched users
+    survive with null segment (left join)."""
+    ev_stream = jobs.load_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    jobs.run_to_memory(
+        jobs.enrich_events_with_dim(ev_stream, dim), "t_enrich", output_mode="append"
+    )
+    got = spark.table("t_enrich")
+
+    ev = load_table(spark, sf_dir, "events")
+    want = jobs.enrich_events_with_dim(ev, dim)
+    cols = ["event_id", "user_id", "event_type", "segment", "nation_key"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() == ev.count()  # left join never drops events
