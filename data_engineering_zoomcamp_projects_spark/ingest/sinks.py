@@ -70,6 +70,25 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
+def write_sorted_layout(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+) -> None:
+    """Data-skipping layout: range-partition by `cols` then sort within
+    partitions before writing parquet. Files (and row groups) get
+    DISJOINT min/max ranges on the layout columns, so any engine that
+    reads parquet footers (Spark, DuckDB, Trino) skips whole files for
+    selective predicates — at 100 TB this is the difference between a
+    full scan and touching a handful of files. The claim is verified in
+    tests by reading the written footers: per-file [min, max] intervals
+    on the lead column must not overlap."""
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_object_store(df: DataFrame, uri: str, fmt: str = "parquet") -> None:
     """Object-store sink (reference A18 uploaded files via
     google-cloud-storage; Spark writes s3a://, gs:// URIs directly given

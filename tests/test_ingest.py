@@ -376,3 +376,48 @@ def test_postgres_ddl_valid_on_live_server(spark, pg_server, tmp_path):
         "SELECT k, txt, score, flag, d, ts, price FROM trips_schema_check"
     )
     assert out == "1|a b|1.5|t|2024-01-31|2024-01-31 12:00:00|1.25"
+
+
+def test_sorted_layout_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_sorted_layout must produce parquet files whose per-file
+    [min, max] ranges on the layout column are pairwise disjoint
+    (footer-verified via pyarrow) — the property footer-based data
+    skipping depends on; a plain write has overlapping ranges."""
+    import pyarrow.parquet as pq
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    def file_ranges(root):
+        out = []
+        for f in sorted(Path(root).glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                assert col.path_in_schema == "l_orderkey"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    sorted_path = str(tmp_path / "sorted")
+    sinks.write_sorted_layout(li, sorted_path, ["l_orderkey"], n_files=6)
+    ranges = file_ranges(sorted_path)
+    assert len(ranges) >= 4
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo, (ranges,)  # disjoint (order keys repeat across rows)
+
+    # read-back equivalence: layout changes bytes, not rows
+    back = spark.read.parquet(sorted_path)
+    assert back.count() == li.count()
+
+    # contrast: a round-robin repartition write overlaps on every file
+    plain_path = str(tmp_path / "plain")
+    li.repartition(6).write.mode("overwrite").parquet(plain_path)
+    plain = file_ranges(plain_path)
+    overlaps = sum(
+        1 for (a_lo, a_hi), (b_lo, b_hi) in zip(plain, plain[1:]) if a_hi > b_lo
+    )
+    assert overlaps >= 1, plain
