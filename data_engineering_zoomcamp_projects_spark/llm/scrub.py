@@ -384,7 +384,82 @@ WHERE i < nc
 """
 
 
+#: target mixing weights per source (the data-mixing recipe; sources
+#: not listed get weight 0 and are excluded from the mix)
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+MIX_BUDGET_FRACTION = 0.1  # total docs selected = 10% of corpus
+
+
+def prep_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing selection: pick a per-source quota of documents so
+    the selected corpus matches target source weights under a total
+    budget. Quota_s = round(corpus_size x budget_fraction x weight_s),
+    capped implicitly by the source's size; selection within a source
+    is deterministic (lowest doc_id first — at deploy, rank by quality
+    score or stable hash). Returns the per-source census of the mix.
+
+    The quota arithmetic runs IN-ENGINE on both sides with the same
+    left-associated multiply order (count x fraction x weight), so the
+    rounded quotas agree bit-for-bit with the oracle at any corpus
+    size — a driver-side int(round(...)) would round differently."""
+    d = load_table(spark, sf_dir, "documents")
+    weight = F.create_map(
+        *[
+            x
+            for s, w in sorted(MIX_WEIGHTS.items())
+            for x in (F.lit(s), F.lit(float(w)))
+        ]
+    )
+    total = d.agg(F.count(F.lit(1)).alias("_total"))
+    w_src = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    picked = (
+        d.withColumn("rn", F.row_number().over(w_src))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "q",
+            F.round(
+                F.col("_total") * MIX_BUDGET_FRACTION
+                * F.coalesce(weight[F.col("source")], F.lit(0.0))
+            ),
+        )
+        .filter(F.col("rn") <= F.col("q"))
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("sel_tokens"),
+            F.max("rn").cast("long").alias("quota_used"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN CAST({w} AS DOUBLE)" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_selected,
+       CAST(SUM(len(split(text, ' '))) AS BIGINT) AS sel_tokens,
+       CAST(MAX(rn) AS BIGINT) AS quota_used
+FROM ranked
+WHERE rn <= ROUND((SELECT COUNT(*) FROM documents) * {MIX_BUDGET_FRACTION}
+                  * (CASE source {cases} ELSE CAST(0 AS DOUBLE) END))
+GROUP BY source ORDER BY source
+"""
+
+
+MIX_SQL = _mix_sql()
+
+
 QUERIES = {
+    "prep_source_mixing": prep_source_mixing,
     "prep_chunk_documents": prep_chunk_documents,
     "text_redact_sensitive": text_redact_sensitive,
     "text_repetition_scores": text_repetition_scores,
@@ -395,6 +470,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "prep_source_mixing": MIX_SQL,
     "prep_chunk_documents": CHUNK_SQL,
     "text_redact_sensitive": REDACT_SQL,
     "text_repetition_scores": REPETITION_SQL,

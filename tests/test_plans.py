@@ -204,9 +204,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # this is an EXACT set, so a new unbounded product anywhere fails
     bounded_cartesian_ok = {
         "events_user_rfm", "join_cross_region_nation", "prep_vocab_topk",
-        "q11_part_value_share", "q22_idle_rich_customers",
-        "sim_topk_bruteforce", "subq_scalar_above_avg_price",
-        "text_tfidf_top_terms",
+        "prep_source_mixing", "q11_part_value_share",
+        "q22_idle_rich_customers", "sim_topk_bruteforce",
+        "subq_scalar_above_avg_price", "text_tfidf_top_terms",
     }
     # iterative queries execute during construction (convergence loop)
     # and their rendered plan embeds cached/checkpointed subplan
