@@ -246,16 +246,19 @@ def prep_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary build: top-100 tokens by corpus
     frequency with each prefix's cumulative coverage share — the
     greedy-frequency vocab selection every BPE/unigram trainer starts
-    from. Token counts shuffle once on the token; the running coverage
-    is a window over the (tiny) ranked head."""
+    from. Token counts shuffle once on the token; the top-100 head is
+    selected with sort+LIMIT (TakeOrderedAndProject — per-partition
+    partial top-k, never a global row_number over the full vocabulary);
+    the rank and running-coverage windows then run on the bounded
+    100-row head only."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    head = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(100)
     return (
-        counts.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 100)
+        head.withColumn("rank", F.row_number().over(w_rank))
         .crossJoin(F.broadcast(total))
         .withColumn(
             "cum_cnt", F.sum("cnt").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))

@@ -151,31 +151,98 @@ FROM s3
 """
 
 
+def _exact_ntile(df: DataFrame, n: int, sort_cols: list, out_name: str) -> DataFrame:
+    """Exact NTILE(n) OVER (ORDER BY sort_cols) with NO single-partition
+    sort (the round-2 scale-killer: a global ntile window funnels the
+    whole frame through one task).
+
+    Distributed plan: range-partition the frame on its (unique) total
+    ordering, row_number WITHIN each range shard, add broadcast
+    per-shard prefix offsets to recover the global rank, then map rank
+    -> bucket with NTILE's size rule (the first N mod n buckets take
+    ceil(N/n) rows, the rest floor(N/n)). Bit-identical to the window
+    ntile because the ordering is unique (user_id tie-break), while
+    every exchange stays parallel: the only non-sharded frames are the
+    per-shard counts (<= shuffle-partitions rows, broadcast) and the
+    scalar total. Requires df to carry the total row count in column
+    `_n_total`. Self-consistency of the two `ranged` branches holds
+    because range-boundary sampling is seeded per input partition and
+    the shuffle stage is reused at runtime."""
+    shards = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(shards, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # ONE scalar row holding every shard's count as a sorted array
+    # (<= shards entries — metadata-sized). Prefix offsets are then a
+    # per-row HOF fold over the broadcast array: no global window, no
+    # triangular join, and `ranged` is referenced only twice (keeps the
+    # rendered plan tree from exploding when ntiles are chained).
+    cnts = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_pid", "_cnt"))).alias(
+                "_shard_cnts"
+            )
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    off = F.aggregate(
+        F.filter(
+            F.col("_shard_cnts"), lambda s: s["_pid"] < F.col("_pid")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s["_cnt"],
+    )
+    rank = (off + F.row_number().over(w)).cast("long")
+    ntot = F.col("_n_total")
+    q = F.floor(ntot / n).cast("long")  # small-bucket size
+    rem = (ntot % n).cast("long")  # number of big (q+1) buckets
+    big = q + F.lit(1)
+    in_big = rank <= rem * big
+    bucket = F.when(in_big, F.floor((rank - 1) / big) + 1).otherwise(
+        rem + F.floor((rank - rem * big - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        ranged.crossJoin(F.broadcast(cnts))
+        .withColumn(out_name, bucket.cast("int"))
+        .drop("_pid", "_shard_cnts")
+    )
+
+
 def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM scoring: recency (days since last activity vs corpus max
     day), frequency (event count), monetary (decimal-exact value sum),
-    each bucketed into quintiles with ntile over a unique ordering."""
+    each bucketed into quintiles over a unique ordering. Quintiles come
+    from _exact_ntile (range-sharded distributed rank), matching the
+    oracle's NTILE(5) windows without any single-partition sort."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.groupBy("user_id").agg(
         F.max(F.to_date("ts")).alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),
         dsum(F.col("value"), "monetary"),
     )
-    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    ref = ev.agg(
+        F.max(F.to_date("ts")).alias("ref_day"),
+        F.count_distinct(F.col("user_id")).alias("_n_total"),
+    )
     scored = base.crossJoin(F.broadcast(ref)).withColumn(
         "recency_days", F.datediff("ref_day", "last_day").cast("int")
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    uid = F.col("user_id").asc()
+    scored = _exact_ntile(
+        scored, 5, [F.col("recency_days").asc(), uid], "r_score"
+    )
+    scored = _exact_ntile(scored, 5, [(-F.col("frequency")).asc(), uid], "f_score")
+    scored = _exact_ntile(scored, 5, [(-F.col("monetary")).asc(), uid], "m_score")
     return scored.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 

@@ -61,6 +61,43 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
 
 
+def _split_top_level(args: str) -> list[str]:
+    """Split a rendered expression argument list on top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in args:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def has_global_window(df: DataFrame) -> bool:
+    """True if any Window in the plan sorts WITHOUT partition keys —
+    the single-partition scale-killer (the whole frame funnels through
+    one task). Detected from windowspecdefinition(...): its argument
+    list is partition exprs, then order exprs (carrying ASC/DESC
+    markers), then the frame — so a spec whose FIRST argument is an
+    order expr or the frame itself has an empty partition clause."""
+    plan = formatted_plan(df)
+    for m in re.finditer(r"windowspecdefinition\((.*)", plan):
+        head = _split_top_level(m.group(1))[0]
+        if (
+            " ASC" in head
+            or " DESC" in head
+            or head.startswith("specifiedwindowframe")
+        ):
+            return True
+    return False
+
+
 def plan_profile(df: DataFrame) -> dict[str, int]:
     """Compact per-plan hygiene profile: shuffle / broadcast /
     sort-merge-join / cartesian counts. Used by the registry-wide audit

@@ -215,17 +215,36 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     iterative = {"dedup_cluster_components"}
     # multi-stage composites get their own ceiling: curation fuses
     # quality gate + exact dedup + shingle near-dup + census in one
-    # plan (12 exchanges measured, each stage's shuffles semantic)
-    ceilings = {"pipeline_corpus_curation": 14}
+    # plan (12 exchanges measured, each stage's shuffles semantic);
+    # events_user_rfm chains three distributed exact-ntiles whose
+    # shared range-shard subtrees the RENDERED plan duplicates (the
+    # runtime reuses the exchanges — sf0.1 wall ~2s) — every exchange
+    # in it is parallel, which is what the window audit below verifies
+    ceilings = {"pipeline_corpus_curation": 14, "events_user_rfm": 48}
+    # queries allowed a partition-less window sort: each is proven
+    # metadata-grain (days-spine gap-fill and daily moving-average:
+    # |calendar days| rows after the pre-aggregation; vocab-topk:
+    # rank/coverage windows run on the post-LIMIT 100-row head — the
+    # head itself is selected by TakeOrdered, not a global window)
+    global_window_ok = {
+        "timeseries_daily_gapfill",
+        "window_moving_average",
+        "prep_vocab_topk",
+    }
     worst = []
     for name, fn in sorted(all_queries().items()):
         if name in iterative:
             continue
-        prof = explain.plan_profile(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        prof = explain.plan_profile(df)
         if prof["cartesians"] or prof["bnl_joins"]:
             assert name in bounded_cartesian_ok, (name, prof)
         assert prof["exchanges"] <= ceilings.get(name, 8), (name, prof)
+        # single-partition scale-killer guard: a Window whose spec has
+        # no partition keys funnels the whole frame through one task
+        if name not in global_window_ok:
+            assert not explain.has_global_window(df), name
         worst.append((prof["exchanges"], name))
     # every non-composite plan stays under the tight ceiling
     worst.sort(reverse=True)
-    assert sum(1 for n, _ in worst if n > 8) <= 1, worst[:5]
+    assert sum(1 for n, _ in worst if n > 8) <= 2, worst[:5]
