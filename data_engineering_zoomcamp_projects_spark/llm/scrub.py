@@ -405,6 +405,8 @@ def prep_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-associated multiply order (count x fraction x weight), so the
     rounded quotas agree bit-for-bit with the oracle at any corpus
     size — a driver-side int(round(...)) would round differently."""
+    from ..operators.distrank import ranked
+
     d = load_table(spark, sf_dir, "documents")
     weight = F.create_map(
         *[
@@ -414,9 +416,16 @@ def prep_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     total = d.agg(F.count(F.lit(1)).alias("_total"))
-    w_src = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    # per-source row_number via the distributed rank toolkit — a window
+    # partitioned by `source` (a handful of values) would funnel
+    # |corpus|/|sources| rows through one task. Token counts are
+    # computed BEFORE the range shuffle so the text payload never
+    # travels through it.
+    sized = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("_ntok")
+    )
     picked = (
-        d.withColumn("rn", F.row_number().over(w_src))
+        ranked(sized, ["source"], [F.col("doc_id").asc()], out="rn")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "q",
@@ -431,7 +440,7 @@ def prep_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_selected"),
-            F.sum(F.size(F.split("text", " "))).cast("long").alias("sel_tokens"),
+            F.sum("_ntok").cast("long").alias("sel_tokens"),
             F.max("rn").cast("long").alias("quota_used"),
         )
         .orderBy("source")

@@ -99,12 +99,16 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what a real fastText-style scorer would use."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy(F.col("lang").alias("p_lang"), "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # per-lang totals via aggregate + broadcast join, NOT a window
+    # partitioned by p_lang: a handful of languages would funnel the
+    # whole vocabulary through |langs| tasks; the totals frame is
+    # |langs| rows — broadcast it
+    totals = counts.groupBy("p_lang").agg(F.sum("cnt").alias("total"))
     profile = (
-        tok.groupBy(F.col("lang").alias("p_lang"), "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "total", F.sum("cnt").over(Window.partitionBy("p_lang"))
-        )
+        counts.join(F.broadcast(totals), "p_lang")
         .withColumn("p", F.col("cnt").cast("double") / F.col("total").cast("double"))
         .select("p_lang", "token", "p")
     )

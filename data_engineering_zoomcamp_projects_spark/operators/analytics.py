@@ -165,12 +165,25 @@ def _exact_ntile(df: DataFrame, n: int, sort_cols: list, out_name: str) -> DataF
     every exchange stays parallel: the only non-sharded frames are the
     per-shard counts (<= shuffle-partitions rows, broadcast) and the
     scalar total. Requires df to carry the total row count in column
-    `_n_total`. Self-consistency of the two `ranged` branches holds
-    because range-boundary sampling is seeded per input partition and
-    the shuffle stage is reused at runtime."""
+    `_n_total`.
+
+    The range-sharded frame is barriered with a LAZY localCheckpoint:
+    the per-shard counts and the ranked rows then read the SAME RDD, so
+    identical range bounds are guaranteed by construction (not by
+    sampler-seed luck), and chained ntile calls stop doubling the
+    rendered plan — each stage starts from the checkpointed scan
+    instead of re-inlining the whole upstream tree.
+
+    Callers pass desc orderings as `col.desc_nulls_last()` (NOT a
+    negation trick): Spark's and DuckDB's DESC both place NULLs last,
+    while negating a NULL yields NULL which would sort FIRST under asc
+    — an all-NULL metric would silently land in bucket 1 instead of 5.
+    """
     shards = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(shards, *sort_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(shards, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     # ONE scalar row holding every shard's count as a sorted array
     # (<= shards entries — metadata-sized). Prefix offsets are then a
@@ -222,19 +235,27 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         dsum(F.col("value"), "monetary"),
     )
-    ref = ev.agg(
-        F.max(F.to_date("ts")).alias("ref_day"),
-        F.count_distinct(F.col("user_id")).alias("_n_total"),
+    # ref day AND the ntile row count both derive from the user-grain
+    # frame itself (one events scan total): max(last_day) == corpus max
+    # day, and counting base ROWS (not count_distinct over raw events)
+    # keeps a NULL-user group in the N the bucket formula divides by.
+    ref = base.agg(
+        F.max("last_day").alias("ref_day"),
+        F.count(F.lit(1)).alias("_n_total"),
     )
     scored = base.crossJoin(F.broadcast(ref)).withColumn(
         "recency_days", F.datediff("ref_day", "last_day").cast("int")
     )
-    uid = F.col("user_id").asc()
+    uid = F.col("user_id").asc_nulls_last()
     scored = _exact_ntile(
-        scored, 5, [F.col("recency_days").asc(), uid], "r_score"
+        scored, 5, [F.col("recency_days").asc_nulls_last(), uid], "r_score"
     )
-    scored = _exact_ntile(scored, 5, [(-F.col("frequency")).asc(), uid], "f_score")
-    scored = _exact_ntile(scored, 5, [(-F.col("monetary")).asc(), uid], "m_score")
+    scored = _exact_ntile(
+        scored, 5, [F.col("frequency").desc_nulls_last(), uid], "f_score"
+    )
+    scored = _exact_ntile(
+        scored, 5, [F.col("monetary").desc_nulls_last(), uid], "m_score"
+    )
     return scored.select(
         "user_id",
         "recency_days",
@@ -257,9 +278,12 @@ SELECT user_id,
        CAST(datediff('day', last_day, (SELECT MAX(CAST(ts AS DATE)) FROM events)) AS INT) AS recency_days,
        frequency, monetary,
        NTILE(5) OVER (ORDER BY datediff('day', last_day,
-           (SELECT MAX(CAST(ts AS DATE)) FROM events)) ASC, user_id ASC) AS r_score,
-       NTILE(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
-       NTILE(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m_score
+           (SELECT MAX(CAST(ts AS DATE)) FROM events)) ASC NULLS LAST,
+           user_id ASC NULLS LAST) AS r_score,
+       NTILE(5) OVER (ORDER BY frequency DESC NULLS LAST,
+           user_id ASC NULLS LAST) AS f_score,
+       NTILE(5) OVER (ORDER BY monetary DESC NULLS LAST,
+           user_id ASC NULLS LAST) AS m_score
 FROM base
 """
 

@@ -26,20 +26,37 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-family functions are evaluated over the (tie-producing)
     priority ordering; row_number/ntile over a fully deterministic
     ordering with o_orderkey as tie-break.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    w_ties = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
-    w_det = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority", "o_orderkey")
-    return orders.select(
+
+    PARTITION BY o_orderstatus has 3 values — a plain window would
+    funnel |orders|/3 through one task each. The whole family is
+    instead derived from the distributed rank toolkit
+    (operators/distrank.py): range-sharded row_number, tie-group
+    rank/dense_rank, and the arithmetic identities for
+    percent_rank/cume_dist/ntile — bit-identical to the window forms
+    the DuckDB oracle keeps."""
+    from .distrank import ntile_from_rank, rank_family
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    fam = rank_family(
+        orders,
+        ["o_orderstatus"],
+        ["o_orderpriority"],
+        [F.col("o_orderkey").asc()],
+    )
+    return fam.select(
         "o_orderkey",
         "o_orderstatus",
         "o_orderpriority",
-        F.row_number().over(w_det).alias("rn"),
-        F.rank().over(w_ties).alias("rnk"),
-        F.dense_rank().over(w_ties).alias("drnk"),
-        F.round(F.percent_rank().over(w_ties).cast(DEC), 6).cast("double").alias("prnk"),
-        F.ntile(4).over(w_det).alias("quartile"),
-        F.round(F.cume_dist().over(w_ties).cast(DEC), 6).cast("double").alias("cdist"),
+        F.col("_rn").cast("int").alias("rn"),
+        F.col("_rank").cast("int").alias("rnk"),
+        F.col("_drank").cast("int").alias("drnk"),
+        F.round(F.col("_prank").cast(DEC), 6).cast("double").alias("prnk"),
+        ntile_from_rank(F.col("_rn"), F.col("_n_part"), 4)
+        .cast("int")
+        .alias("quartile"),
+        F.round(F.col("_cdist").cast(DEC), 6).cast("double").alias("cdist"),
     )
 
 

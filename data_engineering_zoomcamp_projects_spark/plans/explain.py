@@ -79,6 +79,23 @@ def _split_top_level(args: str) -> list[str]:
     return parts
 
 
+def _classify_spec_head(head: str) -> str:
+    """Classify a windowspecdefinition's first argument: 'order' /
+    'frame' (=> empty partition clause), 'partition' (an attribute or
+    expression reference), or raise on anything unclassifiable — plan
+    strings are truncated by spark.sql.debug.maxToStringFields, and a
+    spec whose ASC/DESC marker got cut must fail LOUDLY rather than
+    silently pass the single-partition guard (the session factory
+    raises the field limit; this is the belt to that suspender)."""
+    if " ASC" in head or " DESC" in head:
+        return "order"
+    if head.startswith("specifiedwindowframe"):
+        return "frame"
+    if re.search(r"#\d+", head):  # attribute reference, e.g. lang#12
+        return "partition"
+    raise ValueError(f"unclassifiable windowspecdefinition head: {head!r}")
+
+
 def has_global_window(df: DataFrame) -> bool:
     """True if any Window in the plan sorts WITHOUT partition keys —
     the single-partition scale-killer (the whole frame funnels through
@@ -89,13 +106,28 @@ def has_global_window(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     for m in re.finditer(r"windowspecdefinition\((.*)", plan):
         head = _split_top_level(m.group(1))[0]
-        if (
-            " ASC" in head
-            or " DESC" in head
-            or head.startswith("specifiedwindowframe")
-        ):
+        if _classify_spec_head(head) in ("order", "frame"):
             return True
     return False
+
+
+def window_partition_keys(df: DataFrame) -> list[list[str]]:
+    """Partition-clause column names (attr ids stripped) of every
+    windowspecdefinition in the plan. Feeds the low-cardinality-window
+    audit: a window partitioned only by e.g. `lang` (a handful of
+    values) is the same single-task pathology as a global window,
+    sharded — every partition clause must carry an id-bearing /
+    shard-bearing key or be whitelisted with a grain justification."""
+    plan = formatted_plan(df)
+    specs: list[list[str]] = []
+    for m in re.finditer(r"windowspecdefinition\((.*)", plan):
+        keys: list[str] = []
+        for arg in _split_top_level(m.group(1)):
+            if _classify_spec_head(arg) != "partition":
+                break
+            keys.append(re.sub(r"#\d+L?", "", arg).strip())
+        specs.append(keys)
+    return specs
 
 
 def plan_profile(df: DataFrame) -> dict[str, int]:

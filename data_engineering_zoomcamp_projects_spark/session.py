@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # plan-audit helpers parse rendered windowspecdefinition args;
+        # the default field limit (25) truncates wide expression lists,
+        # which would blind the single-partition-window guard
+        .config("spark.sql.debug.maxToStringFields", "1000")
         # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
         # parquet reader rejects; read as raw long nanos, the catalog
         # converts to a microsecond timestamp (matching DuckDB's own

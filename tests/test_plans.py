@@ -189,6 +189,31 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_low_card_window_audit_detects_lang_partition(spark, sf_dir):
+    """The audit must go red on the round-3 packing pathology: a window
+    partitioned ONLY by `lang` (a handful of values). Rebuild that
+    exact plan shape and assert the detector reports a partition clause
+    with no id-bearing key — the registry-wide audit below would fail
+    it."""
+    import re
+
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    df = d.select("doc_id", F.row_number().over(w).alias("rn"))
+    keys = explain.window_partition_keys(df)
+    assert keys == [["lang"]]
+    id_bearing = re.compile(r"(_pid|key|_?id($|_))")
+    assert not any(id_bearing.search(k) for k in keys[0])
+    # and the same frame through the toolkit passes the audit
+    from data_engineering_zoomcamp_projects_spark.operators.distrank import ranked
+
+    good = ranked(d.select("doc_id", "lang"), ["lang"], [F.col("doc_id").asc()])
+    for ks in explain.window_partition_keys(good):
+        assert any(id_bearing.search(k) for k in ks), ks
+
+
 def test_registry_wide_plan_hygiene(spark, sf_dir):
     """Audit EVERY registry query's physical plan: no cartesian
     products outside the known bounded ones, no sort-merge joins (all
@@ -204,9 +229,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # this is an EXACT set, so a new unbounded product anywhere fails
     bounded_cartesian_ok = {
         "events_user_rfm", "join_cross_region_nation", "prep_vocab_topk",
-        "prep_source_mixing", "q11_part_value_share",
+        "prep_source_mixing", "prep_sequence_packing", "q11_part_value_share",
         "q22_idle_rich_customers", "sim_topk_bruteforce",
         "subq_scalar_above_avg_price", "text_tfidf_top_terms",
+        "window_rank_functions",
     }
     # iterative queries execute during construction (convergence loop)
     # and their rendered plan embeds cached/checkpointed subplan
@@ -215,12 +241,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     iterative = {"dedup_cluster_components"}
     # multi-stage composites get their own ceiling: curation fuses
     # quality gate + exact dedup + shingle near-dup + census in one
-    # plan (12 exchanges measured, each stage's shuffles semantic);
-    # events_user_rfm chains three distributed exact-ntiles whose
-    # shared range-shard subtrees the RENDERED plan duplicates (the
-    # runtime reuses the exchanges — sf0.1 wall ~2s) — every exchange
-    # in it is parallel, which is what the window audit below verifies
-    ceilings = {"pipeline_corpus_curation": 14, "events_user_rfm": 48}
+    # plan (12 exchanges measured, each stage's shuffles semantic).
+    # (round-3 note: events_user_rfm's 48-exchange waiver is GONE — the
+    # chained ntiles are barriered with lazy localCheckpoints, so the
+    # rendered plan is linear and fits the default ceiling.)
+    ceilings = {"pipeline_corpus_curation": 14}
     # queries allowed a partition-less window sort: each is proven
     # metadata-grain (days-spine gap-fill and daily moving-average:
     # |calendar days| rows after the pre-aggregation; vocab-topk:
@@ -231,6 +256,15 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "window_moving_average",
         "prep_vocab_topk",
     }
+    # low-cardinality-window whitelist: a window whose partition clause
+    # has ONLY low-card keys (no id/key/shard-bearing column) funnels
+    # |rows|/|keys| through one task — same pathology as a global sort,
+    # sharded. Entries here must justify their grain. (Currently empty:
+    # the former offenders — prep_sequence_packing, prep_source_mixing,
+    # window_rank_functions, text_langid_profile — were re-planned onto
+    # range-sharded distributed ranks.)
+    low_card_window_ok: set[str] = set()
+    id_bearing = __import__("re").compile(r"(_pid|key|_?id($|_))")
     worst = []
     for name, fn in sorted(all_queries().items()):
         if name in iterative:
@@ -244,7 +278,18 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # no partition keys funnels the whole frame through one task
         if name not in global_window_ok:
             assert not explain.has_global_window(df), name
+        # sharded variant of the same guard: every window's partition
+        # clause must carry at least one id-bearing (high-cardinality)
+        # key, or the query is whitelisted with a grain justification
+        if name not in low_card_window_ok:
+            for keys in explain.window_partition_keys(df):
+                if not keys:
+                    continue  # empty clause handled by the guard above
+                assert any(id_bearing.search(k.lower()) for k in keys), (
+                    name,
+                    keys,
+                )
         worst.append((prof["exchanges"], name))
     # every non-composite plan stays under the tight ceiling
     worst.sort(reverse=True)
-    assert sum(1 for n, _ in worst if n > 8) <= 2, worst[:5]
+    assert sum(1 for n, _ in worst if n > 8) <= 1, worst[:5]
