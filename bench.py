@@ -7,7 +7,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized with the noop sink (full plan execution,
 no driver collect). A warmup query first absorbs JVM/codegen startup
-so per-query numbers measure the plan, not the JIT.
+so per-query numbers measure the plan, not the JIT. Every query runs
+$SPARK_GRAFT_BENCH_ITERS times (default 3, warm) and reports the
+per-query MEDIAN — single-iteration numbers proved noise-fragile
+(round-2's phantom 1.80x "regression" self-resolved in round 3 with
+zero plan changes); the max/median spread per query is emitted under
+"spread" so drift is visible in the bench file itself.
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import time
 
 from data_engineering_zoomcamp_projects_spark.registry import all_queries
@@ -30,8 +36,10 @@ HEADLINE = [
     "q1_native_double",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
     "q9_product_profit",
     "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     "agg_rollup_flag_status",
     "join_range_trailing_shipments",
     "join_asof_purchase_prior_view",
@@ -41,6 +49,9 @@ HEADLINE = [
     # streaming semantics (batch mode)
     "stream_tumbling_hourly",
     "stream_session_30m",
+    # behavioral analytics (the heaviest non-LLM plans)
+    "events_user_rfm",
+    "events_funnel_stages",
     # LLM-data ops
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
@@ -62,6 +73,7 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark(app_name="bench")
@@ -74,10 +86,16 @@ def main() -> None:
         materialize(queries[names[0]](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            materialize(queries[name](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        # max/median ratio: 1.0 = perfectly stable; >1.3 = noisy query
+        spreads[name] = round(max(samples) / max(timings[name], 1e-9), 2)
 
     print(
         json.dumps(
@@ -86,6 +104,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "iters": iters,
                 "sf": sf,
             }
         )

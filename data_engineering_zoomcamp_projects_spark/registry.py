@@ -14,37 +14,41 @@ from pyspark.sql import DataFrame, SparkSession
 #:
 #: Ordering note: the correctness driver verifies registry entries in
 #: insertion order with a bounded window (50 per round). Round 1
-#: certified the classic-operator modules (relational .. subqueries),
-#: round 2 the streaming/llm/extras/tpch_plus/multimodal/curation/
-#: preparation/transform/ml half. The round-2 ADDITIONS (tpch_full,
-#: scrub, analytics — 29 entries) had no driver row yet, so for round 3
-#: they move to the FRONT so the window certifies them. Query NAMES are
-#: stable; only the iteration order changes between rounds.
+#: certified the classic-operator modules, round 2 the streaming/llm
+#: half, round 3 the round-2 additions (tpch_full/scrub/analytics).
+#: The round-4 window front-loads (a) the two queries the first three
+#: rotations orphaned (operators.subqueries: filter_predicate_suite,
+#: projection_expressions — the only oracle-backed names with no
+#: official driver row), and (b) every module whose plans changed in
+#: round 4 (distrank re-plans in windows/analytics/preparation/scrub/
+#: textstats; rows-only→oracle upgrades in similarity/dedup/
+#: multimodal) so the re-planned queries get fresh driver rows. Query
+#: NAMES are stable; only the iteration order changes between rounds.
+#: tests/test_certification.py asserts no name is ever orphaned again.
 _MODULES = [
-    # round-3 window: the previously driver-uncertified round-2 additions
-    "operators.tpch_full",
-    "llm.scrub",
+    # round-4 window (first ~50 entries)
+    "operators.subqueries",
+    "operators.windows",
     "operators.analytics",
-    # round-2 window (driver-certified in CORRECTNESS_r02.json)
-    "streaming.batch_parity",
-    "llm.dedup",
-    "llm.similarity",
+    "llm.preparation",
+    "llm.scrub",
     "llm.textstats",
+    "llm.similarity",
+    "llm.multimodal",
+    "llm.dedup",
+    # driver-certified in earlier rounds (r01/r02/r03), unchanged
+    "operators.tpch_full",
+    "streaming.batch_parity",
     "operators.extras",
     "operators.tpch_plus",
-    "llm.multimodal",
     "llm.curation",
-    "llm.preparation",
     "transform",
     "ml",
-    # round-1 window (driver-certified in CORRECTNESS_r01.json)
     "operators.relational",
     "operators.joins",
     "operators.aggregates",
-    "operators.windows",
     "operators.setops",
     "operators.scalars",
-    "operators.subqueries",
 ]
 
 

@@ -1,0 +1,68 @@
+"""Certification bookkeeping audit (round-3 verdict item 4).
+
+The correctness driver verifies registry entries in insertion order
+with a bounded window (~50 per round). Rotating the registry between
+rounds is how new additions get official driver rows — but a manual
+rotation can orphan a query from EVERY round's window (it happened:
+filter_predicate_suite and projection_expressions missed r01–r03).
+
+This test closes the loop mechanically: every oracle-backed registry
+name must either (a) already have an all-green row in some committed
+CORRECTNESS_r*.json, or (b) sit inside the CURRENT window plan (the
+first DRIVER_WINDOW entries of the registry iteration order), i.e. be
+scheduled for certification this round. A name satisfying neither is
+invisible to the driver forever — fail loudly.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from data_engineering_zoomcamp_projects_spark.registry import all_oracles, all_queries
+
+REPO = Path(__file__).resolve().parent.parent
+#: the driver's per-round verification budget (observed: 50 rows in
+#: each of CORRECTNESS_r01/r02/r03.json)
+DRIVER_WINDOW = 50
+
+
+def _green_names() -> set[str]:
+    """Names with an official all-green driver row in any round."""
+    green: set[str] = set()
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        data = json.loads(path.read_text())
+        rows = data.get("queries", data)  # tolerate either shape
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("rows_match") and row.get("schema_match") and row.get(
+                "hash_match"
+            ):
+                green.add(name)
+    return green
+
+
+def test_every_oracle_backed_query_reaches_a_driver_window():
+    green = _green_names()
+    window = list(all_queries())[:DRIVER_WINDOW]
+    orphans = [
+        name
+        for name in all_oracles()
+        if name not in green and name not in window
+    ]
+    assert not orphans, (
+        "oracle-backed queries with no official driver row AND outside "
+        f"the current {DRIVER_WINDOW}-entry window: {orphans} — "
+        "front-load them in registry._MODULES"
+    )
+
+
+def test_window_is_full_width():
+    """The rotation should never waste window slots: with more than
+    DRIVER_WINDOW registered queries, exactly DRIVER_WINDOW distinct
+    names must be in the window (guards against accidental registry
+    shrinkage making the coverage test above vacuously pass)."""
+    names = list(all_queries())
+    assert len(names) >= DRIVER_WINDOW
+    assert len(set(names[:DRIVER_WINDOW])) == DRIVER_WINDOW
