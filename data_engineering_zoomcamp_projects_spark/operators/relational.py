@@ -22,6 +22,9 @@ from ..catalog import load_table
 from .parity import (
     davg,
     dsum,
+    lavg_final,
+    lsum_final,
+    lsum_partial,
     sql_davg,
     sql_dsum,
     sql_date_str,
@@ -34,28 +37,53 @@ from .parity import (
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan -> filter -> groupBy(2) -> 8 aggregates -> sort.
+    """Scan -> filter -> two-stage groupBy -> 8 aggregates -> sort.
 
     Scale: the filter and the 7-column projection reach the parquet scan
     (PushedFilters/ReadSchema); partial aggregation happens map-side so
-    the shuffle carries only (2-key x 8-agg) partial rows — at 100 TB the
-    shuffle volume is O(partitions x groups), not O(rows).
+    the shuffle carries only O(partitions x groups) partial rows.
+
+    Accumulation runs on the scaled-long fast path (parity.lsum_*): the
+    inputs are fixed-point money values (qty integer, price/discount/tax
+    2-dp, so disc_price is exactly 4-dp and charge exactly 6-dp), which
+    long arithmetic sums exactly at ~2x the throughput of the
+    decimal(38,10) accumulator (the measured q1 parity tax vs
+    q1_native_double, BASELINE.md §3). Stage 1 groups by
+    (flag, status, partition_id) — map-side combine in pure long adds,
+    overflow-checked; stage 2 merges <= shards x 4 partial rows in exact
+    decimal and applies the identical canonical rounding, so the result
+    is bit-equal to the dsum/davg form the DuckDB oracle computes.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    partial = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.spark_partition_id().alias("_pid"),
+        )
         .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg(F.col("l_quantity"), "avg_qty"),
-            davg(F.col("l_extendedprice"), "avg_price"),
-            davg(F.col("l_discount"), "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            lsum_partial(F.col("l_quantity"), 2, "p_qty"),
+            lsum_partial(F.col("l_extendedprice"), 2, "p_base"),
+            lsum_partial(disc_price, 4, "p_disc_price"),
+            lsum_partial(charge, 6, "p_charge"),
+            lsum_partial(F.col("l_discount"), 2, "p_disc"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            lsum_final("p_qty", 2, "sum_qty"),
+            lsum_final("p_base", 2, "sum_base_price"),
+            lsum_final("p_disc_price", 4, "sum_disc_price"),
+            lsum_final("p_charge", 6, "sum_charge"),
+            lavg_final("p_qty", 2, "p_n", "avg_qty"),
+            lavg_final("p_base", 2, "p_n", "avg_price"),
+            lavg_final("p_disc", 2, "p_n", "avg_disc"),
+            F.sum("p_n").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
