@@ -136,8 +136,41 @@ QUERIES = {
     "multimodal_join_docs_embeddings": multimodal_join_docs_embeddings,
 }
 
+# The synthetic payload is unhex(md5(text)), so byte p of the blob is
+# the hex pair at substr(md5, 2p+1, 2) — which lets DuckDB recompute the
+# "decoded" features symbolically and upgrades both mapInPandas
+# pipelines from rows-only to full oracle rows (round-3 verdict item 8):
+# the oracle independently validates the whole Arrow path — binary
+# column synthesis, batch fan-out shape, dtype mapping — not just row
+# counts. (The real decoder stays a documented deploy-time stub; what
+# is checked here is exactly what the fake computes: byte arithmetic.)
+
+BINARY_FEATURES_SQL = """
+WITH bytes AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), p * 2 + 1, 2)) AS INTEGER) AS byte,
+         p
+  FROM documents,
+       (SELECT unnest(generate_series(0, 15)) AS p) pos
+)
+SELECT doc_id,
+       16 AS n_bytes,
+       CAST(MAX(CASE WHEN p = 0 THEN byte END) AS INTEGER) AS first_byte,
+       CAST(SUM(byte) % 256 AS INTEGER) AS byte_checksum
+FROM bytes
+GROUP BY doc_id
+"""
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       k AS frame_idx,
+       CAST(CAST(('0x' || substr(md5(text), k * 8 + 1, 2)) AS INTEGER)
+            AS DOUBLE) AS frame_feature
+FROM documents, (SELECT unnest(generate_series(0, 3)) AS k) f
+"""
+
 ORACLES = {
-    # binary_features / frame_sample: rows-only (fake-decoder semantics,
-    # pinned exactly by unit tests against hashlib)
+    "multimodal_binary_features": BINARY_FEATURES_SQL,
+    "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "multimodal_join_docs_embeddings": MULTIMODAL_JOIN_SQL,
 }

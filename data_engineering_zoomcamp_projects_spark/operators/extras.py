@@ -137,6 +137,38 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_hash_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deterministic Bernoulli sampling: keep a row iff the
+    md5-derived uniform of its KEY falls under the fraction. This is
+    the sampler a 100 TB pipeline actually wants — `sample(seed)`'s RNG
+    stream depends on partition layout, so a repartition or a different
+    cluster silently changes the sample, while a key hash is stable
+    under any partitioning, engine, and scale (and cheap: one md5 per
+    row, no shuffle, fully pushdown-compatible). 10%% of lineitem keyed
+    on (orderkey, linenumber); oracle computes the identical hash in
+    DuckDB, so the driver certifies the sample MEMBERSHIP, not just its
+    size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return li.filter(u % 1000 < 100).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+SAMPLE_HASH_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 15))
+           AS BIGINT) % 1000 < 100
+"""
+
+
 QUERIES = {
     "agg_collect_sets": agg_collect_sets,
     "agg_percentiles": agg_percentiles,
@@ -144,6 +176,7 @@ QUERIES = {
     "unpivot_quantities": unpivot_quantities,
     "posexplode_tokens": posexplode_tokens,
     "sample_fraction": sample_fraction,
+    "sample_hash_reproducible": sample_hash_reproducible,
 }
 
 ORACLES = {
@@ -152,7 +185,9 @@ ORACLES = {
     # agg_percentile_approx: rows-only (sketch)
     "unpivot_quantities": UNPIVOT_SQL,
     "posexplode_tokens": POSEXPLODE_SQL,
-    # sample_fraction: rows-only (engine-specific RNG)
+    # sample_fraction: rows-only (engine-specific RNG); its reproducible
+    # twin below is fully oracle-checked
+    "sample_hash_reproducible": SAMPLE_HASH_SQL,
 }
 
 

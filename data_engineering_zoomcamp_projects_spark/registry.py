@@ -16,17 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 #: insertion order with a bounded window (50 per round). Round 1
 #: certified the classic-operator modules, round 2 the streaming/llm
 #: half, round 3 the round-2 additions (tpch_full/scrub/analytics).
-#: The round-4 window front-loads (a) the two queries the first three
-#: rotations orphaned (operators.subqueries: filter_predicate_suite,
-#: projection_expressions — the only oracle-backed names with no
-#: official driver row), and (b) every module whose plans changed in
-#: round 4 (distrank re-plans in windows/analytics/preparation/scrub/
-#: textstats; rows-only→oracle upgrades in similarity/dedup/
-#: multimodal) so the re-planned queries get fresh driver rows. Query
-#: NAMES are stable; only the iteration order changes between rounds.
-#: tests/test_certification.py asserts no name is ever orphaned again.
+#: Query NAMES are stable; only the iteration order changes between
+#: rounds. tests/test_certification.py asserts no oracle-backed name
+#: can fall outside every round's window.
 _MODULES = [
-    # round-4 window (first ~50 entries)
+    # round-4 window bulk (after _FRONT): modules whose plans changed
+    # this round, so their untouched siblings get fresh rows too
     "operators.subqueries",
     "operators.windows",
     "operators.analytics",
@@ -37,9 +32,9 @@ _MODULES = [
     "llm.multimodal",
     "llm.dedup",
     # driver-certified in earlier rounds (r01/r02/r03), unchanged
+    "operators.extras",
     "operators.tpch_full",
     "streaming.batch_parity",
-    "operators.extras",
     "operators.tpch_plus",
     "llm.curation",
     "transform",
@@ -49,6 +44,30 @@ _MODULES = [
     "operators.aggregates",
     "operators.setops",
     "operators.scalars",
+]
+
+#: Names hoisted to the very head of the iteration order — the queries
+#: that NEED a driver row this round (never certified, plan re-designed,
+#: or oracle newly added), regardless of which module they live in. The
+#: remaining window slots fill from _MODULES order above. Update this
+#: list each round alongside the module rotation.
+_FRONT = [
+    # orphaned by the r1-r3 rotations (never driver-certified)
+    "filter_predicate_suite",
+    "projection_expressions",
+    # plans re-designed in round 4
+    "q1_pricing_summary",
+    "window_rank_functions",
+    "events_user_rfm",
+    "prep_sequence_packing",
+    "prep_source_mixing",
+    "text_langid_profile",
+    # rows-only -> full oracle upgrades in round 4
+    "dedup_simhash",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    # new in round 4
+    "sample_hash_reproducible",
 ]
 
 
@@ -65,7 +84,12 @@ def _collect(attr: str) -> dict:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _collect("QUERIES")
+    out = _collect("QUERIES")
+    missing = [n for n in _FRONT if n not in out]
+    if missing:
+        raise ValueError(f"_FRONT names not in any module: {missing}")
+    front = {n: out[n] for n in _FRONT}
+    return front | {n: f for n, f in out.items() if n not in front}
 
 
 def all_oracles() -> dict[str, str]:
