@@ -219,35 +219,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # features = 5-gram shingles, not unigrams: the corpus vocabulary is
     # tiny so unigram token SETS are near-identical across documents —
-    # shingles make the fingerprint discriminative
-    hashes = F.transform(
-        shingles(F.col("text")),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-    )
-    fp = d.select("doc_id", hashes.alias("hs"))
-    # one signed vote per bit position across token hashes, packed
-    # directly into 4 x 15-bit blocks (bit positions are Python ints —
-    # shift amounts must be literals for the native bit ops)
-    def _vote_fn(bitpos: int):
-        # NB: the merge lambda must take EXACTLY two params — a default
-        # arg would be seen as a third lambda variable by PySpark
-        def merge(acc, h):
-            return acc + (
-                F.shiftrightunsigned(h, bitpos).bitwiseAND(F.lit(1)) * 2 - 1
+    # shingles make the fingerprint discriminative.
+    #
+    # Vote shape: explode shingles to (doc_id, h) rows, hash each
+    # shingle ONCE, then one groupBy(doc_id) carrying 60 per-bit signed
+    # sums. All whole-stage-codegen arithmetic — the earlier form (60
+    # F.aggregate HOF passes over the hash array) ran the interpreted
+    # lambda per element per bit AND let projection collapse re-inline
+    # the hash into every pass; this shape measured ~4x faster at sf0.1.
+    # Map-side partial aggregation makes the shuffle O(docs x 60 longs).
+    hs = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                shingles(F.col("text")),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                    "long"
+                ),
             )
-
-        return merge
-
+        ).alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    fp = hs.groupBy("doc_id").agg(*votes)
+    # pack votes into 4 x 15-bit blocks (bit positions are Python ints —
+    # shift amounts must be literals for the native bit ops)
     for blk in range(4):
         block_val = F.lit(0).cast("long")
         for j in range(15):
-            vote = F.aggregate(
-                F.col("hs"), F.lit(0).cast("long"), _vote_fn(blk * 15 + j)
+            bit = (
+                F.when(F.col(f"v{blk * 15 + j}") > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
             )
-            bit = F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
             block_val = block_val * 2 + bit
         fp = fp.withColumn(f"blk{blk}", block_val)
-    fp = fp.drop("hs")
+    fp = fp.drop(*[f"v{b}" for b in range(60)])
 
     blocks = fp.select(
         "doc_id",

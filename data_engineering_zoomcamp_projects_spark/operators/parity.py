@@ -136,6 +136,29 @@ def lavg_final(
     return F.round(quotient.cast(DEC), scale).cast("double").alias(alias)
 
 
+def lsum1(col: Column, s: int, alias: str, scale: int = 2) -> Column:
+    """Single-stage dsum on the scaled-long fast path, for
+    HIGH-CARDINALITY groupings where the (keys, partition_id) two-stage
+    form would double the agg state for nothing. Overflow bound is per
+    GROUP here (group_rows x max|x| x 10^s < 2^63), so use only where
+    the grain bounds rows-per-group (per-order lineitems, per-customer
+    orders, per-day events at documented SF) — for global or
+    low-cardinality groupings use lsum_partial/lsum_final. Same
+    non-negative exact-s-dp input contract, same canonical result as
+    dsum."""
+    exact = F.sum(scaled_long(col, s)).cast(DEC) / F.lit(10**s)
+    return F.round(exact, scale).cast("double").alias(alias)
+
+
+def lsum1_0(col: Column, s: int, alias: str, scale: int = 2) -> Column:
+    """lsum1 with dsum0's null-free contract (empty/all-null group ->
+    0.0)."""
+    exact = F.coalesce(F.sum(scaled_long(col, s)), F.lit(0)).cast(DEC) / F.lit(
+        10**s
+    )
+    return F.round(exact, scale).cast("double").alias(alias)
+
+
 def ts_str(col: Column, alias: str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
     """Render a timestamp to a canonical string (session tz is UTC)."""
     return F.date_format(col, fmt).alias(alias)
