@@ -23,6 +23,7 @@ from .parity import (
     davg,
     dsum,
     lavg_final,
+    lsum1,
     lsum_final,
     lsum_partial,
     sql_davg,
@@ -134,7 +135,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        # scaled-long fast path: revenue is an exact non-negative 4-dp
+        # value; per-order group size is bounded (<= 7 lineitems), so
+        # the single-stage long sum cannot overflow
+        .agg(lsum1(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
         .select(
             F.col("o_orderkey"),
             date_str(F.col("o_orderdate"), "o_orderdate"),
@@ -195,8 +199,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(nation, sup.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
+        # low-cardinality grouping (25 nations): two-stage scaled-long —
+        # long partials per (nation, partition_id), exact decimal merge
+        .groupBy("n_name", F.spark_partition_id().alias("_pid"))
+        .agg(
+            lsum_partial(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "p_rev"
+            )
+        )
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(lsum_final("p_rev", 4, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 

@@ -34,7 +34,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .parity import DEC, davg, drnd, dsum, sql_davg, sql_drnd, sql_dsum
+from .parity import (
+    DEC,
+    davg,
+    drnd,
+    dsum,
+    lsum1,
+    lsum_final,
+    lsum_partial,
+    sql_davg,
+    sql_drnd,
+    sql_dsum,
+)
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
@@ -144,9 +155,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
+        .groupBy(F.spark_partition_id().alias("_pid"))
         .agg(
-            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
+            lsum_partial(F.col("l_extendedprice") * F.col("l_discount"), 4, "p_rev"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+        .agg(
+            lsum_final("p_rev", 4, "revenue"),
+            F.sum("p_n").alias("n_lines"),
         )
     )
 
@@ -230,7 +246,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
-        .agg(dsum(_rev(li), "revenue"))
+        # per-customer grain (~10 orders x 7 lines, SF-invariant):
+        # single-stage scaled-long on the exact 4-dp revenue
+        .agg(lsum1(_rev(li), 4, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -365,7 +383,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    rev = li.groupBy("l_suppkey").agg(dsum(_rev(li), "total_rev"))
+    rev = li.groupBy("l_suppkey").agg(lsum1(_rev(li), 4, "total_rev"))
     top = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
         rev.crossJoin(F.broadcast(top))
@@ -448,9 +466,14 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
+        .groupBy(F.spark_partition_id().alias("_pid"))
         .agg(
-            dsum(_rev(li), "revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
+            lsum_partial(_rev(li), 4, "p_rev"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+        .agg(
+            lsum_final("p_rev", 4, "revenue"),
+            F.sum("p_n").alias("n_lines"),
         )
     )
 
@@ -478,7 +501,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.year("l_shipdate") == 1997)
         .join(F.broadcast(part_keys), li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
-        .agg(dsum(F.col("l_quantity"), "qty"))
+        .agg(lsum1(F.col("l_quantity"), 2, "qty"))
         .filter(F.col("qty") > 300.0)
     )
     return (

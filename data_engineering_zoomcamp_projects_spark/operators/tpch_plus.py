@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .parity import dsum, sql_dsum
+from .parity import dsum, lsum1, lsum_final, lsum_partial, sql_dsum
 
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,6 +40,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n2.n_name").alias("cust_nation"),
             F.year("l_shipdate").alias("ship_year"),
         )
+        # low-cardinality grouping: two-stage scaled-long (4-dp revenue)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
@@ -83,8 +84,34 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("order_year"),
+            F.spark_partition_id().alias("_pid"),
         )
-        .agg(dsum(profit, "profit"))
+        # profit is signed, so the scaled-long fast path sums its two
+        # non-negative 4-dp components separately (sum(a-b) = sum a -
+        # sum b, exact in integer arithmetic) and subtracts in the
+        # exact-decimal merge; grouping is low-cardinality (nation x
+        # year) so partials go per (keys, partition_id)
+        .agg(
+            lsum_partial(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "p_pos"
+            ),
+            lsum_partial(
+                F.col("l_quantity") * F.col("l_tax") * 100.0, 4, "p_neg"
+            ),
+        )
+        .groupBy("nation", "order_year")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("p_pos").cast("decimal(38,0)"))
+                    - F.sum(F.col("p_neg").cast("decimal(38,0)"))
+                ).cast("decimal(38,10)")
+                / F.lit(10**4),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
         .orderBy("nation", F.col("order_year").desc())
     )
 
@@ -142,7 +169,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum(F.col("l_quantity"), "order_qty"))
+        # per-order grain (<= 7 lineitems): single-stage scaled-long
+        .agg(lsum1(F.col("l_quantity"), 2, "order_qty"))
         .filter(F.col("order_qty") > 200.0)
     )
     return (
@@ -207,9 +235,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        # global aggregate: two-stage scaled-long via partition_id
+        .groupBy(F.spark_partition_id().alias("_pid"))
         .agg(
-            dsum(F.col("l_extendedprice"), "small_qty_revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
+            lsum_partial(F.col("l_extendedprice"), 2, "p_rev"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+        .agg(
+            lsum_final("p_rev", 2, "small_qty_revenue"),
+            F.sum("p_n").alias("n_lines"),
         )
     )
 
