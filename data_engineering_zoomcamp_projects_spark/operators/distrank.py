@@ -127,15 +127,27 @@ def rank_family(
     joins back on that same high-cardinality composite key (equi-join:
     tie_cols must be non-null, the usual rank-query contract). The
     group/total frames re-read `ranked`'s checkpointed RDD, not the
-    source scan, so the base frame is computed once."""
+    source scan, so the base frame is computed once.
+
+    dense_rank runs as a PLAIN window over the tie-group frame: that
+    frame is metadata-grain (|distinct (part, tie) values| rows — for
+    rank queries over categorical orderings, orders of magnitude below
+    the input), so the full range-shard machinery would be pure fixed
+    overhead there. Callers whose tie values are NOT bounded (ranking
+    by a continuous measure) get their scale safety from `ranked`
+    itself — dense_rank over near-unique ties degenerates to row_number
+    and should be computed as such."""
     asc_ties = [F.col(c).asc_nulls_last() for c in tie_cols]
     r = ranked(df, part_cols, asc_ties + list(tiebreak_cols), out="_rn")
     groups = r.groupBy(*part_cols, *tie_cols).agg(
         F.min("_rn").alias("_rank"), F.count(F.lit(1)).alias("_ties")
     )
-    groups = ranked(groups, part_cols, asc_ties, out="_drank")
+    w = Window.partitionBy(*part_cols).orderBy(*asc_ties)
+    groups = groups.withColumn("_drank", F.dense_rank().over(w).cast("long"))
     totals = part_totals(r, part_cols)
-    out = r.join(groups, [*part_cols, *tie_cols]).join(
+    # the tie-group and totals frames are metadata-sized — broadcast
+    # both so the ranked frame never re-shuffles for the join-back
+    out = r.join(F.broadcast(groups), [*part_cols, *tie_cols]).join(
         F.broadcast(totals), part_cols
     )
     n = F.col("_n_part")

@@ -245,7 +245,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # (round-3 note: events_user_rfm's 48-exchange waiver is GONE — the
     # chained ntiles are barriered with lazy localCheckpoints, so the
     # rendered plan is linear and fits the default ceiling.)
-    ceilings = {"pipeline_corpus_curation": 14}
+    # window_rank_functions: the full 6-function rank family derives
+    # three consumers (rows, tie-groups, totals) from ONE checkpointed
+    # range-shard; the pre-execution render duplicates that subtree per
+    # consumer (10 exchanges, measured), runtime materializes it once.
+    ceilings = {"pipeline_corpus_curation": 14, "window_rank_functions": 10}
     # queries allowed a partition-less window sort: each is proven
     # metadata-grain (days-spine gap-fill and daily moving-average:
     # |calendar days| rows after the pre-aggregation; vocab-topk:
@@ -259,11 +263,15 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # low-cardinality-window whitelist: a window whose partition clause
     # has ONLY low-card keys (no id/key/shard-bearing column) funnels
     # |rows|/|keys| through one task — same pathology as a global sort,
-    # sharded. Entries here must justify their grain. (Currently empty:
-    # the former offenders — prep_sequence_packing, prep_source_mixing,
-    # window_rank_functions, text_langid_profile — were re-planned onto
-    # range-sharded distributed ranks.)
-    low_card_window_ok: set[str] = set()
+    # sharded. Entries here must justify their grain. (The former
+    # offenders — prep_sequence_packing, prep_source_mixing,
+    # text_langid_profile — were re-planned onto range-sharded
+    # distributed ranks.)
+    # window_rank_functions: its row_number runs distributed via
+    # distrank.ranked; the one remaining plain window is dense_rank over
+    # the TIE-GROUP frame — |distinct (status, priority)| = 15 rows,
+    # metadata grain (see distrank.rank_family docstring).
+    low_card_window_ok: set[str] = {"window_rank_functions"}
     id_bearing = __import__("re").compile(r"(_pid|key|_?id($|_))")
     worst = []
     for name, fn in sorted(all_queries().items()):
