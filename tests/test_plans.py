@@ -298,6 +298,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
                     keys,
                 )
         worst.append((prof["exchanges"], name))
-    # every non-composite plan stays under the tight ceiling
+    # every plan over the tight default ceiling must be one of the
+    # explicitly-justified composites above — and that set stays small
     worst.sort(reverse=True)
-    assert sum(1 for n, _ in worst if n > 8) <= 1, worst[:5]
+    over = {name for n, name in worst if n > 8}
+    assert over <= set(ceilings), sorted(over - set(ceilings))
+    assert len(ceilings) <= 2, "justified-ceiling set is growing — audit it"
