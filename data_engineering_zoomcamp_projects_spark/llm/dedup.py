@@ -312,7 +312,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     above double summation error for 64-dim unit-scale vectors, so no
     true >= 0.35 pair can be lost — measured 18 s -> ~6 s at sf0.1
     (pairs near the threshold are a tiny fraction of the block)."""
-    from ..functions.vector import dot_dec, dot_double, norm
+    from ..functions.vector import dot_dec, dot_double_fixed, norm
 
     e = (
         load_table(spark, sf_dir, "embeddings")
@@ -322,7 +322,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.alias("a")
     b = e.alias("b")
     denom = F.col("a.vnorm") * F.col("b.vnorm")
-    cos_fast = dot_double(F.col("a.v"), F.col("b.v")) / denom
+    # unrolled fixed-dim dot: stays in whole-stage codegen (the HOF
+    # form walks the interpreted evaluator per element — measured 4x)
+    cos_fast = dot_double_fixed(F.col("a.v"), F.col("b.v"), 64) / denom
     cos_exact = dot_dec(F.col("a.v"), F.col("b.v")).cast("double") / denom
     return (
         a.join(

@@ -226,7 +226,11 @@ ORACLES = {
 
 def _dot_double(a: Column, b: Column) -> Column:
     """Plain double dot product — used for IVF cell ASSIGNMENT, where
-    only the argmax matters (no cross-engine parity needed)."""
+    only the argmax matters (no cross-engine parity needed). Stays the
+    zip_with/aggregate HOF: inside a transform lambda the unrolled
+    fixed-dim tree re-evaluates its element_at(codebook, i) operand per
+    term and measured 4.5x SLOWER — the unrolled form only wins at
+    top-level projection/filter context (see dedup_embedding_cosine)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
