@@ -20,7 +20,17 @@ def shingles(col: Column, n: int = 5) -> Column:
 
     transform(sequence(1, len-n+1), i -> array_join(slice(toks,i,n))) —
     all native; documents shorter than n yield one truncated shingle,
-    matching the oracle's slice semantics."""
+    matching the oracle's slice semantics.
+
+    MEASURED DEAD END (round 4, keep the strings): keying shingles by
+    xxhash64 over a slice of per-token hashes (skipping the string
+    join) benched 4x FASTER standalone feeding a map-side partial agg
+    (0.35s vs 1.49s full explode at sf0.1) but consistently SLOWER
+    feeding a shuffle — the only downstream the real dedup/curation
+    pipelines have (exploded pair-join: 1.9s vs 1.37s shuffle-write,
+    4.0s vs 2.9s end-to-end; identical row counts, plans, and exchange
+    structure — the flip reproduces across sessions and orderings).
+    Don't re-attempt without profiling the shuffle-write path first."""
     t = tokens(col)
     return F.array_distinct(
         F.transform(
