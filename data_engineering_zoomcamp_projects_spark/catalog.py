@@ -40,10 +40,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; Catalyst handles column pruning and
     predicate pushdown into this parquet read.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads only
-    as a raw long (see session.py nanosAsLong); convert to a
-    microsecond-precision timestamp exactly the way DuckDB does
-    (truncating integer division), so oracle comparisons agree.
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: TIMESTAMP(NANOS), which Spark reads only as a raw long
+    (see session.py nanosAsLong) and we convert with DuckDB's truncating
+    integer division, and TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    which Spark >= 3.4 infers as TIMESTAMP_NTZ. Both are normalized to
+    session-local TIMESTAMP here (session tz pinned to UTC, so the
+    NTZ -> LTZ cast is a numeric identity): downstream operators use
+    instant functions (unix_micros, window()) that reject NTZ, and the
+    DuckDB oracle reads the same bytes as naive-UTC either way.
     """
     # defensive: both confs are runtime-settable, and an externally
     # built session (the grading driver's) won't have them — without
@@ -58,8 +63,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -31,7 +31,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: schema of events.parquet as stored (ts is raw nanos — see catalog.py)
+#: schema of events.parquet in its legacy layout (ts is raw TIMESTAMP(NANOS)
+#: read as long — see catalog.py; newer testdata generations store µs and are
+#: detected per-directory in load_events_stream)
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -51,8 +53,13 @@ def load_events_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events table (one file = one batch in
-    tests; a directory of arriving files in production). Nanos -> µs
-    timestamp conversion matches the batch catalog.
+    tests; a directory of arriving files in production). `ts`
+    normalization matches the batch catalog: legacy nanos-as-long files
+    get the truncating nanos -> µs conversion, µs-no-tz files a
+    NTZ -> session-UTC cast. A streaming source needs its schema fixed
+    up front, so the layout is probed once with a batch read of the same
+    glob (footer-only — no data scan); all files behind one stream must
+    share a layout, which holds for the testdata generations.
 
     ``max_files_per_trigger`` bounds each micro-batch to N source files
     — in production it paces reprocessing of a large backlog; in tests
@@ -61,8 +68,11 @@ def load_events_stream(
     # defensive for externally built sessions (see catalog.load_table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probe = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    ts_type = dict(probe.dtypes).get("ts")
+    schema = EVENTS_FILE_SCHEMA if ts_type == "bigint" else probe.schema
     reader = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(schema)
         # file stream sources take a directory; select just the events
         # table out of the shared testdata dir
         .option("pathGlobFilter", glob)
@@ -70,7 +80,11 @@ def load_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -38,3 +38,15 @@ def test_entry_schema_stable(spark):
         "avg_disc",
         "count_order",
     ]
+
+
+def test_events_ts_normalized_to_session_timestamp(spark, sf_dir):
+    """events.ts must load as session-tz TIMESTAMP whatever the parquet
+    physical layout (TIMESTAMP(NANOS)-as-long in early testdata
+    generations, µs TIMESTAMP_NTZ in later ones): instant functions
+    (unix_micros, window()) reject NTZ, and a raw long would break every
+    date/window operator. Guards the load_table normalization branch."""
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
