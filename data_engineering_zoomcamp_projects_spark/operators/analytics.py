@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .parity import DEC, dsum, sql_dsum
+from .parity import DEC, dsum, sql_dsum, ts_str
 
 
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,6 +328,85 @@ GROUP BY day ORDER BY day
 """
 
 
+#: inactivity gap that closes a session (the same 30 minutes the
+#: streaming session_window twin uses — streaming/batch_parity.py)
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: assign every event a per-user session
+    sequence number (a >30-minute silence starts a new session), then
+    roll up to session grain — start/end, event count, decimal-exact
+    value sum. This is the session-ID ASSIGNMENT op (the table a
+    product-analytics warehouse joins everything else against);
+    `stream_session_30m` is its windowed-aggregate streaming twin.
+
+    One shuffle does all the window work: the gap flag (lag) and the
+    running flag-sum share the same (user_id, ts, event_id) partition
+    and ordering, so Catalyst plans a single Window operator chain over
+    one exchange; the session-grain groupBy is the only other shuffle.
+    user_id is a high-cardinality key — no task ever sees more than one
+    user's events, so the plan survives any corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts"))
+    order = [micros.asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap = micros - F.lag(micros).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0).alias(
+            "is_start"
+        ),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.withColumn(
+        "session_seq", F.sum("is_start").over(wrun).cast("int")
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("_t0"),
+            F.max("ts").alias("_t1"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "session_value"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            ts_str(F.col("_t0"), "session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            ts_str(F.col("_t1"), "session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value', 'session_value')}
+FROM sess GROUP BY 1, 2
+"""
+
+
 def timeseries_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: project sparse observations (big
     purchases) onto the full daily calendar — zero-fill the per-day
@@ -392,6 +471,7 @@ QUERIES = {
     "events_funnel_stages": events_funnel_stages,
     "events_user_rfm": events_user_rfm,
     "events_daily_actives": events_daily_actives,
+    "events_sessionize": events_sessionize,
 }
 
 ORACLES = {
@@ -400,4 +480,5 @@ ORACLES = {
     "events_funnel_stages": FUNNEL_SQL,
     "events_user_rfm": RFM_SQL,
     "events_daily_actives": DAILY_ACTIVES_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
 }

@@ -169,6 +169,47 @@ WHERE CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 15))
 """
 
 
+#: per-language keep rates in permille — the language-rebalancing mix a
+#: pretraining pipeline applies (downsample the dominant language,
+#: keep the rest whole). Languages absent from the map keep 100%.
+_STRATA_PERMILLE = {"en": 250}
+
+
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified content-deterministic sampling: per-language keep
+    rates applied via the same md5-keyed uniform as
+    ``sample_hash_reproducible`` — the corpus-rebalancing op (downweight
+    the dominant language) every multilingual pretraining mix needs.
+
+    Scale: pure map-side filter — no shuffle, no per-stratum global
+    sort or count (a rank-based "top N per language" would funnel each
+    language through one task or need the distributed-rank machinery;
+    rate-based hashing needs neither), membership stable under any
+    partitioning and cluster size. The oracle computes the identical
+    hash, so the driver certifies per-row MEMBERSHIP."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rate_map = F.create_map(
+        *[c for k, v in _STRATA_PERMILLE.items() for c in (F.lit(k), F.lit(v))]
+    )
+    rate = F.coalesce(F.element_at(rate_map, F.col("lang")), F.lit(1000))
+    return d.filter(u % 1000 < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _STRATA_PERMILLE.items()
+)
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000 < CASE lang {_STRATA_CASE} ELSE 1000 END
+"""
+
+
 QUERIES = {
     "agg_collect_sets": agg_collect_sets,
     "agg_percentiles": agg_percentiles,
@@ -177,6 +218,7 @@ QUERIES = {
     "posexplode_tokens": posexplode_tokens,
     "sample_fraction": sample_fraction,
     "sample_hash_reproducible": sample_hash_reproducible,
+    "sample_stratified_by_lang": sample_stratified_by_lang,
 }
 
 ORACLES = {
@@ -188,6 +230,7 @@ ORACLES = {
     # sample_fraction: rows-only (engine-specific RNG); its reproducible
     # twin below is fully oracle-checked
     "sample_hash_reproducible": SAMPLE_HASH_SQL,
+    "sample_stratified_by_lang": SAMPLE_STRATIFIED_SQL,
 }
 
 

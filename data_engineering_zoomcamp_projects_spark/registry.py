@@ -68,6 +68,8 @@ _FRONT = [
     "multimodal_frame_sample",
     # new in round 4
     "sample_hash_reproducible",
+    "events_sessionize",
+    "sample_stratified_by_lang",
 ]
 
 
