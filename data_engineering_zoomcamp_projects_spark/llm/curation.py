@@ -4,8 +4,10 @@ expressed as ONE declarative plan so Catalyst fuses the stages.
 
 This is the flow a 100 TB pretraining-data pipeline actually runs; each
 stage reuses the operators proven individually (text_quality_scores,
-dedup_exact, dedup_shingle_jaccard). Near-dup removal keeps the lower
-doc_id of each >=0.8-Jaccard pair (deterministic survivor rule).
+dedup_exact, and the minhash-LSH near-dup path — pair-identical to the
+exact shingle join the oracle keeps, see minhash_lsh_pairs). Near-dup
+removal keeps the lower doc_id of each >=0.8-Jaccard pair
+(deterministic survivor rule).
 """
 
 from __future__ import annotations
@@ -14,8 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import shingles, sql_shingle_cte
-from .dedup import JACCARD_THRESHOLD
+from ..functions.text import sql_shingle_cte
+from .dedup import JACCARD_THRESHOLD, minhash_lsh_pairs
 
 
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,26 +32,14 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = quality.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     survivors = quality.join(exact_keep, ["text", "doc_id"], "left_semi")
 
-    # near-dup pairs among survivors (hashed 5-gram shingles)
-    sh = survivors.select(
-        "doc_id",
-        F.explode(F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))).alias("s"),
-    )
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("common"))
-        .join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
-        .join(cnt.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
-        .filter(
-            F.col("common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
-            >= JACCARD_THRESHOLD
-        )
-    )
-    drop_ids = pairs.select(F.col("db").alias("doc_id")).distinct()
+    # near-dup pairs among survivors via the banded-LSH scale path —
+    # linear in candidates, not quadratic in shingle-bucket sizes. The
+    # oracle keeps the exact shingle self-join; the two pair sets are
+    # identical at these parameters (minhash_lsh_pairs docstring, and
+    # the subset argument there: survivor signatures don't depend on
+    # the dropped docs)
+    pairs = minhash_lsh_pairs(survivors.select("doc_id", "text"))
+    drop_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     curated = survivors.join(drop_ids, "doc_id", "left_anti")
 
     return (

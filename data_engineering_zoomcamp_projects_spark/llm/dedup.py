@@ -123,8 +123,9 @@ WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= {JA
 """
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup detection, exact-verified.
+def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs at >= JACCARD_THRESHOLD
+    from any (doc_id, text) frame — MinHash + banded LSH, exact-verified.
 
     Pipeline (all native expressions, one pass over shingles):
       1. 32 minhash values per doc: min over shingles of
@@ -135,10 +136,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       4. Exact Jaccard verification on candidates only, via
          array_intersect of the distinct-shingle arrays.
 
-    Shares the exact-Jaccard oracle: at these banding parameters the
-    LSH miss probability at j >= 0.8 is ~8e-8.
+    Signatures depend only on each doc's own text, so running this on
+    any SUBSET of a corpus yields exactly the full-corpus pair set
+    restricted to that subset — callers may pre-filter freely (the
+    curation pipeline runs it on quality-gated survivors).
+
+    Equals the exact shingle self-join at these banding parameters
+    (miss probability ~8e-8 at j >= 0.8; pinned exactly equal by
+    tests/test_llm.py::test_minhash_equals_exact_jaccard), while
+    staying linear in candidates instead of quadratic in bucket sizes.
     """
-    d = load_table(spark, sf_dir, "documents")
     docs = d.select("doc_id", shingles(F.col("text")).alias("sh_arr"))
     # hash each shingle string ONCE; the 32 permutations re-hash the
     # 8-byte value, not the string (~3x cheaper at scale)
@@ -191,7 +198,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return verified.select(
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection over the documents table
+    (see ``minhash_lsh_pairs``). Shares the exact-Jaccard oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d).select(
         "doc_a",
         "doc_b",
         F.round(F.col("jaccard").cast("decimal(38,10)"), 6)

@@ -240,8 +240,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # per round — audited separately by their own tests
     iterative = {"dedup_cluster_components"}
     # multi-stage composites get their own ceiling: curation fuses
-    # quality gate + exact dedup + shingle near-dup + census in one
-    # plan (12 exchanges measured, each stage's shuffles semantic).
+    # quality gate + exact dedup + LSH near-dup + census in one
+    # plan (11 exchanges measured, each stage's shuffles semantic).
     # (round-3 note: events_user_rfm's 48-exchange waiver is GONE — the
     # chained ntiles are barriered with lazy localCheckpoints, so the
     # rendered plan is linear and fits the default ceiling.)
@@ -249,7 +249,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # three consumers (rows, tie-groups, totals) from ONE checkpointed
     # range-shard; the pre-execution render duplicates that subtree per
     # consumer (10 exchanges, measured), runtime materializes it once.
-    ceilings = {"pipeline_corpus_curation": 14, "window_rank_functions": 10}
+    ceilings = {"pipeline_corpus_curation": 12, "window_rank_functions": 10}
     # queries allowed a partition-less window sort: each is proven
     # metadata-grain (days-spine gap-fill and daily moving-average:
     # |calendar days| rows after the pre-aggregation; vocab-topk:
