@@ -251,28 +251,61 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The codebook is MODEL STATE, not data: O(k x d) floats (here ~94
     # x 64), trained/derived once and shipped to every task — so a
     # driver-side collect is the correct pattern (same role as a
-    # broadcast k-means model in any IVF index). Folding it into a
-    # literal array lets cell assignment run MAP-SIDE: the corpus never
-    # shuffles for assignment (the old formulation re-exchanged the full
-    # corpus keyed on the 64-dim vector column).
+    # broadcast k-means model in any IVF index). It rides as a ONE-ROW
+    # broadcast frame cross-joined onto the scan, so cell assignment
+    # runs MAP-SIDE: the corpus never shuffles for assignment (an early
+    # formulation re-exchanged the full corpus keyed on the 64-dim
+    # vector column). A broadcast row beats inlining the k x d values
+    # as literal arrays: the literal form re-pays ~1.5s of plan
+    # analysis/codegen on EVERY invocation (measured at bench scale),
+    # while the broadcast keeps the plan tree model-size-independent —
+    # the pattern that still works when the codebook is 65536 x 1024.
     codebook = [
         (r["cent_id"], r["cv"])
         for r in corpus.filter(F.col("vec_id") % 53 == 0)
         .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
         .collect()
     ]
-    # two SINGLE Literal nodes (array<long>, array<array<double>>)
-    # instead of a k x d tree of scalar literals: Catalyst analysis and
-    # codegen see 2 nodes, not ~6000
-    cent_ids_lit = F.lit([int(cid) for cid, _ in codebook])
-    cent_vecs_lit = F.lit([[float(x) for x in cv] for _, cv in codebook])
+    cb = spark.createDataFrame(
+        [
+            (
+                [int(cid) for cid, _ in codebook],
+                [[float(x) for x in cv] for _, cv in codebook],
+            )
+        ],
+        "cent_ids array<bigint>, cent_vecs array<array<double>>",
+    )
+    cent_ids_lit = F.col("cent_ids")
+    cent_vecs_lit = F.col("cent_vecs")
     idx = F.sequence(F.lit(1), F.lit(len(codebook)))
 
     def nearest_cells(df, vec_col, out_col, n_keep):
         """Per-row top-n centroid ids, computed with native HOFs over
         the folded codebook: dot each centroid (zip_with + aggregate),
-        sort by (sim desc, cent_id asc), keep n — no join, no shuffle,
-        no Python."""
+        then pick n by (sim desc, cent_id asc) — no join, no shuffle,
+        no Python.
+
+        n_keep == 1 (the corpus side — every vector, every batch) takes
+        a single-pass array_max over struct(sim, -cent_id): struct
+        ordering is lexicographic, so the max is exactly the (sim desc,
+        cent_id asc) head without the comparator-lambda sort, whose
+        ~k log k interpreted comparator calls per row cost 1.6x more
+        (measured, and pinned equal). n_probe > 1 (the tiny query side)
+        keeps the sort."""
+        df = df.crossJoin(F.broadcast(cb))
+        if n_keep == 1:
+            scored_arr = F.transform(
+                idx,
+                lambda i: F.struct(
+                    _dot_double(
+                        F.col(vec_col), F.element_at(cent_vecs_lit, i)
+                    ).alias("sim"),
+                    (-F.element_at(cent_ids_lit, i)).alias("neg_id"),
+                ),
+            )
+            return df.withColumn(
+                out_col, -F.array_max(scored_arr)["neg_id"]
+            ).drop("cent_ids", "cent_vecs")
         scored_arr = F.transform(
             idx,
             lambda i: F.struct(
@@ -291,7 +324,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0)),
         )
         top_ids = F.transform(F.slice(ranked, 1, n_keep), lambda s: s["cent_id"])
-        return df.withColumn(out_col, F.explode(top_ids))
+        return df.withColumn(out_col, F.explode(top_ids)).drop(
+            "cent_ids", "cent_vecs"
+        )
 
     corpus_cells = nearest_cells(corpus, "v", "cell", 1)
     query_cells = nearest_cells(queries, "qv", "qcell", 2)  # nprobe=2

@@ -231,6 +231,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "events_user_rfm", "join_cross_region_nation", "prep_vocab_topk",
         "prep_source_mixing", "prep_sequence_packing", "q11_part_value_share",
         "q22_idle_rich_customers", "sim_topk_bruteforce",
+        # sim_topk_ivf: the 1-row broadcast codebook frame (model state)
+        # cross-joined onto the corpus/query scans for map-side cell
+        # assignment
+        "sim_topk_ivf",
         "subq_scalar_above_avg_price", "text_tfidf_top_terms",
         "window_rank_functions",
     }
