@@ -66,3 +66,23 @@ def test_window_is_full_width():
     names = list(all_queries())
     assert len(names) >= DRIVER_WINDOW
     assert len(set(names[:DRIVER_WINDOW])) == DRIVER_WINDOW
+
+
+def test_no_query_returns_raw_timestamp_columns(spark):
+    """Driver-contract hygiene: every queries() output must render
+    timestamps as strings (date_format on the Spark side, strftime in
+    the oracle). A raw TIMESTAMP — or worse, a TIMESTAMP_NTZ picked up
+    from a newer parquet layout — stringifies differently per engine
+    and session timezone, so the value-hash comparison would drift for
+    reasons that have nothing to do with query semantics (the round-4
+    testdata regeneration changed events.ts physical type under us;
+    this pins the render-at-the-edge discipline that absorbed it)."""
+    from data_engineering_zoomcamp_projects_spark.registry import all_queries
+
+    offenders = []
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, "/root/testdata/sf0.001")
+        for col, dtype in df.dtypes:
+            if dtype.startswith("timestamp"):
+                offenders.append((name, col, dtype))
+    assert not offenders, offenders
