@@ -236,13 +236,16 @@ def _dot_double(a: Column, b: Column) -> Column:
     )
 
 
-#: application id -> (sf_dir, one-row codebook frame, k). The codebook
-#: is MODEL STATE, not data — O(k x d) floats trained/derived once —
-#: so both the driver-side collect and the per-session memo are the
-#: correct pattern (the same role as a broadcast k-means model in any
-#: IVF index; re-collecting it per query run is a spurious job). Keyed
-#: like transform._LAST_BUILT: last dir only, stale on switch.
-_CODEBOOK_MEMO: dict[str, tuple[str, DataFrame, int]] = {}
+#: single-entry memo: (application id, sf_dir) -> (codebook frame, k).
+#: The codebook is MODEL STATE, not data — O(k x d) floats
+#: trained/derived once — so both the driver-side collect and the
+#: per-session memo are the correct pattern (the same role as a
+#: broadcast k-means model in any IVF index; re-collecting it per query
+#: run is a spurious job). The dict holds at most ONE entry and is
+#: replaced wholesale on miss, so cycling SparkSessions in a long-lived
+#: process never accumulates frames bound to stopped sessions (last
+#: app+dir only, stale on switch).
+_CODEBOOK_MEMO: dict[tuple[str, str], tuple[DataFrame, int]] = {}
 
 
 def _ivf_codebook(spark, sf_dir, corpus):
@@ -259,10 +262,10 @@ def _ivf_codebook(spark, sf_dir, corpus):
     (measured at bench scale), while the broadcast keeps the plan tree
     model-size-independent — the pattern that still works when the
     codebook is 65536 x 1024."""
-    app_id = spark.sparkContext.applicationId
-    hit = _CODEBOOK_MEMO.get(app_id)
-    if hit is not None and hit[0] == sf_dir:
-        return hit[1], hit[2]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CODEBOOK_MEMO.get(key)
+    if hit is not None:
+        return hit
     codebook = [
         (r["cent_id"], r["cv"])
         for r in corpus.filter(F.col("vec_id") % 53 == 0)
@@ -278,7 +281,8 @@ def _ivf_codebook(spark, sf_dir, corpus):
         ],
         "cent_ids array<bigint>, cent_vecs array<array<double>>",
     )
-    _CODEBOOK_MEMO[app_id] = (sf_dir, cb, len(codebook))
+    _CODEBOOK_MEMO.clear()  # single-entry memo: evict any prior app/dir
+    _CODEBOOK_MEMO[key] = (cb, len(codebook))
     return cb, len(codebook)
 
 

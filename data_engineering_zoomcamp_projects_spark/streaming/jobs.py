@@ -68,9 +68,18 @@ def load_events_stream(
     # defensive for externally built sessions (see catalog.load_table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    probe = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
-    ts_type = dict(probe.dtypes).get("ts")
-    schema = EVENTS_FILE_SCHEMA if ts_type == "bigint" else probe.schema
+    try:
+        probe = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+        ts_type = dict(probe.dtypes).get("ts")
+        schema = EVENTS_FILE_SCHEMA if ts_type == "bigint" else probe.schema
+    except Exception:
+        # empty / not-yet-populated source dir: a stream must be able to
+        # start BEFORE the first file arrives (the production scenario),
+        # but a batch probe of zero files cannot infer a schema. Fall
+        # back to the legacy fixed schema; its nanos-as-long branch below
+        # normalizes ts exactly like the probed path.
+        ts_type = "bigint"
+        schema = EVENTS_FILE_SCHEMA
     reader = (
         spark.readStream.schema(schema)
         # file stream sources take a directory; select just the events

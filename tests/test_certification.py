@@ -68,7 +68,7 @@ def test_window_is_full_width():
     assert len(set(names[:DRIVER_WINDOW])) == DRIVER_WINDOW
 
 
-def test_no_query_returns_raw_timestamp_columns(spark):
+def test_no_query_returns_raw_timestamp_columns(spark, sf_dir):
     """Driver-contract hygiene: every queries() output must render
     timestamps as strings (date_format on the Spark side, strftime in
     the oracle). A raw TIMESTAMP — or worse, a TIMESTAMP_NTZ picked up
@@ -81,7 +81,7 @@ def test_no_query_returns_raw_timestamp_columns(spark):
 
     offenders = []
     for name, fn in sorted(all_queries().items()):
-        df = fn(spark, "/root/testdata/sf0.001")
+        df = fn(spark, sf_dir)
         for col, dtype in df.dtypes:
             if dtype.startswith("timestamp"):
                 offenders.append((name, col, dtype))
