@@ -99,3 +99,16 @@ def sql_cosine(a: str, b: str) -> str:
 
 def sql_norm(a: str) -> str:
     return f"sqrt(CAST({sql_dot_dec(a, a)} AS DOUBLE))"
+
+
+def sql_dot_double(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB twin of `dot_double` / `_dot_double`: an explicit
+    left-associated sum of elementwise double products, so the IEEE
+    summation ORDER matches Spark's HOF fold term for term (list_sum
+    makes no order guarantee). Used where the double dot's exact bit
+    pattern decides a comparison (LSH bucket signs, IVF argmax cells),
+    not just a rounded output value."""
+    terms = " + ".join(
+        f"(({a})[{i}]::DOUBLE * ({b})[{i}]::DOUBLE)" for i in range(1, dim + 1)
+    )
+    return f"({terms})"

@@ -314,48 +314,241 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dup pairs: cosine >= 0.35 within label
-    blocks. Blocking (here: label; in production: shard/lang/LSH bucket)
-    bounds the pair space — the global quadratic join is never built.
+#: cosine near-dup threshold and its calibrated banding. At
+#: EMB_THRESHOLD the per-bit hyperplane agreement probability is
+#: p = 1 - acos(0.35)/pi = 0.6137, so a 2-bit band catches a
+#: threshold pair with p^2 = 0.3766 and 31 bands miss it with
+#: (1 - 0.3766)^31 = 4.4e-7 — the same near-certain-equality regime as
+#: the MinHash banding (8e-8), which is why the banded plan shares the
+#: exact quadratic oracle. 31 bands (not 32) so the packed signature
+#: fold stays inside a non-negative long under ANSI arithmetic.
+EMB_THRESHOLD = 0.35
+EMB_N_BANDS = 31
+EMB_BITS_PER_BAND = 2
+#: bits 0..60 even positions — one per band — for the shared-band mask
+_EMB_EVEN_MASK = 0x1555555555555555
 
-    Two-phase scoring: every blocked pair is first scored with the
-    cheap IEEE-double cosine and discarded below (threshold - 1e-6);
-    only survivors pay the order-independent decimal cosine that the
-    oracle comparison needs. The 1e-6 margin is ~7 orders of magnitude
-    above double summation error for 64-dim unit-scale vectors, so no
-    true >= 0.35 pair can be lost — measured 18 s -> ~6 s at sf0.1
-    (pairs near the threshold are a tiny fraction of the block)."""
-    from ..functions.vector import dot_dec, dot_double_fixed, norm
 
-    e = (
+def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import norm
+
+    return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "label", as_double_array(F.col("embedding")).alias("v"))
         .withColumn("vnorm", norm(F.col("v")))
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    denom = F.col("a.vnorm") * F.col("b.vnorm")
-    # unrolled fixed-dim dot: stays in whole-stage codegen (the HOF
-    # form walks the interpreted evaluator per element — measured 4x)
-    cos_fast = dot_double_fixed(F.col("a.v"), F.col("b.v"), 64) / denom
-    cos_exact = dot_dec(F.col("a.v"), F.col("b.v")).cast("double") / denom
+
+
+#: single-entry memo, (application id) -> one-row hyperplane frame.
+#: The matrix is MODEL STATE (fixed-seed, data-independent), the same
+#: role as the sim_topk_ivf codebook: broadcast once per session, never
+#: inlined as literals (which re-pays seconds of plan construction per
+#: invocation and grows the plan with the model).
+_EMB_PLANES_MEMO: dict[str, DataFrame] = {}
+
+
+def _emb_planes_frame(spark: SparkSession) -> DataFrame:
+    key = spark.sparkContext.applicationId
+    hit = _EMB_PLANES_MEMO.get(key)
+    if hit is not None:
+        return hit
+    from .similarity import _hyperplanes
+
+    planes = _hyperplanes(EMB_N_BANDS * EMB_BITS_PER_BAND)
+    pf = spark.createDataFrame(
+        [([[float(x) for x in plane] for plane in planes],)],
+        "emb_planes array<array<double>>",
+    )
+    _EMB_PLANES_MEMO.clear()  # single-entry: evict any prior app
+    _EMB_PLANES_MEMO[key] = pf
+    return pf
+
+
+def embedding_lsh_candidates(e: DataFrame) -> DataFrame:
+    """(vec_a, vec_b) candidate pairs within label blocks that share at
+    least one random-hyperplane band bucket — the candidate-generation
+    stage of `dedup_embedding_cosine`, mirroring `minhash_lsh_pairs`:
+    explode per-band keys, equi-join on (label, band, key), verify
+    exactly afterwards. No join in the plan is keyed on label alone.
+
+    Each surviving pair is emitted exactly once WITHOUT a distinct
+    shuffle: both signature arrays ride through the join (32 longs per
+    side) and a map-side filter keeps only the FIRST band on which the
+    pair collides (`array_position` over the zipped equality mask), so
+    candidate dedup costs zero exchanges.
+
+    Scale honesty (the knobs matter): candidate volume per (label,
+    band, bucket) is quadratic in the BUCKET, and bucket count is
+    2^bits_per_band per band. The calibration trades recall against
+    pruning via (n_bands, bits_per_band); at the low test threshold
+    0.35 the hyperplane discrimination gap (0.61 vs 0.5 per bit) is
+    narrow, so parameters that keep recall at ~1-3e-7 admit most
+    block pairs as candidates — the structural win is that the pair
+    space is now bounded by bucket sizes (label x band x bucket), not
+    by label blocks, and tightening the threshold tightens the bound
+    exponentially without touching the plan shape."""
+    spark = e.sparkSession
+    # The full 31-band x 2-bit signature packs into ONE long (band i at
+    # bits [2i, 2i+1]): collision rows stay 3 longs wide and every
+    # dedup step below is integer bit math inside whole-stage codegen
+    # (a first cut carried array<long> signatures through the join and
+    # ran the mask with interpreted zip_with/array_position lambdas —
+    # 5x slower end-to-end at sf0.1). The hyperplane matrix rides as a
+    # ONE-ROW broadcast frame — the sim_topk_ivf codebook pattern: an
+    # inline 62x64 literal matrix costs ~4.5 s of py4j expression
+    # construction on EVERY invocation (measured) and makes the plan
+    # tree model-size-dependent.
+    pf = _emb_planes_frame(spark)
+    # MSB-first fold: plane p contributes bit p of the signature
+    # (plane-to-bit assignment is arbitrary for collision semantics —
+    # any fixed one works; this one needs no shift operator, whose
+    # PySpark form only takes literal shift amounts, and never leaves
+    # the non-negative long range under ANSI arithmetic).
+    def bit_at(p):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.element_at(F.col("emb_planes"), (p + 1).cast("int")),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    n_bits = EMB_N_BANDS * EMB_BITS_PER_BAND
+    sig = F.aggregate(
+        F.sequence(F.lit(n_bits - 1), F.lit(0), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * 2 + bit_at(p),
+    )
+    # Materialization barrier (lazy localCheckpoint, the analytics.py
+    # range-bound pattern): without it CollapseProject inlines the
+    # 62-projection signature expression into all 31 band structs AND
+    # both join sides — a ~60x duplication of interpreted HOF work.
+    # The checkpointed frame is 3 longs per vector and is shared by the
+    # a/b sides of the band join.
+    sigs = (
+        e.crossJoin(F.broadcast(pf))
+        .select("vec_id", "label", sig.alias("sig"))
+        .localCheckpoint(eager=False)
+    )
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftrightunsigned(F.col("sig"), 2 * i)
+                .bitwiseAND(F.lit(3))
+                .alias("band_key"),
+            )
+            for i in range(EMB_N_BANDS)
+        ]
+    )
+    bands = sigs.select("vec_id", "label", "sig", F.explode(band_structs).alias("b")).select(
+        "vec_id",
+        "label",
+        "sig",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    # bit 2i of `differ` = 1 iff band i differs; the lowest ZERO even
+    # bit is therefore the first shared band: invert over the even-bit
+    # mask, isolate the lowest set bit, and count the bits below it.
+    xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    even_mask = F.lit(_EMB_EVEN_MASK)
+    differ = xor.bitwiseOR(F.shiftrightunsigned(xor, 1)).bitwiseAND(even_mask)
+    shared = differ.bitwiseXOR(even_mask)  # only even bits -> ~differ & mask
+    lowest = shared.bitwiseAND(-shared)
+    first_shared_band = (F.bit_count(lowest - 1) / 2).cast("int")
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos_fast >= 0.35 - 1e-6)
+        .filter(F.col("a.band_id") == first_shared_band)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+
+
+def _emb_verify(cand: DataFrame, e: DataFrame) -> DataFrame:
+    """Exact two-phase cosine verification of candidate id pairs.
+
+    Vectors re-attach by vec_id (auto-broadcast at test scale; a keyed
+    shuffle join on a 100 TB corpus — candidates are the pruned set by
+    then). Every pair is first scored with the cheap IEEE-double cosine
+    and discarded below (threshold - 1e-6); only survivors pay the
+    order-independent decimal cosine the oracle comparison needs. The
+    1e-6 margin is ~7 orders of magnitude above double summation error
+    for 64-dim unit-scale vectors, so no true >= threshold pair can be
+    lost."""
+    from ..functions.vector import dot_dec, dot_double_fixed
+
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("v").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    # unrolled fixed-dim dot: stays in whole-stage codegen (the HOF
+    # form walks the interpreted evaluator per element — measured 4x)
+    cos_fast = dot_double_fixed(F.col("va"), F.col("vb"), 64) / denom
+    cos_exact = dot_dec(F.col("va"), F.col("vb")).cast("double") / denom
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cos_fast >= EMB_THRESHOLD - 1e-6)
         .withColumn("cos_sim", cos_exact)
-        .filter(F.col("cos_sim") >= 0.35)
+        .filter(F.col("cos_sim") >= EMB_THRESHOLD)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
+            "vec_a",
+            "vec_b",
+            "label",
             F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs: cosine >= 0.35 within label
+    blocks, found via banded random-hyperplane LSH candidates + exact
+    two-phase verification (see `embedding_lsh_candidates`). Equals the
+    exact label-blocked quadratic form at these banding parameters
+    (miss probability ~2.8e-7 per threshold pair; pinned exactly equal
+    by tests/test_llm.py::test_embedding_lsh_equals_exact_blocked) —
+    which is why it shares the exact quadratic oracle, mirroring how
+    `dedup_minhash_lsh` shares the exact-Jaccard one."""
+    e = _embedding_corpus(spark, sf_dir)
+    return _emb_verify(embedding_lsh_candidates(e), e)
+
+
+def _dedup_embedding_exact_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact label-blocked quadratic twin (every within-label pair
+    scored; the form the oracle SQL states directly). NOT registered —
+    it exists so tests can pin the banded plan exactly equal to it,
+    the same role `dedup_shingle_jaccard` plays for the MinHash path."""
+    e = _embedding_corpus(spark, sf_dir)
+    a = e.alias("a")
+    cand = (
+        a.join(
+            e.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    return _emb_verify(cand, e)
 
 
 DEDUP_EMBEDDING_SQL = f"""

@@ -107,18 +107,28 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 """
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(n_planes: int = N_HYPERPLANES) -> list[list[float]]:
     """Deterministic random hyperplanes (fixed seed, ±1 entries) — the
     same matrix on every executor via literal folding, no broadcast var
-    needed at this size."""
+    needed at this size. Rows are seed-stable prefixes: asking for more
+    planes extends the matrix without changing the first rows."""
     rng = np.random.RandomState(42)
-    return (rng.randint(0, 2, size=(N_HYPERPLANES, 64)) * 2 - 1).tolist()
+    return (rng.randint(0, 2, size=(n_planes, 64)) * 2 - 1).tolist()
 
 
-def _bucket_expr(vec_col: Column) -> Column:
-    """Pack sign(v . h_j) bits into an int bucket id (native exprs)."""
-    planes = _hyperplanes()
-    bucket = F.lit(0).cast("long")
+def band_signature(vec_col: Column, n_bands: int, bits_per_band: int) -> Column:
+    """array<long> of ``n_bands`` packed band buckets built from the
+    sign bits of random-hyperplane projections (native exprs, no UDF).
+
+    Band ``i`` packs bits ``[i*bits_per_band, (i+1)*bits_per_band)``
+    MSB-first — with ``n_bands=1`` this is exactly the single-bucket id
+    `sim_topk_lsh` hashes on. Callers calibrate (n_bands,
+    bits_per_band) to their similarity threshold: the probability two
+    vectors at angle θ agree on one bit is 1 - θ/π, on one band that
+    to the bits_per_band power, and a pair survives candidate
+    generation unless it misses ALL bands."""
+    planes = _hyperplanes(n_bands * bits_per_band)
+    bits = []
     for plane in planes:
         proj = F.aggregate(
             F.zip_with(
@@ -129,8 +139,19 @@ def _bucket_expr(vec_col: Column) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket * 2 + F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
-    return bucket
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)))
+    keys = []
+    for i in range(n_bands):
+        key = F.lit(0).cast("long")
+        for j in range(bits_per_band):
+            key = key * 2 + bits[i * bits_per_band + j]
+        keys.append(key)
+    return F.array(*keys)
+
+
+def _bucket_expr(vec_col: Column) -> Column:
+    """Pack sign(v . h_j) bits into an int bucket id (native exprs)."""
+    return F.element_at(band_signature(vec_col, 1, N_HYPERPLANES), 1)
 
 
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,6 +232,96 @@ FROM sums GROUP BY label ORDER BY label
 """
 
 
+def _sql_bucket_expr(vec: str) -> str:
+    """DuckDB twin of `_bucket_expr`: the 6 hyperplane sign bits packed
+    MSB-first. The plane matrix is fixed-seed MODEL STATE, so the
+    oracle can inline it as literals; each projection is an explicit
+    left-associated sum matching Spark's HOF fold order bit for bit
+    (the products are exact: weights are ±1.0)."""
+    bits = []
+    for plane in _hyperplanes():
+        terms = " + ".join(
+            f"(({vec})[{i + 1}]::DOUBLE * {w:.1f})" for i, w in enumerate(plane)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN 1 ELSE 0 END)")
+    expr = "0"
+    for b in bits:
+        expr = f"(({expr}) * 2 + {b})"
+    return expr
+
+
+def _sim_lsh_sql() -> str:
+    """Full oracle for sim_topk_lsh: DuckDB recomputes the hyperplane
+    buckets itself (deterministic model state, see `_sql_bucket_expr`),
+    restricts the pair space to same-bucket exactly as the Spark plan
+    does, and ranks by the same decimal-exact cosine — converting the
+    former rows-only entry into a rows+schema+hash check of the entire
+    index semantics (bucketing + candidate restriction + scoring)."""
+    cos = sql_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_sql_bucket_expr('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC
+         ) AS rank
+  FROM bucketed q JOIN bucketed c
+    ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % 100 = 0
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _sim_ivf_sql() -> str:
+    """Full oracle for sim_topk_ivf: the coarse codebook is the
+    deterministic every-53rd-vector sample, so DuckDB rebuilds it,
+    assigns every vector to its argmax-dot cell and every query to its
+    top-2 cells (same double arithmetic, same (dot DESC, cent_id ASC)
+    tie-break as the Spark plan), then ranks same-cell candidates by
+    the decimal-exact cosine."""
+    from ..functions.vector import sql_dot_double
+
+    dot = sql_dot_double("e.embedding", "c.cv")
+    cos = sql_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 53 = 0
+),
+corpus_cells AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id ORDER BY {dot} DESC, c.cent_id ASC
+           ) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+query_cells AS (
+  SELECT vec_id, embedding, cent_id AS qcell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id ORDER BY {dot} DESC, c.cent_id ASC
+           ) AS rk
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id % 100 = 0
+  ) WHERE rk <= 2
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC
+         ) AS rank
+  FROM query_cells q JOIN corpus_cells c
+    ON c.cell = q.qcell AND c.vec_id <> q.vec_id
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_lsh": sim_topk_lsh,
@@ -219,7 +330,11 @@ QUERIES = {
 
 ORACLES = {
     "sim_topk_bruteforce": SIM_TOPK_SQL,
-    # sim_topk_lsh: rows-only (ANN recall < 1 by design)
+    # deterministic model state (fixed-seed planes / every-53rd-vector
+    # codebook) lets the oracle replicate BOTH index structures exactly
+    # — former rows-only entries, now fully hash-checked
+    "sim_topk_lsh": _sim_lsh_sql(),
+    "sim_topk_ivf": _sim_ivf_sql(),
     "sim_label_centroids": SIM_CENTROID_SQL,
 }
 
@@ -382,4 +497,3 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sim_topk_ivf"] = sim_topk_ivf
-# rows-only: IVF recall < 1 by design (pytest measures vs brute force)

@@ -57,20 +57,71 @@ GROUP BY 1, 2 ORDER BY cohort_day, week_offset
 """
 
 
+def _funnel_stage_times(ev: DataFrame) -> DataFrame:
+    """Per-user funnel stage times (t_s, t_v, t_c, t_p) via a chain of
+    unbounded-frame window mins partitioned by user_id: stage k's time
+    is the min ts of its event type strictly after stage k-1's time.
+
+    ONE exchange: all four windows share the same partitioning and an
+    unbounded frame needs no sort, so Catalyst plans a single shuffle
+    on user_id feeding four streaming Window operators, and the
+    user-grain reduction afterwards reuses the partitioning. Per-row
+    state is O(1) — a running conditional min — so a pathological user
+    with millions of events costs nothing but their row count (the
+    round-4 plan collected each user's full sorted event array into a
+    single aggregate() fold; its per-user state was 'bounded' only by
+    assumption, and a 1M-event user materialized a ~40 MB array in one
+    task). The fold twin is kept below and pinned equal by
+    tests/test_analytics_ops.py."""
+    w = Window.partitionBy("user_id")
+    t_s = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.select("user_id", "ts", "event_type").withColumn("t_s", t_s)
+    for col, typ, prev in (
+        ("t_v", "view", "t_s"),
+        ("t_c", "click", "t_v"),
+        ("t_p", "purchase", "t_c"),
+    ):
+        staged = staged.withColumn(
+            col,
+            F.min(
+                F.when(
+                    (F.col("event_type") == typ) & (F.col("ts") > F.col(prev)),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    return staged.groupBy("user_id").agg(
+        F.first("t_s").alias("t_s"),
+        F.first("t_v").alias("t_v"),
+        F.first("t_c").alias("t_c"),
+        F.first("t_p").alias("t_p"),
+    )
+
+
 def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 4-stage funnel (signup -> view -> click -> purchase):
     each stage's timestamp must be strictly after the previous stage's
-    first occurrence.
+    first occurrence (see `_funnel_stage_times` for the bounded-state
+    single-shuffle plan; the DuckDB oracle keeps the decomposed
+    per-stage min-join form)."""
+    ev = load_table(spark, sf_dir, "events")
+    stages = _funnel_stage_times(
+        ev.filter(F.col("event_type").isin("signup", "view", "click", "purchase"))
+    ).filter(F.col("t_s").isNotNull())
+    return stages.agg(
+        F.count("t_s").alias("n_signup"),
+        F.count("t_v").alias("n_view_after_signup"),
+        F.count("t_c").alias("n_click_after_view"),
+        F.count("t_p").alias("n_purchase_after_click"),
+    )
 
-    ONE shuffle: events are collected per user as a sorted array and a
-    single aggregate() fold walks the sequence carrying the stage-time
-    state — the naive formulation (one conditional-min join per stage)
-    costs ~3 exchanges per stage (11 total, measured); this plan has
-    one exchange on user_id plus the scalar final agg. Per-user event
-    counts are bounded, so the collected array is safe at corpus scale.
-    The fold picks each stage's FIRST occurrence strictly after the
-    previous stage — identical semantics to the per-stage min-join
-    (the DuckDB oracle keeps that decomposed form)."""
+
+def _funnel_fold_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 sorted-array aggregate() fold formulation — NOT
+    registered. Kept as the semantic twin the window-chain plan is
+    pinned equal to (same first-occurrence-strictly-after semantics,
+    different state bound: this one materializes each user's full
+    event array)."""
     ev = load_table(spark, sf_dir, "events")
     per_user = (
         ev.filter(F.col("event_type").isin("signup", "view", "click", "purchase"))

@@ -63,17 +63,81 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+#: histogram-sketch bin width: a power of two so the double division
+#: and floor are bit-identical across engines
+_PCTL_BIN = 128.0
+
+
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentile (the scalable path). Rows-only: sketch
-    internals are engine-specific."""
+    """Sketch-based approximate median per group — the scalable
+    single-pass path (exact percentile needs a per-group sort; see
+    agg_percentiles for that form).
+
+    The sketch is a fixed-width HISTOGRAM: bin counts are a one-pass,
+    map-side-combinable aggregate whose state is bounded by the VALUE
+    DOMAIN (~820 bins over lineitem prices), not the row count, and
+    the approx median is the first bin whose cumulative count crosses
+    ceil(n/2), reported at the bin midpoint (error <= bin width). Every
+    step — double divide by a power of two, floor, integer cumsum — is
+    bit-identical across engines, so unlike `percentile_approx`'s
+    KLL/GK sketch (whose compaction choices are engine-private) this
+    sketch is FULLY oracle-checked: the former rows-only entry now gets
+    the rows+schema+hash gate. The per-flag fold walks the <=
+    domain/width histogram array, never the rows."""
     li = load_table(spark, sf_dir, "lineitem")
+    bins = (
+        li.groupBy(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") / _PCTL_BIN).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_flag = bins.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("h"),
+        F.sum("cnt").alias("n"),
+    )
+    k = F.floor((F.col("n") + 1) / 2)
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(None).cast("bigint").alias("found"),
+    )
+
+    def step(st, e):
+        run2 = st["run"] + e["cnt"]
+        return F.struct(
+            run2.alias("run"),
+            F.when(st["found"].isNull() & (run2 >= k), e["bin"])
+            .otherwise(st["found"])
+            .alias("found"),
+        )
+
+    found = F.aggregate(F.col("h"), zero, step)["found"]
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median")
+        per_flag.select(
+            "l_returnflag",
+            (found * F.lit(_PCTL_BIN) + F.lit(_PCTL_BIN / 2)).alias("approx_median"),
         )
         .orderBy("l_returnflag")
     )
+
+
+AGG_PCTL_APPROX_SQL = f"""
+WITH b AS (
+  SELECT l_returnflag, FLOOR(l_extendedprice / {_PCTL_BIN}) AS bin, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), t AS (
+  SELECT l_returnflag, SUM(cnt) AS n FROM b GROUP BY 1
+), c AS (
+  SELECT l_returnflag, bin,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+  FROM b
+)
+SELECT c.l_returnflag,
+       CAST(MIN(bin) * {_PCTL_BIN} + {_PCTL_BIN / 2} AS DOUBLE) AS approx_median
+FROM c JOIN t USING (l_returnflag)
+WHERE cum >= (t.n + 1) // 2
+GROUP BY 1 ORDER BY 1
+"""
 
 
 def unpivot_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,14 +191,49 @@ WHERE i <= len(ts)
 """
 
 
+#: the seed mixed into the keyed uniform — changing it draws an
+#: independent 10% sample while keeping layout invariance
+_SAMPLE_SEED = 42
+
+
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — the standard corpus-subsetting op.
-    Rows-only: the RNG stream is engine-specific (pytest pins that the
-    seed makes it deterministic within Spark)."""
+
+    `df.sample(fraction, seed)` is the built-in, but its RNG stream is
+    keyed on the PARTITION INDEX: a repartition, a different file
+    split, or another cluster silently draws a different sample. The
+    engine's contract-grade form derives the uniform from (seed, row
+    key) instead — the `sample_hash_reproducible` derivation with the
+    seed prepended — so the same seed reproduces the same membership
+    under any layout and a new seed draws an independent sample. The
+    shared derivation also upgrades this former rows-only entry to the
+    full oracle: DuckDB computes the identical (seed, key) hash, and
+    the driver certifies per-row membership."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(_SAMPLE_SEED), F.col("l_orderkey"), F.col("l_linenumber")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return li.filter(u % 1000 < 100).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+SAMPLE_FRACTION_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE CAST(('0x' || substr(md5({_SAMPLE_SEED} || '|' || l_orderkey || '|' || l_linenumber), 1, 15))
+           AS BIGINT) % 1000 < 100
+"""
 
 
 def sample_hash_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,11 +323,12 @@ QUERIES = {
 ORACLES = {
     "agg_collect_sets": AGG_COLLECT_SQL,
     "agg_percentiles": AGG_PERCENTILES_SQL,
-    # agg_percentile_approx: rows-only (sketch)
+    # round-5 upgrade: deterministic histogram sketch, fully checked
+    "agg_percentile_approx": AGG_PCTL_APPROX_SQL,
     "unpivot_quantities": UNPIVOT_SQL,
     "posexplode_tokens": POSEXPLODE_SQL,
-    # sample_fraction: rows-only (engine-specific RNG); its reproducible
-    # twin below is fully oracle-checked
+    # round-5 upgrade: (seed, key)-derived uniform, fully checked
+    "sample_fraction": SAMPLE_FRACTION_SQL,
     "sample_hash_reproducible": SAMPLE_HASH_SQL,
     "sample_stratified_by_lang": SAMPLE_STRATIFIED_SQL,
 }

@@ -20,27 +20,28 @@ from pyspark.sql import DataFrame, SparkSession
 #: rounds. tests/test_certification.py asserts no oracle-backed name
 #: can fall outside every round's window.
 _MODULES = [
-    # round-4 window bulk (after _FRONT): modules whose plans changed
-    # this round, so their untouched siblings get fresh rows too
+    # round-5 window bulk (after _FRONT): the r4-changed dedup/LSH
+    # modules' siblings, then the TPC-H family whose official rows are
+    # the oldest (r1–r3) for a fresh re-certification pass
+    "llm.dedup",
+    "llm.similarity",
+    "llm.curation",
+    "transform",
+    "operators.tpch_full",
+    "operators.tpch_plus",
+    "operators.relational",
+    "operators.joins",
+    # driver-certified in earlier rounds, unchanged
     "operators.subqueries",
     "operators.windows",
     "operators.analytics",
     "llm.preparation",
     "llm.scrub",
     "llm.textstats",
-    "llm.similarity",
     "llm.multimodal",
-    "llm.dedup",
-    # driver-certified in earlier rounds (r01/r02/r03), unchanged
     "operators.extras",
-    "operators.tpch_full",
     "streaming.batch_parity",
-    "operators.tpch_plus",
-    "llm.curation",
-    "transform",
     "ml",
-    "operators.relational",
-    "operators.joins",
     "operators.aggregates",
     "operators.setops",
     "operators.scalars",
@@ -52,24 +53,26 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # orphaned by the r1-r3 rotations (never driver-certified)
-    "filter_predicate_suite",
-    "projection_expressions",
-    # plans re-designed in round 4
-    "q1_pricing_summary",
-    "window_rank_functions",
-    "events_user_rfm",
-    "prep_sequence_packing",
-    "prep_source_mixing",
-    "text_langid_profile",
-    # rows-only -> full oracle upgrades in round 4
-    "dedup_simhash",
-    "multimodal_binary_features",
-    "multimodal_frame_sample",
-    # new in round 4
-    "sample_hash_reproducible",
-    "events_sessionize",
-    "sample_stratified_by_lang",
+    # plans re-designed in round 4 whose last official rows predate the
+    # change (r4 verdict item 1): certify the NEW plans at sf0.01
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "pipeline_corpus_curation",
+    "dedup_shingle_jaccard",
+    "dedup_exact",
+    "mart_daily_revenue",
+    # plans re-designed in round 5 (banded LSH candidate stage;
+    # bounded-state window-chain funnel)
+    "dedup_embedding_cosine",
+    "events_funnel_stages",
+    # rows-only -> full oracle upgrades in round 5 (deterministic model
+    # state / engine-shared derivations let the oracle replicate them)
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "agg_percentile_approx",
+    "sample_fraction",
+    # new in round 5: the true readStream path under the driver gate
+    "stream_live_tumbling_hourly",
 ]
 
 

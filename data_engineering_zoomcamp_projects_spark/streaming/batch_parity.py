@@ -162,8 +162,19 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _stream_live_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry shim for the TRUE readStream path (see
+    streaming/jobs.py:stream_live_tumbling_hourly) — imported lazily so
+    this module stays import-light."""
+    from .jobs import stream_live_tumbling_hourly
+
+    return stream_live_tumbling_hourly(spark, sf_dir)
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
+    # the REAL readStream engine output, sharing the same oracle
+    "stream_live_tumbling_hourly": _stream_live_tumbling_hourly,
     "stream_sliding_15m": stream_sliding_15m,
     "stream_session_30m": stream_session_30m,
     "stream_dedup_summary": stream_dedup_summary,
@@ -172,6 +183,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_tumbling_hourly": STREAM_TUMBLING_SQL,
+    "stream_live_tumbling_hourly": STREAM_TUMBLING_SQL,
     "stream_sliding_15m": STREAM_SLIDING_SQL,
     "stream_session_30m": STREAM_SESSION_SQL,
     "stream_dedup_summary": STREAM_DEDUP_SQL,

@@ -24,6 +24,45 @@ def test_minhash_equals_exact_jaccard(spark, sf_dir):
     assert lsh == exact
 
 
+def test_embedding_lsh_equals_exact_blocked(spark, sf_dir):
+    """The banded random-hyperplane candidate plan behind
+    dedup_embedding_cosine must equal the exact label-blocked quadratic
+    twin pair-for-pair at the shipped (31 bands x 2 bits) calibration —
+    the embedding mirror of test_minhash_equals_exact_jaccard (miss
+    probability ~4.4e-7 per threshold pair, see EMB_N_BANDS)."""
+    banded = sorted(
+        map(tuple, dedup.dedup_embedding_cosine(spark, sf_dir).collect())
+    )
+    exact = sorted(
+        map(tuple, dedup._dedup_embedding_exact_blocked(spark, sf_dir).collect())
+    )
+    assert banded == exact
+    assert banded  # non-vacuous: the corpus contains qualifying pairs
+
+
+def test_embedding_dedup_has_no_label_only_self_join(spark, sf_dir):
+    """Scale-design audit (round-4 verdict item 2): every self-join in
+    the shipped dedup_embedding_cosine plan must key on more than the
+    ~10-value label column — candidate generation goes through the
+    banded (label, band_id, band_key) equi-join, so no join's key set
+    may be {label} alone (which would be the O(block^2) pair space at
+    100x data)."""
+    import re
+
+    df = dedup.dedup_embedding_cosine(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) (\[[^\]]*\]), (\[[^\]]*\])",
+        plan,
+    )
+    assert joins, "expected hash/merge joins in the plan"
+    for left_keys, right_keys in joins:
+        keys = left_keys + right_keys
+        if "label" in keys:
+            assert "band" in keys, (
+                "join keyed on label without a band key:", left_keys, right_keys)
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     brute = similarity.sim_topk_bruteforce(spark, sf_dir).collect()
     ann = similarity.sim_topk_lsh(spark, sf_dir).collect()
