@@ -80,6 +80,14 @@ def main() -> None:
 
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
+    # targeted runs (e.g. the sf1 scale-stress subset): comma-separated
+    # allowlist; names outside HEADLINE are appended in given order
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        picked = [n.strip() for n in only.split(",") if n.strip() in queries]
+        names = [n for n in names if n in picked] + [
+            n for n in picked if n not in HEADLINE
+        ]
 
     # warmup: run the first headline once to pay JVM/codegen startup
     if names:

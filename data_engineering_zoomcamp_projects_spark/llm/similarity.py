@@ -277,37 +277,74 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 
 
 def _sim_ivf_sql() -> str:
-    """Full oracle for sim_topk_ivf: the coarse codebook is the
-    deterministic every-53rd-vector sample, so DuckDB rebuilds it,
-    assigns every vector to its argmax-dot cell and every query to its
-    top-2 cells (same double arithmetic, same (dot DESC, cent_id ASC)
-    tie-break as the Spark plan), then ranks same-cell candidates by
-    the decimal-exact cosine."""
+    """Full oracle for sim_topk_ivf: DuckDB rebuilds the TWO-LEVEL
+    codebook from the same deterministic derivations — sqrt-scaled
+    stride sample for centroids, every-ceil(sqrt(k))-th centroid as a
+    super-centroid, each centroid owned by its nearest super-centroid —
+    then assigns every vector hierarchically (nearest super-centroid's
+    group, nearest owned centroid) and every query to its top-2 cells
+    within its group, all with the same left-fold double arithmetic and
+    (dot DESC, id ASC) tie-breaks as the Spark plan, and finally ranks
+    same-cell candidates by the decimal-exact cosine."""
     from ..functions.vector import sql_dot_double
 
-    dot = sql_dot_double("e.embedding", "c.cv")
+    dot_cs = sql_dot_double("c.cv", "s.scv")
+    dot_es = sql_dot_double("e.embedding", "s.scv")
+    dot_ec = sql_dot_double("x.embedding", "cc.cv")
     cos = sql_cosine("q.embedding", "c.embedding")
     return f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 53 = 0
+WITH stats AS (
+  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / CEIL(SQRT(COUNT(*)))) AS BIGINT)) AS stride
+  FROM embeddings
+),
+cents AS (
+  SELECT cent_id, cv,
+         ROW_NUMBER() OVER (ORDER BY cent_id) AS crk,
+         COUNT(*) OVER () AS k
+  FROM (
+    SELECT vec_id AS cent_id, embedding AS cv FROM embeddings, stats
+    WHERE vec_id % stride = 0
+  )
+),
+supercents AS (
+  SELECT cent_id AS sc_id, cv AS scv FROM cents
+  WHERE (crk - 1) % GREATEST(1, CAST(CEIL(SQRT(k)) AS BIGINT)) = 0
+),
+cent_owner AS (
+  SELECT cent_id, cv, sc_id FROM (
+    SELECT c.cent_id, c.cv, s.sc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.cent_id ORDER BY {dot_cs} DESC, s.sc_id ASC
+           ) AS rk
+    FROM cents c CROSS JOIN supercents s
+  ) WHERE rk = 1
+),
+corpus_sc AS (
+  SELECT vec_id, embedding, sc_id FROM (
+    SELECT e.vec_id, e.embedding, s.sc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id ORDER BY {dot_es} DESC, s.sc_id ASC
+           ) AS rk
+    FROM embeddings e CROSS JOIN supercents s
+  ) WHERE rk = 1
 ),
 corpus_cells AS (
-  SELECT vec_id, embedding, cent_id AS cell FROM (
-    SELECT e.vec_id, e.embedding, c.cent_id,
+  SELECT vec_id, embedding, cell FROM (
+    SELECT x.vec_id, x.embedding, cc.cent_id AS cell,
            ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id ORDER BY {dot} DESC, c.cent_id ASC
+             PARTITION BY x.vec_id ORDER BY {dot_ec} DESC, cc.cent_id ASC
            ) AS rk
-    FROM embeddings e CROSS JOIN cents c
+    FROM corpus_sc x JOIN cent_owner cc ON cc.sc_id = x.sc_id
   ) WHERE rk = 1
 ),
 query_cells AS (
-  SELECT vec_id, embedding, cent_id AS qcell FROM (
-    SELECT e.vec_id, e.embedding, c.cent_id,
+  SELECT vec_id, embedding, qcell FROM (
+    SELECT x.vec_id, x.embedding, cc.cent_id AS qcell,
            ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id ORDER BY {dot} DESC, c.cent_id ASC
+             PARTITION BY x.vec_id ORDER BY {dot_ec} DESC, cc.cent_id ASC
            ) AS rk
-    FROM embeddings e CROSS JOIN cents c
-    WHERE e.vec_id % 100 = 0
+    FROM corpus_sc x JOIN cent_owner cc ON cc.sc_id = x.sc_id
+    WHERE x.vec_id % 100 = 0
   ) WHERE rk <= 2
 )
 SELECT query_id, rank, neighbor_id, cos_sim FROM (
@@ -351,7 +388,19 @@ def _dot_double(a: Column, b: Column) -> Column:
     )
 
 
-#: single-entry memo: (application id, sf_dir) -> (codebook frame, k).
+def _py_dot(a, b) -> float:
+    """Driver-side LEFT-FOLD double dot — term-for-term the same IEEE
+    rounding sequence as the Spark HOF fold (`_dot_double`) and the
+    oracle's `sql_dot_double`, so index training on the driver, cell
+    assignment on executors, and the DuckDB replica all agree on every
+    argmax bit pattern."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+#: single-entry memo: (application id, sf_dir) -> codebook frame.
 #: The codebook is MODEL STATE, not data — O(k x d) floats
 #: trained/derived once — so both the driver-side collect and the
 #: per-session memo are the correct pattern (the same role as a
@@ -360,132 +409,159 @@ def _dot_double(a: Column, b: Column) -> Column:
 #: replaced wholesale on miss, so cycling SparkSessions in a long-lived
 #: process never accumulates frames bound to stopped sessions (last
 #: app+dir only, stale on switch).
-_CODEBOOK_MEMO: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+_CODEBOOK_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _ivf_codebook(spark, sf_dir, corpus):
-    """One-row (cent_ids, cent_vecs) frame for the deterministic coarse
-    codebook (every 53rd vector — k-means at deploy time; the
-    deterministic sample keeps tests stable).
+    """TWO-LEVEL coarse codebook as a one-row broadcast frame.
+
+    Level sizes are sqrt-scaled from the corpus: k ~ sqrt(n) centroids
+    (stride-sampled — k-means at deploy time; the deterministic sample
+    keeps tests stable), grouped under k1 ~ sqrt(k) super-centroids
+    (every ceil(sqrt(k))-th centroid), each centroid owned by its
+    nearest super-centroid. Cell assignment then costs
+    k1 + |members| ~ 2*sqrt(k) dots per row instead of k — the
+    round-4 flat scan (k = n/53 dots per row) made assignment O(n*k) =
+    quadratic in the corpus and benched 48x at a 10x scale-up; the
+    hierarchy is the standard IMI/2-level-IVF answer, and with a
+    trained fixed-k codebook at deploy (65536 x 1024 -> 2*256 dots) the
+    same plan is O(n).
 
     The codebook rides as a ONE-ROW broadcast frame cross-joined onto
     the scan, so cell assignment runs MAP-SIDE: the corpus never
-    shuffles for assignment (an early formulation re-exchanged the full
-    corpus keyed on the 64-dim vector column). A broadcast row beats
-    inlining the k x d values as literal arrays: the literal form
-    re-pays ~1.5s of plan analysis/codegen on EVERY invocation
-    (measured at bench scale), while the broadcast keeps the plan tree
-    model-size-independent — the pattern that still works when the
-    codebook is 65536 x 1024."""
+    shuffles for assignment. A broadcast row beats inlining the values
+    as literal arrays: the literal form re-pays ~1.5s of plan analysis
+    on EVERY invocation (measured), while the broadcast keeps the plan
+    tree model-size-independent."""
+    import math
+
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _CODEBOOK_MEMO.get(key)
     if hit is not None:
         return hit
-    codebook = [
-        (r["cent_id"], r["cv"])
-        for r in corpus.filter(F.col("vec_id") % 53 == 0)
+    n = corpus.count()
+    stride = max(1, math.ceil(n / math.ceil(math.sqrt(n))))
+    cents = sorted(
+        (int(r["cent_id"]), [float(x) for x in r["cv"]])
+        for r in corpus.filter(F.col("vec_id") % stride == 0)
         .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
         .collect()
+    )
+    k = len(cents)
+    m = max(1, math.ceil(math.sqrt(k)))
+    supers = cents[0::m]  # rank-based pick: positions 0, m, 2m, ...
+    # own each centroid by its nearest super-centroid (left-fold dots,
+    # strict > keeps the smallest sc_id on ties — the oracle's
+    # `ORDER BY dot DESC, sc_id ASC` exactly)
+    members: dict[int, list[tuple[int, list[float]]]] = {sid: [] for sid, _ in supers}
+    for cid, cv in cents:
+        best_sid, best_d = None, None
+        for sid, scv in supers:
+            d = _py_dot(cv, scv)
+            if best_d is None or d > best_d:
+                best_sid, best_d = sid, d
+        members[best_sid].append((cid, cv))
+    cells = [
+        (sid, scv, [c for c, _ in members[sid]], [v for _, v in members[sid]])
+        for sid, scv in supers
     ]
     cb = spark.createDataFrame(
-        [
-            (
-                [int(cid) for cid, _ in codebook],
-                [[float(x) for x in cv] for _, cv in codebook],
-            )
-        ],
-        "cent_ids array<bigint>, cent_vecs array<array<double>>",
+        [(cells,)],
+        "cells array<struct<sc_id:bigint,scv:array<double>,"
+        "mids:array<bigint>,mvecs:array<array<double>>>>",
     )
     _CODEBOOK_MEMO.clear()  # single-entry memo: evict any prior app/dir
-    _CODEBOOK_MEMO[key] = (cb, len(codebook))
-    return cb, len(codebook)
+    _CODEBOOK_MEMO[key] = cb
+    return cb
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a deterministic coarse codebook (every 53rd
-    vector) partitions the corpus into cells by nearest centroid;
-    queries probe only their nearest `nprobe=2` cells.
+    """IVF-style ANN over a two-level codebook: every vector lands in
+    the nearest cell of its nearest super-centroid's group; queries
+    probe the top `nprobe=2` cells within their super-centroid.
 
-    This is the inverted-file index pattern (train k-means centroids at
-    deploy time; the deterministic sample here keeps tests stable).
-    Rows-only check: recall < 1 by design, measured in pytest against
-    brute force."""
+    Assignment is pure map-side HOF math over the broadcast codebook —
+    no join, no shuffle, no Python on the data path, ~2*sqrt(k) dots
+    per row (see `_ivf_codebook` for why not a flat scan). Both levels
+    pick by array_max over struct(sim, -id): struct ordering is
+    lexicographic, so the max is exactly the (sim desc, id asc) head
+    with no comparator-lambda sort; zip_with pairs member ids with
+    vectors directly, so empty member groups degrade to a null cell
+    (dropped by the candidate join) instead of an index fault.
+
+    Candidates are scored two-phase like sim_topk_bruteforce: ranked by
+    the cheap IEEE-double cosine, and only the fast top (K + 20) per
+    query pay the order-independent decimal cosine the oracle needs.
+    The DuckDB oracle replicates the whole index — stride, hierarchy,
+    ownership, probes — from the same deterministic derivations, so the
+    entry is fully hash-checked."""
     queries, corpus = _queries_and_corpus(spark, sf_dir)
-    from ..functions.vector import dot_dec
+    from ..functions.vector import dot_dec, dot_double
 
-    cb, k = _ivf_codebook(spark, sf_dir, corpus)
-    cent_ids_lit = F.col("cent_ids")
-    cent_vecs_lit = F.col("cent_vecs")
-    idx = F.sequence(F.lit(1), F.lit(k))
+    cb = _ivf_codebook(spark, sf_dir, corpus)
 
-    def nearest_cells(df, vec_col, out_col, n_keep):
-        """Per-row top-n centroid ids, computed with native HOFs over
-        the folded codebook: dot each centroid (zip_with + aggregate),
-        then pick n by (sim desc, cent_id asc) — no join, no shuffle,
-        no Python.
-
-        n_keep == 1 (the corpus side — every vector, every batch) takes
-        a single-pass array_max over struct(sim, -cent_id): struct
-        ordering is lexicographic, so the max is exactly the (sim desc,
-        cent_id asc) head without the comparator-lambda sort, whose
-        ~k log k interpreted comparator calls per row cost 1.6x more
-        (measured, and pinned equal). n_probe > 1 (the tiny query side)
-        keeps the sort."""
+    def nearest_cells(df, vec_col, out_col, n_probe):
+        vec = F.col(vec_col)
         df = df.crossJoin(F.broadcast(cb))
-        if n_keep == 1:
-            scored_arr = F.transform(
-                idx,
-                lambda i: F.struct(
-                    _dot_double(
-                        F.col(vec_col), F.element_at(cent_vecs_lit, i)
-                    ).alias("sim"),
-                    (-F.element_at(cent_ids_lit, i)).alias("neg_id"),
-                ),
-            )
-            return df.withColumn(
-                out_col, -F.array_max(scored_arr)["neg_id"]
-            ).drop("cent_ids", "cent_vecs")
-        scored_arr = F.transform(
-            idx,
-            lambda i: F.struct(
-                _dot_double(
-                    F.col(vec_col), F.element_at(cent_vecs_lit, i)
-                ).alias("sim"),
-                F.element_at(cent_ids_lit, i).alias("cent_id"),
+        sc_scored = F.transform(
+            F.col("cells"),
+            lambda c: F.struct(
+                _dot_double(vec, c["scv"]).alias("sim"),
+                (-c["sc_id"]).alias("neg_sc"),
+                c["mids"].alias("mids"),
+                c["mvecs"].alias("mvecs"),
             ),
         )
+        best_sc = F.array_max(sc_scored)  # (sim desc, sc_id asc) head
+        mem = F.zip_with(
+            best_sc["mids"],
+            best_sc["mvecs"],
+            lambda cid, cv: F.struct(
+                _dot_double(vec, cv).alias("sim"), cid.alias("cent_id")
+            ),
+        )
+        if n_probe == 1:
+            neg = F.transform(
+                mem,
+                lambda s: F.struct(
+                    s["sim"].alias("sim"), (-s["cent_id"]).alias("neg_id")
+                ),
+            )
+            cell = -F.array_max(neg)["neg_id"]  # null on empty group
+            return df.withColumn(out_col, cell).drop("cells")
         ranked = F.array_sort(
-            scored_arr,
+            mem,
             lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
             .when(l["sim"] < r["sim"], F.lit(1))
             .when(l["cent_id"] < r["cent_id"], F.lit(-1))
             .when(l["cent_id"] > r["cent_id"], F.lit(1))
             .otherwise(F.lit(0)),
         )
-        top_ids = F.transform(F.slice(ranked, 1, n_keep), lambda s: s["cent_id"])
-        return df.withColumn(out_col, F.explode(top_ids)).drop(
-            "cent_ids", "cent_vecs"
-        )
+        tops = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cent_id"])
+        return df.withColumn(out_col, F.explode(tops)).drop("cells")
 
     corpus_cells = nearest_cells(corpus, "v", "cell", 1)
     query_cells = nearest_cells(queries, "qv", "qcell", 2)  # nprobe=2
 
-    scored = (
-        corpus_cells.join(
-            F.broadcast(query_cells),
-            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
-        )
-        .withColumn(
-            "cos_sim",
-            dot_dec(F.col("qv"), F.col("v")).cast("double")
-            / (F.col("qnorm") * F.col("vnorm")),
-        )
+    denom = F.col("qnorm") * F.col("vnorm")
+    scored_fast = corpus_cells.join(
+        F.broadcast(query_cells),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("cos_fast", dot_double(F.col("qv"), F.col("v")) / denom)
+    w_fast = Window.partitionBy("query_id").orderBy(
+        F.col("cos_fast").desc(), F.col("vec_id").asc()
+    )
+    cand = scored_fast.withColumn("rk_fast", F.row_number().over(w_fast)).filter(
+        F.col("rk_fast") <= TOP_K + 20
+    )
+    exact = cand.withColumn(
+        "cos_sim", dot_dec(F.col("qv"), F.col("v")).cast("double") / denom
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
