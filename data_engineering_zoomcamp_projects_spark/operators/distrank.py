@@ -40,6 +40,7 @@ def ranked(
     part_cols: list[str],
     order_cols: list[Column],
     out: str = "_rn",
+    out_total: str | None = None,
 ) -> DataFrame:
     """Exact ``ROW_NUMBER() OVER (PARTITION BY part_cols ORDER BY
     order_cols)`` as a long column `out`, with no task ever holding more
@@ -54,7 +55,14 @@ def ranked(
     unbounded part key belongs in a plain window, which is already
     scale-safe there). `order_cols` must make the ordering within a
     partition unique for a deterministic result (same contract as the
-    oracle's ROW_NUMBER tie-break)."""
+    oracle's ROW_NUMBER tie-break).
+
+    `out_total` additionally attaches COUNT(*) OVER (PARTITION BY
+    part_cols) as a long column, summed from the SAME broadcast
+    shard-count array the rank offsets use — callers that need both
+    rank and partition size (median position selection, ntile) get the
+    total with zero extra exchanges instead of a separate
+    `part_totals` aggregation + join."""
     shards = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     sort_exprs = [F.col(c).asc_nulls_last() for c in part_cols] + list(order_cols)
     ranged = (
@@ -80,11 +88,17 @@ def ranked(
         F.lit(0).cast("long"),
         lambda acc, s: acc + s["_cnt"],
     )
-    return (
-        ranged.crossJoin(F.broadcast(cnts))
-        .withColumn(out, (off + F.row_number().over(w)).cast("long"))
-        .drop("_pid", "_shard_cnts")
+    res = ranged.crossJoin(F.broadcast(cnts)).withColumn(
+        out, (off + F.row_number().over(w)).cast("long")
     )
+    if out_total is not None:
+        total = F.aggregate(
+            F.filter(F.col("_shard_cnts"), lambda s: _same_part(s, part_cols)),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s["_cnt"],
+        )
+        res = res.withColumn(out_total, total)
+    return res.drop("_pid", "_shard_cnts")
 
 
 def part_totals(df: DataFrame, part_cols: list[str]) -> DataFrame:

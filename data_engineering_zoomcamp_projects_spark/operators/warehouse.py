@@ -1,0 +1,394 @@
+"""Warehouse-shaping operators (round-5 widening): pivot/unpivot
+reshapes, SCD2 dimension building, exact median/mode aggregation,
+marketing attribution, and table profiling — the remaining everyday
+warehouse verbs a user of the reference's dbt/warehouse slot
+(SURVEY.md §2 B3; reference declares the container at
+citibike_project/docker-compose.yaml:115-126 with no models) would
+reach for next.
+
+Scale notes: every query here aggregates or windows on a bounded or
+keyed grain — pivots aggregate to (day x 5 fixed types), SCD2 windows
+partition by customer, attribution is a single map-side-combinable
+groupBy over struct min/max (no window, one shuffle), profiling is one
+full-scan aggregate row reshaped driver-free. Nothing materializes a
+pair space or an unpartitioned global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .parity import DEC, dsum0, sql_dsum0
+
+#: closed domain of events.event_type (TESTDATA.md fixture); pinning
+#: the pivot columns keeps the output schema static — at deploy the
+#: list comes from config, never from a pre-pass collect over the fact
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per day, one count column per event type.
+
+    The explicit value list makes this a single groupBy aggregation
+    (Spark skips the distinct-values discovery job) with 5 conditional
+    counts — map-side combinable, one shuffle on day."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    # a day with zero events of a type must read 0, not null
+    filled = out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+    return filled.orderBy("day")
+
+
+PIVOT_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+def part_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: part's two numeric metrics into long form
+    (p_partkey, metric, value) — the inverse reshape, a pure map-side
+    row expansion (no shuffle except the final presentation sort, which
+    a sink would drop)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").alias("p_retailprice"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_size", "p_retailprice"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+ORDER BY p_partkey, metric
+"""
+
+
+def orders_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: each customer's order-priority history as
+    validity intervals. Orders form the change stream (ordered by
+    orderdate, orderkey); consecutive same-priority versions collapse;
+    each surviving version is valid [valid_from, valid_to) with a null
+    open end and is_current=1 on the latest — the standard
+    slowly-changing-dimension type-2 shape warehoused next to the
+    MERGE/upsert path (ingest/upsert.py).
+
+    Both windows partition by o_custkey — one shuffle keyed on the
+    dimension's natural key, each partition a customer's (small) order
+    history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .withColumn("prev_priority", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("prev_priority") != F.col("o_orderpriority"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        changes.withColumn("next_from", F.lead("o_orderdate").over(w2))
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format("next_from", "yyyy-MM-dd").alias("valid_to"),
+            F.when(F.col("next_from").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_current"),
+        )
+        .orderBy("o_custkey", "valid_from", "priority")
+    )
+
+
+SCD2_SQL = """
+WITH changes AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         LAG(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_priority
+  FROM orders
+), versions AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+  FROM changes
+  WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+)
+SELECT o_custkey, o_orderpriority AS priority,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ), '%Y-%m-%d') AS valid_to,
+       CASE WHEN LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL THEN 1 ELSE 0 END AS is_current
+FROM versions
+ORDER BY o_custkey, valid_from, priority
+"""
+
+
+def agg_median_mode_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics per market segment: interpolated median
+    of account balance and the modal nation (highest customer count,
+    smallest nationkey on ties).
+
+    The median is computed from the two middle order statistics
+    directly (exact rank + partition count, average the values at
+    positions floor((n+1)/2) and floor((n+2)/2) through decimal)
+    rather than a built-in percentile: Spark and DuckDB use different
+    interpolation formulas ((1-g)*a+g*b vs a+(b-a)*g), whose float
+    results can differ in the last bits — the explicit middle-two form
+    makes the arithmetic identical on both engines. The rank comes from
+    `distrank.ranked`, NOT a segment-partitioned window: with 5
+    segment values a plain window funnels |customers|/5 rows through
+    one task — the range-shard + broadcast-prefix pattern keeps every
+    task at ~|rows|/shards. The mode's tie-ranked window runs on the
+    (segment x nation) COUNT frame — metadata grain (<=125 rows),
+    whitelisted in the plan audit."""
+    from .distrank import ranked
+
+    c = load_table(spark, sf_dir, "customer")
+    r = ranked(
+        c.select("c_mktsegment", "c_acctbal", "c_custkey"),
+        ["c_mktsegment"],
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        out="rn",
+        out_total="_n_part",
+    )
+    median = (
+        r.filter(
+            (F.col("rn") == F.floor((F.col("_n_part") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("_n_part") + 2) / 2))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC)) / F.count(F.lit(1)))
+            .cast("double")
+            .alias("median_acctbal"),
+            F.max("_n_part").alias("n_customers"),
+        )
+    )
+    mode = (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("c_mktsegment").orderBy(
+                    F.col("cnt").desc(), F.col("c_nationkey").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").alias("mode_nationkey"))
+    )
+    return (
+        median.join(mode, "c_mktsegment")
+        .select("c_mktsegment", "median_acctbal", "mode_nationkey", "n_customers")
+        .orderBy("c_mktsegment")
+    )
+
+
+MEDIAN_MODE_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+), med AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) / COUNT(*) AS DOUBLE)
+           AS median_acctbal,
+         MAX(n) AS n_customers
+  FROM ranked
+  WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2) AS BIGINT)
+  GROUP BY c_mktsegment
+), mode AS (
+  SELECT c_mktsegment, c_nationkey AS mode_nationkey FROM (
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (
+             PARTITION BY c_mktsegment ORDER BY COUNT(*) DESC, c_nationkey ASC
+           ) AS rk
+    FROM customer GROUP BY c_mktsegment, c_nationkey
+  ) WHERE rk = 1
+)
+SELECT c_mktsegment, median_acctbal, mode_nationkey, n_customers
+FROM med JOIN mode USING (c_mktsegment)
+ORDER BY c_mktsegment
+"""
+
+
+def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution per user: the first and
+    last event type by (ts, event_id), purchase count, and attributed
+    purchase revenue — in ONE groupBy with struct min/max (struct
+    ordering is lexicographic, so min(struct(ts, event_id, type)) IS
+    the first-touch row). No window, no self-join: a single map-side
+    combinable shuffle over user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(key)["event_type"].alias("first_touch"),
+            F.max(key)["event_type"].alias("last_touch"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+            dsum0(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                "purchase_value",
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn_d
+  FROM events
+)
+SELECT user_id,
+       MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch,
+       MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       {sql_dsum0("CASE WHEN event_type = 'purchase' THEN value END",
+                  "purchase_value")}
+FROM ordered GROUP BY user_id ORDER BY user_id
+"""
+
+
+#: columns profiled by profile_orders_columns; (name, is_timestamp)
+_PROFILE_COLS = [
+    ("o_orderkey", False),
+    ("o_custkey", False),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+    ("o_orderdate", True),
+]
+
+
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: per-column null count,
+    exact distinct count, and min/max rendered canonically — ONE full
+    scan producing a single wide aggregate row, reshaped to
+    (column, n_nulls, n_distinct, min_val, max_val) rows with stack()
+    (pure projection, no second pass, no driver collect)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, is_ts in _PROFILE_COLS:
+        col = F.col(name)
+        rendered_min = F.min(col)
+        rendered_max = F.max(col)
+        if is_ts:
+            rendered_min = F.date_format(rendered_min, "yyyy-MM-dd")
+            rendered_max = F.date_format(rendered_max, "yyyy-MM-dd")
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"nulls_{name}"),
+            F.countDistinct(col).alias(f"dist_{name}"),
+            rendered_min.cast("string").alias(f"min_{name}"),
+            rendered_max.cast("string").alias(f"max_{name}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nulls_{name}, dist_{name}, min_{name}, max_{name}"
+        for name, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column, n_nulls, n_distinct, min_val, max_val)"
+    ).orderBy("column")
+
+
+PROFILE_SQL = """
+WITH agg AS (
+  SELECT
+    COUNT(*) - COUNT(o_orderkey) AS nulls_o_orderkey,
+    COUNT(DISTINCT o_orderkey) AS dist_o_orderkey,
+    CAST(MIN(o_orderkey) AS VARCHAR) AS min_o_orderkey,
+    CAST(MAX(o_orderkey) AS VARCHAR) AS max_o_orderkey,
+    COUNT(*) - COUNT(o_custkey) AS nulls_o_custkey,
+    COUNT(DISTINCT o_custkey) AS dist_o_custkey,
+    CAST(MIN(o_custkey) AS VARCHAR) AS min_o_custkey,
+    CAST(MAX(o_custkey) AS VARCHAR) AS max_o_custkey,
+    COUNT(*) - COUNT(o_orderstatus) AS nulls_o_orderstatus,
+    COUNT(DISTINCT o_orderstatus) AS dist_o_orderstatus,
+    CAST(MIN(o_orderstatus) AS VARCHAR) AS min_o_orderstatus,
+    CAST(MAX(o_orderstatus) AS VARCHAR) AS max_o_orderstatus,
+    COUNT(*) - COUNT(o_orderpriority) AS nulls_o_orderpriority,
+    COUNT(DISTINCT o_orderpriority) AS dist_o_orderpriority,
+    CAST(MIN(o_orderpriority) AS VARCHAR) AS min_o_orderpriority,
+    CAST(MAX(o_orderpriority) AS VARCHAR) AS max_o_orderpriority,
+    COUNT(*) - COUNT(o_orderdate) AS nulls_o_orderdate,
+    COUNT(DISTINCT o_orderdate) AS dist_o_orderdate,
+    strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_o_orderdate,
+    strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_o_orderdate
+  FROM orders
+)
+SELECT 'o_orderkey' AS "column", nulls_o_orderkey AS n_nulls,
+       dist_o_orderkey AS n_distinct, min_o_orderkey AS min_val,
+       max_o_orderkey AS max_val FROM agg
+UNION ALL
+SELECT 'o_custkey', nulls_o_custkey, dist_o_custkey,
+       min_o_custkey, max_o_custkey FROM agg
+UNION ALL
+SELECT 'o_orderstatus', nulls_o_orderstatus, dist_o_orderstatus,
+       min_o_orderstatus, max_o_orderstatus FROM agg
+UNION ALL
+SELECT 'o_orderpriority', nulls_o_orderpriority, dist_o_orderpriority,
+       min_o_orderpriority, max_o_orderpriority FROM agg
+UNION ALL
+SELECT 'o_orderdate', nulls_o_orderdate, dist_o_orderdate,
+       min_o_orderdate, max_o_orderdate FROM agg
+ORDER BY "column"
+"""
+
+
+QUERIES = {
+    "events_pivot_daily_types": events_pivot_daily_types,
+    "part_unpivot_metrics": part_unpivot_metrics,
+    "orders_scd2_priority": orders_scd2_priority,
+    "agg_median_mode_by_segment": agg_median_mode_by_segment,
+    "events_attribution_first_last": events_attribution_first_last,
+    "profile_orders_columns": profile_orders_columns,
+}
+
+ORACLES = {
+    "events_pivot_daily_types": PIVOT_SQL,
+    "part_unpivot_metrics": UNPIVOT_SQL,
+    "orders_scd2_priority": SCD2_SQL,
+    "agg_median_mode_by_segment": MEDIAN_MODE_SQL,
+    "events_attribution_first_last": ATTRIBUTION_SQL,
+    "profile_orders_columns": PROFILE_SQL,
+}

@@ -31,6 +31,7 @@ _MODULES = [
     "operators.tpch_plus",
     "operators.relational",
     "operators.joins",
+    "operators.warehouse",
     # driver-certified in earlier rounds, unchanged
     "operators.subqueries",
     "operators.windows",
@@ -73,6 +74,13 @@ _FRONT = [
     "sample_fraction",
     # new in round 5: the true readStream path under the driver gate
     "stream_live_tumbling_hourly",
+    # new in round 5: warehouse-shaping family (operators/warehouse.py)
+    "events_pivot_daily_types",
+    "part_unpivot_metrics",
+    "orders_scd2_priority",
+    "agg_median_mode_by_segment",
+    "events_attribution_first_last",
+    "profile_orders_columns",
 ]
 
 

@@ -228,6 +228,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # ref-day cross join) or the 5x25 dim cross join — verified bounded;
     # this is an EXACT set, so a new unbounded product anywhere fails
     bounded_cartesian_ok = {
+        # agg_median_mode_by_segment: distrank.ranked's 1-row broadcast
+        # shard-count frame (rank offsets + partition totals)
+        "agg_median_mode_by_segment",
         "events_user_rfm", "join_cross_region_nation", "prep_vocab_topk",
         "prep_source_mixing", "prep_sequence_packing", "q11_part_value_share",
         "q22_idle_rich_customers", "sim_topk_bruteforce",
@@ -275,7 +278,14 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # distrank.ranked; the one remaining plain window is dense_rank over
     # the TIE-GROUP frame — |distinct (status, priority)| = 15 rows,
     # metadata grain (see distrank.rank_family docstring).
-    low_card_window_ok: set[str] = {"window_rank_functions"}
+    # agg_median_mode_by_segment: the median rank is distributed via
+    # distrank.ranked; the one remaining segment-partitioned window is
+    # the mode's tie-rank over the (segment x nation) COUNT frame —
+    # |segments| x |nations| <= 125 rows, metadata grain.
+    low_card_window_ok: set[str] = {
+        "window_rank_functions",
+        "agg_median_mode_by_segment",
+    }
     id_bearing = __import__("re").compile(r"(_pid|key|_?id($|_))")
     worst = []
     for name, fn in sorted(all_queries().items()):
