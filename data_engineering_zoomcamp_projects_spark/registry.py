@@ -72,8 +72,10 @@ _FRONT = [
     "sim_topk_ivf",
     "agg_percentile_approx",
     "sample_fraction",
-    # new in round 5: the true readStream path under the driver gate
+    # new in round 5: the true readStream paths under the driver gate
     "stream_live_tumbling_hourly",
+    "stream_live_session_30m",
+    "stream_live_join_purchase_views",
     # new in round 5: warehouse-shaping family (operators/warehouse.py)
     "events_pivot_daily_types",
     "part_unpivot_metrics",

@@ -171,10 +171,30 @@ def _stream_live_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_live_tumbling_hourly(spark, sf_dir)
 
 
+def _stream_live_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .jobs import stream_live_session_30m
+
+    return stream_live_session_30m(spark, sf_dir)
+
+
+def _stream_live_join_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .jobs import stream_live_join_purchase_views
+
+    return stream_live_join_purchase_views(spark, sf_dir)
+
+
+def _stream_live_join_sql() -> str:
+    from .jobs import STREAM_LIVE_JOIN_SQL
+
+    return STREAM_LIVE_JOIN_SQL
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
-    # the REAL readStream engine output, sharing the same oracle
+    # the REAL readStream engine outputs, sharing the batch oracles
     "stream_live_tumbling_hourly": _stream_live_tumbling_hourly,
+    "stream_live_session_30m": _stream_live_session_30m,
+    "stream_live_join_purchase_views": _stream_live_join_purchase_views,
     "stream_sliding_15m": stream_sliding_15m,
     "stream_session_30m": stream_session_30m,
     "stream_dedup_summary": stream_dedup_summary,
@@ -184,6 +204,8 @@ QUERIES = {
 ORACLES = {
     "stream_tumbling_hourly": STREAM_TUMBLING_SQL,
     "stream_live_tumbling_hourly": STREAM_TUMBLING_SQL,
+    "stream_live_session_30m": STREAM_SESSION_SQL,
+    "stream_live_join_purchase_views": _stream_live_join_sql(),
     "stream_sliding_15m": STREAM_SLIDING_SQL,
     "stream_session_30m": STREAM_SESSION_SQL,
     "stream_dedup_summary": STREAM_DEDUP_SQL,

@@ -290,6 +290,73 @@ def stream_live_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_live_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE `readStream` session windows (round-5 widening of the
+    live-certified streaming surface): the per-user 30-minute-gap
+    `session_window` aggregation runs through the real file-source
+    stream into a memory sink and shares `stream_session_30m`'s
+    gaps-and-islands DuckDB oracle — the driver hash-checks the actual
+    streaming session-merge state machine, not just the batch twin.
+
+    Complete mode retains all sessions for the static test dir; the
+    watermark still runs the state-eviction path (append-mode late-data
+    behavior covered in tests/test_streaming.py)."""
+    global _LIVE_QUERY_SEQ
+    from ..operators.parity import dsum, ts_str
+
+    events = load_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value"))
+    )
+    _LIVE_QUERY_SEQ += 1
+    name = f"live_session_{_LIVE_QUERY_SEQ}"
+    run_to_memory(agg, name)
+    return spark.table(name).select(
+        "user_id",
+        ts_str(F.col("w.start"), "session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        ts_str(F.col("w.end"), "session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        "n_events",
+        "total_value",
+    )
+
+
+def stream_live_join_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream join under the driver gate: purchases matched
+    to the same user's views within the preceding hour
+    (`purchase_view_stream_join`), both sides watermarked, run through
+    the real file-source stream. Inner stream-stream joins emit each
+    match as soon as both sides arrive (append mode; the watermark only
+    bounds buffered state), so draining the static dir yields exactly
+    the batch range-join result — which is the DuckDB oracle."""
+    global _LIVE_QUERY_SEQ
+    from ..operators.parity import ts_str
+
+    events = load_events_stream(spark, sf_dir)
+    joined = purchase_view_stream_join(events)
+    _LIVE_QUERY_SEQ += 1
+    name = f"live_join_{_LIVE_QUERY_SEQ}"
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("purchase_ts"), "purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        ts_str(F.col("view_ts"), "view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+    )
+
+
+STREAM_LIVE_JOIN_SQL = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM events p JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.user_id = p.user_id
+ AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame to completion synchronously into an
     in-memory table (test/dev harness)."""
