@@ -64,6 +64,10 @@ HEADLINE = [
     "prep_decontaminate",
     # transform layer
     "mart_daily_revenue",
+    # round-5 additions: warehouse shaping + the true readStream path
+    "agg_median_mode_by_segment",
+    "orders_scd2_priority",
+    "stream_live_tumbling_hourly",
 ]
 
 

@@ -150,3 +150,90 @@ def ml_segment_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ml_segment_zscores"] = ml_segment_zscores
 # rows-only: pandas mean/std accumulate in a different order than any
 # SQL engine; equivalence to the native window form is pinned in pytest
+
+
+def _det3(a: list[str]) -> str:
+    """3x3 determinant expression text (first-column cofactor
+    expansion) over 9 column names, rows (a0,a1,a2),(a3,a4,a5),
+    (a6,a7,a8). The SAME string feeds Spark selectExpr and DuckDB, so
+    both engines execute the identical IEEE-double operation tree —
+    determinism by shared formula text, the fn_math_suite convention."""
+    return (
+        f"({a[0]}*({a[4]}*{a[8]} - {a[5]}*{a[7]})"
+        f" - {a[3]}*({a[1]}*{a[8]} - {a[2]}*{a[7]})"
+        f" + {a[6]}*({a[1]}*{a[5]} - {a[2]}*{a[4]}))"
+    )
+
+
+#: shared Cramer formulas for y ~ b0 + b1*q + b2*d normal equations
+#: A = [[n,Sq,Sd],[Sq,Sqq,Sqd],[Sd,Sqd,Sdd]], rhs = [Sy,Sqy,Sdy]
+_LR_DET = _det3(["sn", "sq", "sd", "sq", "sqq", "sqd", "sd", "sqd", "sdd"])
+_LR_D0 = _det3(["sy", "sq", "sd", "sqy", "sqq", "sqd", "sdy", "sqd", "sdd"])
+_LR_D1 = _det3(["sn", "sy", "sd", "sq", "sqy", "sqd", "sd", "sdy", "sdd"])
+_LR_D2 = _det3(["sn", "sq", "sy", "sq", "sqq", "sqy", "sd", "sqd", "sdy"])
+_LR_COEFS = [
+    f"round(({_LR_D0})/({_LR_DET}), 8) AS b_intercept",
+    f"round(({_LR_D1})/({_LR_DET}), 8) AS b_quantity",
+    f"round(({_LR_D2})/({_LR_DET}), 8) AS b_discount",
+]
+
+
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS fit of l_extendedprice ~ quantity + discount,
+    entirely in the plan: ONE full-scan aggregation accumulates the
+    normal-equation moment sums in exact DECIMAL(18,4)-based
+    arithmetic (inputs are 2-dp/integer-valued, so every product fits
+    DECIMAL(37,8) exactly — order-independent, no float drift), then
+    Cramer's rule solves the 3x3 system as a projection over the
+    one-row sums frame. No collect, no iteration, no UDF: distributed
+    model FITTING as a DataFrame program (the training-side complement
+    of the pandas_udf scorer above). The moments-then-solve shape is
+    exactly how MLlib's normal-equation solver distributes; at 100 TB
+    the scan is the cost and it is one pass.
+
+    The DuckDB oracle runs the same decimal moments and the SAME
+    determinant formula text, so coefficients hash-match bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    D = "decimal(18,4)"
+    q = F.col("l_quantity").cast(D)
+    d = F.col("l_discount").cast(D)
+    y = F.col("l_extendedprice").cast(D)
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("sn"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * y).cast("double").alias("sqy"),
+        F.sum(d * y).cast("double").alias("sdy"),
+    )
+    return sums.selectExpr("n", *_LR_COEFS)
+
+
+_LR_SUMS_SQL = """
+  SELECT COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS sn,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sqq,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sqd,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sdd,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sqy,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sdy
+  FROM lineitem
+"""
+
+ML_LINREG_SQL = f"""
+WITH s AS ({_LR_SUMS_SQL})
+SELECT n,
+       ROUND(({_LR_D0})/({_LR_DET}), 8) AS b_intercept,
+       ROUND(({_LR_D1})/({_LR_DET}), 8) AS b_quantity,
+       ROUND(({_LR_D2})/({_LR_DET}), 8) AS b_discount
+FROM s
+"""
+
+QUERIES["ml_linreg_normal_eq"] = ml_linreg_normal_eq
+ORACLES["ml_linreg_normal_eq"] = ML_LINREG_SQL

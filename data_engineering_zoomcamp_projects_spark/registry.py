@@ -76,6 +76,8 @@ _FRONT = [
     "stream_live_tumbling_hourly",
     "stream_live_session_30m",
     "stream_live_join_purchase_views",
+    # new in round 5: closed-form distributed OLS fit (ml.py)
+    "ml_linreg_normal_eq",
     # new in round 5: warehouse-shaping family (operators/warehouse.py)
     "events_pivot_daily_types",
     "part_unpivot_metrics",

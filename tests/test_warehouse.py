@@ -107,3 +107,26 @@ def test_profile_counts_orders(spark, sf_dir):
     ok = out["o_orderkey"]
     assert ok["n_nulls"] == 0 and ok["n_distinct"] == n
     assert int(ok["min_val"]) <= int(ok["max_val"])
+
+
+def test_linreg_matches_numpy_lstsq(spark, sf_dir):
+    """The Cramer/normal-equation fit must agree with numpy's QR-based
+    least squares on the same design matrix (math check, independent of
+    the DuckDB-parity formula-text argument)."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_projects_spark import ml
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    row = ml.ml_linreg_normal_eq(spark, sf_dir).collect()[0]
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["l_quantity"], pdf["l_discount"]]
+    )
+    beta, *_ = np.linalg.lstsq(X, pdf["l_extendedprice"].to_numpy(), rcond=None)
+    got = np.array([row["b_intercept"], row["b_quantity"], row["b_discount"]])
+    assert np.allclose(got, beta, rtol=1e-6, atol=1e-4), (got, beta)
