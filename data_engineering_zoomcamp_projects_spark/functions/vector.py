@@ -112,3 +112,25 @@ def sql_dot_double(a: str, b: str, dim: int = 64) -> str:
         f"(({a})[{i}]::DOUBLE * ({b})[{i}]::DOUBLE)" for i in range(1, dim + 1)
     )
     return f"({terms})"
+
+
+def dist_dec(a: Column, b: Column) -> Column:
+    """Exact decimal SQUARED EUCLIDEAN distance of two double arrays —
+    same order-independence contract as dot_dec: each (x-y)^2 is an
+    IEEE-deterministic double, the decimal sum of the per-dim casts is
+    exact, so the value is bit-identical across engines and partition
+    layouts. Used where a distance decides a comparison that must
+    hash-match (k-means argmin cells)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(DEC)),
+        F.lit(0).cast(DEC),
+        lambda acc, x: (acc + x).cast(DEC),
+    )
+
+
+def sql_dist_dec(a: str, b: str) -> str:
+    """DuckDB twin of dist_dec."""
+    return (
+        f"list_sum(list_transform(list_zip(({a})::DOUBLE[], ({b})::DOUBLE[]),"
+        f" s -> CAST((s[1]-s[2])*(s[1]-s[2]) AS DECIMAL(38,10))))"
+    )

@@ -237,3 +237,178 @@ FROM s
 
 QUERIES["ml_linreg_normal_eq"] = ml_linreg_normal_eq
 ORACLES["ml_linreg_normal_eq"] = ML_LINREG_SQL
+
+
+#: k-means configuration: fixed k, fixed iteration count, deterministic
+#: seed (the 8 lowest vec_ids). Fixed-iteration training keeps the
+#: oracle expressible (3 unrolled assignment/update rounds in SQL);
+#: convergence-exit training belongs to the iterative-algorithm family
+#: (see llm/dedup.min_label_components for that pattern).
+KMEANS_K = 8
+KMEANS_ITERS = 3
+#: fixed-point lattice: coordinates quantize to floor(x * 1e7) BEFORE
+#: training, so every distance, comparison, and centroid update is
+#: EXACT integer arithmetic. This is what makes distributed training
+#: bit-reproducible: float formulations differ between engines at the
+#: double->decimal boundary (Spark casts via the shortest decimal
+#: repr + HALF_UP, DuckDB rounds the exact binary value — measured
+#: 1-ulp-at-1e-10 disagreements), while floor() is computed on the
+#: binary value identically everywhere. Squared diffs fit a long
+#: (<= (8e7)^2 * 64 ~ 4e17); only the final inertia sum needs
+#: DECIMAL(38,0).
+KMEANS_SCALE = 10_000_000
+
+
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means TRAINING over the embeddings table, fully
+    oracle-checked: k=8 seeds (lowest vec_ids), 3 Lloyd iterations on
+    1e-7 fixed-point coordinates (see KMEANS_SCALE — the quantization
+    is what makes the whole training run bit-reproducible across
+    engines, partition layouts, and replays).
+
+    Per round: every vector joins the one-row broadcast centroid frame
+    and picks its nearest centroid MAP-SIDE via array_min over
+    struct(dist, cent_id) — dist is an exact integer fold, so the
+    argmin is deterministic; the centroid update is a (cell, dim)
+    posexplode aggregation whose floor(sum/count) mean stays on the
+    lattice. Empty clusters retain their previous centroid.
+
+    Centroids are MODEL STATE: O(k x d) values collected per round and
+    re-broadcast (the sim_topk_ivf codebook pattern — the corpus never
+    shuffles; each Lloyd round is one scan + one metadata-grain
+    aggregation). The DuckDB oracle unrolls the same 3 rounds as
+    chained CTEs over the same integers, so cluster sizes AND the exact
+    integer inertia hash-match.
+
+    Output: one row per cluster — seed id, member count, exact int64 inertia
+    in squared lattice units (divide by 1e14 for float units)."""
+    from .catalog import load_table as _lt
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * KMEANS_SCALE).cast("long"),
+            ).alias("vq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["vq"]])
+        for r in e.orderBy("vec_id").limit(KMEANS_K).collect()
+    ]
+
+    def assign(cent_rows):
+        cb = spark.createDataFrame(
+            [(sorted(cent_rows),)],
+            "cells array<struct<cent_id:bigint,cq:array<bigint>>>",
+        )
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("vq"), c["cq"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = F.transform(
+            F.col("cells"),
+            lambda c: F.struct(dist(c).alias("dist"), c["cent_id"].alias("cent_id")),
+        )
+        best = F.array_min(scored)  # (dist asc, cent_id asc) head
+        return (
+            e.crossJoin(F.broadcast(cb))
+            .withColumn("cell", best["cent_id"])
+            .withColumn("dist", best["dist"])
+            .drop("cells")
+        )
+
+    for _ in range(KMEANS_ITERS - 1):
+        assigned = assign(cents)
+        means = (
+            assigned.select("cell", F.posexplode("vq").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("val")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = int(r["val"])
+        cents = [
+            (
+                cid,
+                [by_cell[cid][d] for d in range(len(cq))] if cid in by_cell else cq,
+            )
+            for cid, cq in cents
+        ]
+    final = assign(cents)
+    return (
+        final.groupBy(F.col("cell").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia_q"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _kmeans_sql() -> str:
+    q = (
+        "list_transform(embedding::DOUBLE[], "
+        f"x -> CAST(FLOOR(x * {KMEANS_SCALE}) AS BIGINT))"
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.vq, c.cq), "
+        "s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT)"
+    )
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, vq, cell, dist FROM (
+    SELECT e.vec_id, e.vq, c.cent_id AS cell, {dist} AS dist,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cent_id ASC
+           ) AS rk
+    FROM quant e CROSS JOIN {cents} c
+  ) WHERE rk = 1
+)"""
+
+    def update_cte(mname: str, cname: str, assigned: str, prev: str) -> str:
+        return f"""{mname} AS (
+  SELECT cell AS cent_id, dim,
+         CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+  FROM (
+    SELECT cell, g.i - 1 AS dim, vq[g.i] AS x
+    FROM {assigned}, (SELECT unnest(generate_series(1, 64)) AS i) g
+  ) GROUP BY cell, dim
+), {cname} AS (
+  SELECT p.cent_id, COALESCE(n.cq, p.cq) AS cq
+  FROM {prev} p LEFT JOIN (
+    SELECT cent_id, list(val ORDER BY dim) AS cq FROM {mname} GROUP BY cent_id
+  ) n USING (cent_id)
+)"""
+
+    parts = [
+        f"quant AS (SELECT vec_id, {q} AS vq FROM embeddings)",
+        f"""c0 AS (
+  SELECT vec_id AS cent_id, vq AS cq
+  FROM quant ORDER BY vec_id LIMIT {KMEANS_K}
+)""",
+    ]
+    for i in range(1, KMEANS_ITERS):
+        parts.append(assign_cte(f"a{i}", f"c{i - 1}"))
+        parts.append(update_cte(f"m{i}", f"c{i}", f"a{i}", f"c{i - 1}"))
+    parts.append(assign_cte(f"a{KMEANS_ITERS}", f"c{KMEANS_ITERS - 1}"))
+    return f"""
+WITH {', '.join(parts)}
+SELECT cell AS cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia_q
+FROM a{KMEANS_ITERS} GROUP BY cell ORDER BY cluster_id
+"""
+
+
+QUERIES["ml_kmeans_embeddings"] = ml_kmeans_embeddings
+ORACLES["ml_kmeans_embeddings"] = _kmeans_sql()

@@ -392,3 +392,62 @@ ORACLES = {
     "events_attribution_first_last": ATTRIBUTION_SQL,
     "profile_orders_columns": PROFILE_SQL,
 }
+
+
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p25/p50/p75/p95, PERCENTILE_DISC
+    semantics: the value at rank ceil(p*n)) of order totals per order
+    priority. Like the median above, the rank comes from
+    `distrank.ranked` + its same-broadcast partition total — priority
+    has 5 values, so a plain partitioned window would funnel
+    |orders|/5 through one task. Selection is then a conditional
+    aggregation; values are picked, never interpolated, so there is no
+    float arithmetic to reconcile at all."""
+    from .distrank import ranked
+
+    o = load_table(spark, sf_dir, "orders")
+    r = ranked(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        out="rn",
+        out_total="_n_part",
+    )
+    def pick(p: float, alias: str):
+        target = F.ceil(F.lit(p) * F.col("_n_part")).cast("long")
+        return F.max(
+            F.when(F.col("rn") == target, F.col("o_totalprice"))
+        ).alias(alias)
+
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.max("_n_part").alias("n_orders"),
+            pick(0.25, "p25"),
+            pick(0.50, "p50"),
+            pick(0.75, "p75"),
+            pick(0.95, "p95"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority, MAX(n) AS n_orders,
+       MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN o_totalprice END) AS p25,
+       MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+       MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN o_totalprice END) AS p75,
+       MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN o_totalprice END) AS p95
+FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["agg_exact_percentiles"] = agg_exact_percentiles
+ORACLES["agg_exact_percentiles"] = PERCENTILES_SQL

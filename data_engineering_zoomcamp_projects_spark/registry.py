@@ -76,8 +76,10 @@ _FRONT = [
     "stream_live_tumbling_hourly",
     "stream_live_session_30m",
     "stream_live_join_purchase_views",
-    # new in round 5: closed-form distributed OLS fit (ml.py)
+    # new in round 5: distributed model training, fully oracle-checked
+    # (ml.py): closed-form OLS + fixed-point iterative k-means
     "ml_linreg_normal_eq",
+    "ml_kmeans_embeddings",
     # new in round 5: warehouse-shaping family (operators/warehouse.py)
     "events_pivot_daily_types",
     "part_unpivot_metrics",
@@ -85,6 +87,7 @@ _FRONT = [
     "agg_median_mode_by_segment",
     "events_attribution_first_last",
     "profile_orders_columns",
+    "agg_exact_percentiles",
 ]
 
 

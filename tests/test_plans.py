@@ -228,9 +228,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # ref-day cross join) or the 5x25 dim cross join — verified bounded;
     # this is an EXACT set, so a new unbounded product anywhere fails
     bounded_cartesian_ok = {
-        # agg_median_mode_by_segment: distrank.ranked's 1-row broadcast
+        # median/percentiles: distrank.ranked's 1-row broadcast
         # shard-count frame (rank offsets + partition totals)
         "agg_median_mode_by_segment",
+        "agg_exact_percentiles",
         "events_user_rfm", "join_cross_region_nation", "prep_vocab_topk",
         "prep_source_mixing", "prep_sequence_packing", "q11_part_value_share",
         "q22_idle_rich_customers", "sim_topk_bruteforce",
@@ -241,11 +242,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "subq_scalar_above_avg_price", "text_tfidf_top_terms",
         "window_rank_functions",
     }
-    # iterative queries execute during construction (convergence loop)
-    # and their rendered plan embeds cached/checkpointed subplan
-    # descriptions, inflating operator counts beyond what actually runs
-    # per round — audited separately by their own tests
-    iterative = {"dedup_cluster_components"}
+    # iterative queries execute during construction (convergence loop /
+    # Lloyd rounds) and their rendered plan embeds cached/checkpointed
+    # subplan descriptions, inflating operator counts beyond what
+    # actually runs per round — audited separately by their own tests
+    iterative = {"dedup_cluster_components", "ml_kmeans_embeddings"}
     # multi-stage composites get their own ceiling: curation fuses
     # quality gate + exact dedup + LSH near-dup + census in one
     # plan (11 exchanges measured, each stage's shuffles semantic).

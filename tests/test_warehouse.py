@@ -130,3 +130,56 @@ def test_linreg_matches_numpy_lstsq(spark, sf_dir):
     beta, *_ = np.linalg.lstsq(X, pdf["l_extendedprice"].to_numpy(), rcond=None)
     got = np.array([row["b_intercept"], row["b_quantity"], row["b_discount"]])
     assert np.allclose(got, beta, rtol=1e-6, atol=1e-4), (got, beta)
+
+
+def test_kmeans_matches_numpy_fixed_point(spark, sf_dir):
+    """The fixed-point Lloyd loop is EXACTLY replicable in numpy int64:
+    floor-quantize, integer distances, floor(sum/count) updates. Exact
+    equality (not tolerance) — this is the reproducibility claim the
+    lattice buys."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_projects_spark import ml
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64)
+        * ml.KMEANS_SCALE
+    ).astype(np.int64)
+    cent_ids = ids[: ml.KMEANS_K].copy()
+    C = X[: ml.KMEANS_K].copy()
+
+    def assign(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # int64 exact
+        cell_idx = d.argmin(axis=1)  # ties -> lowest index == lowest cent_id
+        return cell_idx, d[np.arange(len(X)), cell_idx]
+
+    for _ in range(ml.KMEANS_ITERS - 1):
+        cell_idx, _d = assign(C)
+        for j in range(ml.KMEANS_K):
+            members = X[cell_idx == j]
+            if len(members):
+                C[j] = np.floor(
+                    members.sum(axis=0).astype(np.float64) / len(members)
+                ).astype(np.int64)
+    cell_idx, dist = assign(C)
+    expected = {
+        int(cent_ids[j]): (
+            int((cell_idx == j).sum()),
+            int(dist[cell_idx == j].sum()),
+        )
+        for j in range(ml.KMEANS_K)
+        if (cell_idx == j).any()
+    }
+    got = {
+        int(r["cluster_id"]): (int(r["n_members"]), int(r["inertia_q"]))
+        for r in ml.ml_kmeans_embeddings(spark, sf_dir).collect()
+    }
+    assert got == expected
