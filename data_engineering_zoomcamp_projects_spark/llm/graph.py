@@ -1,0 +1,152 @@
+"""Graph analytics over the near-dup document graph (round-5
+widening): damped PageRank, joining the connected-components operator
+(llm/dedup.min_label_components) in the iterative-graph family.
+
+The rank runs in FIXED-POINT integer arithmetic (the ml_kmeans lattice
+discipline): rank mass is scaled by 1e12, per-edge contributions are
+floor(pr/deg), damping is the exact rational 17/20, and every floor()
+is computed on the binary double value — identical in Spark, Python,
+and DuckDB — so three unrolled iterations are bit-reproducible and the
+oracle hash-checks the whole training loop. (A float formulation
+diverges at the engines' double->decimal boundaries; see the k-means
+docstring for the measured failure.)
+
+Scale: each iteration is one edges-to-ranks equi-join + one groupBy
+sum — the same shuffle shape as one min-label flood round; edges come
+from the banded MinHash-LSH path (candidate-bounded, the 100 TB
+design), and rank state is one long per vertex.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import sql_shingle_cte
+
+#: rank mass scale (1e12) and fixed iteration count. Damping 0.85 is
+#: applied as the exact rational 17/20; 17*inflow <= 1.7e13 stays far
+#: inside double-exact integer range (2^53), so floor() is exact.
+PR_SCALE = 1_000_000_000_000
+PR_ITERS = 3
+#: 0.15 * PR_SCALE, exactly
+PR_BASE_MASS = 150_000_000_000
+
+
+def graph_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 3 iterations, dangling mass not
+    redistributed — the standard simplification for ordinal use) over
+    the undirected near-dup graph: vertices = documents, edges =
+    Jaccard>=0.8 pairs from the MinHash-LSH path (pair-identical to
+    the exact shingle join at these banding parameters — the same
+    sharing argument as dedup_cluster_components).
+
+    Per iteration: contributions floor(pr/deg) flow along edges (one
+    equi-join), inflows aggregate per target (one groupBy), and
+    pr' = floor(0.15*S/n) + floor(17*inflow/20) — all exact integer
+    arithmetic on the 1e12 lattice, so the DuckDB oracle's unrolled
+    iterations hash-match bit-for-bit. Rank state is checkpointed
+    lazily per round (iterative-plan hygiene)."""
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+
+    base = math.floor(PR_BASE_MASS / n)
+    pr = docs.withColumn("pr", F.lit(math.floor(PR_SCALE / n)).cast("long"))
+    for _ in range(PR_ITERS):
+        inflow = (
+            edges_deg.join(pr, edges_deg["src"] == pr["doc_id"])
+            .select(
+                F.col("dst"),
+                F.floor(F.col("pr").cast("double") / F.col("deg"))
+                .cast("long")
+                .alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        pr = (
+            docs.join(inflow, docs["doc_id"] == inflow["dst"], "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(17.0) * F.coalesce(F.col("inflow"), F.lit(0)) / F.lit(20.0)
+                    )
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    pairs.unpersist()
+    return pr.select("doc_id", F.col("pr").alias("pagerank_q")).orderBy("doc_id")
+
+
+def _pagerank_sql() -> str:
+    from .dedup import JACCARD_THRESHOLD
+
+    def iter_cte(name: str, prev: str) -> str:
+        return f"""{name} AS (
+  SELECT d.doc_id,
+         CAST(FLOOR({PR_BASE_MASS}.0 / s.n) AS BIGINT)
+         + CAST(FLOOR(17.0 * COALESCE(f.inflow, 0) / 20.0) AS BIGINT) AS pr
+  FROM documents d CROSS JOIN stats s LEFT JOIN (
+    SELECT e.dst,
+           SUM(CAST(FLOOR(CAST(p.pr AS DOUBLE) / g.deg) AS BIGINT)) AS inflow
+    FROM edges e JOIN {prev} p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst
+  ) f ON f.dst = d.doc_id
+)"""
+
+    parts = [
+        sql_shingle_cte(5),
+        "cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)",
+        """pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)""",
+        f"""near AS (
+  SELECT doc_a, doc_b FROM pair
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+)""",
+        """edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM near
+  UNION ALL SELECT doc_b, doc_a FROM near
+)""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "stats AS (SELECT COUNT(*) AS n FROM documents)",
+        f"""p0 AS (
+  SELECT doc_id, CAST(FLOOR({PR_SCALE}.0 / s.n) AS BIGINT) AS pr
+  FROM documents CROSS JOIN stats s
+)""",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(iter_cte(f"p{i}", f"p{i - 1}"))
+    return f"""
+WITH {', '.join(parts)}
+SELECT doc_id, pr AS pagerank_q FROM p{PR_ITERS} ORDER BY doc_id
+"""
+
+
+QUERIES = {"graph_pagerank_near_dups": graph_pagerank_near_dups}
+ORACLES = {"graph_pagerank_near_dups": _pagerank_sql()}

@@ -26,6 +26,7 @@ _MODULES = [
     "llm.dedup",
     "llm.similarity",
     "llm.curation",
+    "llm.graph",
     "transform",
     "operators.tpch_full",
     "operators.tpch_plus",
@@ -80,6 +81,7 @@ _FRONT = [
     # (ml.py): closed-form OLS + fixed-point iterative k-means
     "ml_linreg_normal_eq",
     "ml_kmeans_embeddings",
+    "graph_pagerank_near_dups",
     # new in round 5: warehouse-shaping family (operators/warehouse.py)
     "events_pivot_daily_types",
     "part_unpivot_metrics",

@@ -245,3 +245,31 @@ def test_symspell_equals_quadratic_fuzzy_match(spark, sf_dir):
     )
     assert quad == sym
     assert quad  # non-trivial on the testdata
+
+
+def test_pagerank_fixed_point_properties(spark, sf_dir):
+    """Fixed-point PageRank invariants: deterministic across runs;
+    isolated documents (no near-dup edges) sit exactly at the base
+    rank floor(0.15*S/n); total rank mass never exceeds the scale;
+    linked documents strictly exceed the base."""
+    import math
+
+    from data_engineering_zoomcamp_projects_spark.llm import graph
+
+    out1 = {r["doc_id"]: r["pagerank_q"]
+            for r in graph.graph_pagerank_near_dups(spark, sf_dir).collect()}
+    out2 = {r["doc_id"]: r["pagerank_q"]
+            for r in graph.graph_pagerank_near_dups(spark, sf_dir).collect()}
+    assert out1 == out2
+    n = len(out1)
+    base = math.floor(graph.PR_BASE_MASS / n)
+    linked = {
+        d for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+        for d in (r["doc_a"], r["doc_b"])
+    }
+    for doc_id, pr in out1.items():
+        if doc_id in linked:
+            assert pr > base, (doc_id, pr, base)
+        else:
+            assert pr == base, (doc_id, pr, base)
+    assert sum(out1.values()) <= graph.PR_SCALE

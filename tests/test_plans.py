@@ -246,7 +246,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # Lloyd rounds) and their rendered plan embeds cached/checkpointed
     # subplan descriptions, inflating operator counts beyond what
     # actually runs per round — audited separately by their own tests
-    iterative = {"dedup_cluster_components", "ml_kmeans_embeddings"}
+    iterative = {
+        "dedup_cluster_components",
+        "ml_kmeans_embeddings",
+        "graph_pagerank_near_dups",
+    }
     # multi-stage composites get their own ceiling: curation fuses
     # quality gate + exact dedup + LSH near-dup + census in one
     # plan (11 exchanges measured, each stage's shuffles semantic).
