@@ -123,29 +123,11 @@ WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= {JA
 """
 
 
-def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, jaccard) near-dup pairs at >= JACCARD_THRESHOLD
-    from any (doc_id, text) frame — MinHash + banded LSH, exact-verified.
-
-    Pipeline (all native expressions, one pass over shingles):
-      1. 32 minhash values per doc: min over shingles of
-         xxhash64(shingle, seed_i) — no modular arithmetic, no overflow.
-      2. 16 bands of 2 rows; band key = hash of the row pair.
-      3. Candidate pairs = docs sharing any band key (equi-join on
-         (band_id, band_key) — the ONLY join, linear in candidates).
-      4. Exact Jaccard verification on candidates only, via
-         array_intersect of the distinct-shingle arrays.
-
-    Signatures depend only on each doc's own text, so running this on
-    any SUBSET of a corpus yields exactly the full-corpus pair set
-    restricted to that subset — callers may pre-filter freely (the
-    curation pipeline runs it on quality-gated survivors).
-
-    Equals the exact shingle self-join at these banding parameters
-    (miss probability ~8e-8 at j >= 0.8; pinned exactly equal by
-    tests/test_llm.py::test_minhash_equals_exact_jaccard), while
-    staying linear in candidates instead of quadratic in bucket sizes.
-    """
+def _shingles_and_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(docs-with-shingle-arrays, banded-signature frame) for any
+    (doc_id, text) frame — the shared derivation of the self-join and
+    incremental MinHash paths. Signatures depend only on each doc's own
+    text, so the two frames compose freely across corpus subsets."""
     docs = d.select("doc_id", shingles(F.col("text")).alias("sh_arr"))
     # hash each shingle string ONCE; the 32 permutations re-hash the
     # 8-byte value, not the string (~3x cheaper at scale)
@@ -171,7 +153,33 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
     bands = sigs.select("doc_id", F.explode(band_cols).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
+    return docs, bands
 
+
+def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs at >= JACCARD_THRESHOLD
+    from any (doc_id, text) frame — MinHash + banded LSH, exact-verified.
+
+    Pipeline (all native expressions, one pass over shingles):
+      1. 32 minhash values per doc: min over shingles of
+         xxhash64(shingle, seed_i) — no modular arithmetic, no overflow.
+      2. 16 bands of 2 rows; band key = hash of the row pair.
+      3. Candidate pairs = docs sharing any band key (equi-join on
+         (band_id, band_key) — the ONLY join, linear in candidates).
+      4. Exact Jaccard verification on candidates only, via
+         array_intersect of the distinct-shingle arrays.
+
+    Signatures depend only on each doc's own text, so running this on
+    any SUBSET of a corpus yields exactly the full-corpus pair set
+    restricted to that subset — callers may pre-filter freely (the
+    curation pipeline runs it on quality-gated survivors).
+
+    Equals the exact shingle self-join at these banding parameters
+    (miss probability ~8e-8 at j >= 0.8; pinned exactly equal by
+    tests/test_llm.py::test_minhash_equals_exact_jaccard), while
+    staying linear in candidates instead of quadratic in bucket sizes.
+    """
+    docs, bands = _shingles_and_bands(d)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -790,3 +798,84 @@ SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
 
 QUERIES["dedup_cluster_components"] = dedup_cluster_components
 ORACLES["dedup_cluster_components"] = DEDUP_COMPONENTS_SQL
+
+
+def minhash_lsh_pairs_between(new: DataFrame, old: DataFrame) -> DataFrame:
+    """(new_doc, dup_of, jaccard) near-dup pairs ACROSS two corpora —
+    the incremental production shape: an arriving batch deduplicates
+    against the historical corpus without ever building corpus x corpus
+    candidates. Band frames are derived per side with the shared
+    `_shingles_and_bands` (signatures are per-doc, so cross-subset
+    banding is exactly full-corpus banding restricted to cross pairs);
+    the ONLY join is new-bands x old-bands on (band_id, band_key) —
+    at 100 TB the old side is the big one and the join stays
+    band-bucketed and linear in candidates, with the new side small
+    enough to broadcast in most deployments."""
+    new_docs, new_bands = _shingles_and_bands(new)
+    old_docs, old_bands = _shingles_and_bands(old)
+    cand = (
+        new_bands.alias("a")
+        .join(
+            old_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    da = new_docs.select(F.col("doc_id").alias("new_doc"), F.col("sh_arr").alias("sh_a"))
+    db = old_docs.select(F.col("doc_id").alias("dup_of"), F.col("sh_arr").alias("sh_b"))
+    return (
+        cand.join(da, "new_doc")
+        .join(db, "dup_of")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_doc", "dup_of", "jaccard")
+    )
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an arriving batch against the historical
+    corpus (batch = every doc_id ending in 7 — a deterministic ~10%
+    slice standing in for "today's crawl"): which new documents are
+    near-dups (Jaccard >= 0.8) of which existing ones. See
+    `minhash_lsh_pairs_between` for the plan; shares the exact
+    shingle-join oracle restricted to cross pairs (same banding-miss
+    argument as the self-join path, pinned equal by
+    tests/test_llm.py::test_incremental_equals_full_cross_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    old = d.filter(F.col("doc_id") % 10 != 7)
+    return minhash_lsh_pairs_between(new, old).select(
+        "new_doc",
+        "dup_of",
+        F.round(F.col("jaccard").cast("decimal(38,10)"), 6)
+        .cast("double")
+        .alias("jaccard"),
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {sql_shingle_cte(5)},
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS dup_of, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+  GROUP BY 1, 2
+)
+SELECT new_doc, dup_of,
+       CAST(ROUND(CAST(CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) AS DECIMAL(38,10)), 6) AS DOUBLE) AS jaccard
+FROM pair
+JOIN cnt ca ON ca.doc_id = new_doc
+JOIN cnt cb ON cb.doc_id = dup_of
+WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+QUERIES["dedup_incremental_batch"] = dedup_incremental_batch
+ORACLES["dedup_incremental_batch"] = DEDUP_INCREMENTAL_SQL

@@ -82,6 +82,7 @@ _FRONT = [
     "ml_linreg_normal_eq",
     "ml_kmeans_embeddings",
     "graph_pagerank_near_dups",
+    "dedup_incremental_batch",
     # new in round 5: warehouse-shaping family (operators/warehouse.py)
     "events_pivot_daily_types",
     "part_unpivot_metrics",

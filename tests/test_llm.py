@@ -273,3 +273,22 @@ def test_pagerank_fixed_point_properties(spark, sf_dir):
         else:
             assert pr == base, (doc_id, pr, base)
     assert sum(out1.values()) <= graph.PR_SCALE
+
+
+def test_incremental_equals_full_cross_pairs(spark, sf_dir):
+    """The incremental (new-batch x corpus) path must emit exactly the
+    full self-join pair set restricted to cross pairs — the subset
+    property the shared signature derivation guarantees."""
+    full = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    cross = set()
+    for r in full:
+        a_new, b_new = r["doc_a"] % 10 == 7, r["doc_b"] % 10 == 7
+        if a_new and not b_new:
+            cross.add((r["doc_a"], r["doc_b"]))
+        elif b_new and not a_new:
+            cross.add((r["doc_b"], r["doc_a"]))
+    got = {
+        (r["new_doc"], r["dup_of"])
+        for r in dedup.dedup_incremental_batch(spark, sf_dir).collect()
+    }
+    assert got == cross
