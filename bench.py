@@ -68,6 +68,10 @@ HEADLINE = [
     "agg_median_mode_by_segment",
     "orders_scd2_priority",
     "stream_live_tumbling_hourly",
+    # round-5 second half: quality gate, graph analytics, bloom path
+    "quality_constraint_checks",
+    "graph_triangle_count",
+    "prep_decontaminate_bloom",
 ]
 
 

@@ -98,6 +98,127 @@ def graph_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("doc_id", F.col("pr").alias("pagerank_q")).orderBy("doc_id")
 
 
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup graph (degree -> #documents),
+    including the degree-0 mass of isolated documents — the first
+    diagnostic run on any corpus-scale similarity graph (a fat tail
+    here predicts LSH bucket skew downstream).
+
+    Scale: two shuffles past the pair path — per-vertex degree count,
+    then the histogram groupBy over #vertices rows. The degree-0 row
+    comes from a left join of the full vertex set, not a subtract."""
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(deg, "doc_id", "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the near-dup graph — the
+    clustering signal that separates a dup *chain* (transitive LSH
+    matches, zero triangles) from a dup *clique* (boilerplate family,
+    maximal triangles). Output: (doc_id, n_triangles) for vertices in
+    at least one triangle.
+
+    Scale: the canonical a<b pair orientation makes this the standard
+    two-join triangle enumeration — each triangle a<b<c is produced
+    exactly once from (a,b)x(b,c) checked against (a,c); wedge count
+    is bounded by the LSH candidate generation, never all-pairs."""
+    from .dedup import dedup_minhash_lsh
+
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    tri = (
+        pairs.alias("e1")
+        .join(pairs.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            pairs.alias("e3"),
+            (F.col("e1.doc_a") == F.col("e3.doc_a"))
+            & (F.col("e2.doc_b") == F.col("e3.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+def _near_pair_ctes() -> list[str]:
+    """Shared oracle CTE chain: exact shingle-Jaccard near-dup pairs
+    (pair-identical to the banded MinHash-LSH path at these parameters
+    — the sharing argument proven by tests/test_llm.py)."""
+    from .dedup import JACCARD_THRESHOLD
+
+    return [
+        sql_shingle_cte(5),
+        "cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)",
+        """pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)""",
+        f"""near AS (
+  SELECT doc_a, doc_b FROM pair
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+)""",
+    ]
+
+
+def _degree_dist_sql() -> str:
+    return f"""
+WITH {', '.join(_near_pair_ctes())},
+ends AS (SELECT doc_a AS doc_id FROM near UNION ALL SELECT doc_b FROM near),
+deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id)
+SELECT CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id
+GROUP BY 1 ORDER BY degree
+"""
+
+
+def _triangle_sql() -> str:
+    return f"""
+WITH {', '.join(_near_pair_ctes())},
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM near e1
+  JOIN near e2 ON e2.doc_a = e1.doc_b
+  JOIN near e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+verts AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _pagerank_sql() -> str:
     from .dedup import JACCARD_THRESHOLD
 
@@ -148,5 +269,13 @@ SELECT doc_id, pr AS pagerank_q FROM p{PR_ITERS} ORDER BY doc_id
 """
 
 
-QUERIES = {"graph_pagerank_near_dups": graph_pagerank_near_dups}
-ORACLES = {"graph_pagerank_near_dups": _pagerank_sql()}
+QUERIES = {
+    "graph_pagerank_near_dups": graph_pagerank_near_dups,
+    "graph_degree_distribution": graph_degree_distribution,
+    "graph_triangle_count": graph_triangle_count,
+}
+ORACLES = {
+    "graph_pagerank_near_dups": _pagerank_sql(),
+    "graph_degree_distribution": _degree_dist_sql(),
+    "graph_triangle_count": _triangle_sql(),
+}

@@ -9,6 +9,8 @@ than an engine hash function so both engines compute the same buckets).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -163,6 +165,95 @@ GROUP BY doc_id
 """
 
 
+#: Bloom sizing for prep_decontaminate_bloom: 2^23 bits / 3 hashes keeps
+#: the false-positive rate under ~1e-3 up to ~1M bench shingles; FPs
+#: only cost verify-join work, never correctness.
+BLOOM_BITS = 1 << 23
+BLOOM_HASHES = 3
+
+
+def _bloom_pos(col, i: int):
+    """Bit position i for shingle `col`: first 8 md5 hex digits of
+    `s;i`, mod the bit-space — pure column arithmetic, identical on
+    every executor (and replayable, unlike a JVM-seeded hash)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(col, F.lit(f";{i}"))), 1, 8), 16, 10)
+        .cast("long")
+        % BLOOM_BITS
+    )
+
+
+def prep_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — the runtime-filter
+    formulation of `prep_decontaminate` for the 100 TB corpus / small
+    eval-suite shape: build a Bloom filter over the benchmark's 8-gram
+    shingles (model state, like the IVF codebook: collected once,
+    broadcast to every executor), drop the overwhelming majority of
+    train shingles map-side with zero shuffle, then exact-verify ONLY
+    the survivors with the equi-join. False positives cost verify-join
+    work; the exact join removes them, so the result — and the oracle —
+    is identical to the exact path.
+
+    The probe stays JVM-side: bit positions are md5 column arithmetic;
+    Python only does the vectorized bit-array lookup (Arrow-batched
+    pandas_udf over a numpy bitset, ~3 indexed loads per value)."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import shingles
+
+    sh = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(shingles(F.col("text"), 8)).alias("s")
+    )
+    bench = sh(d.filter(F.col("source") == "src0")).select(
+        F.col("doc_id").alias("bench_doc"), "s"
+    )
+    train = sh(d.filter(F.col("source") != "src0"))
+
+    # build: distinct bench shingles -> k bit positions each -> driver
+    # bitset (bounded by the eval suite, NOT the corpus) -> broadcast
+    pos_rows = (
+        bench.select("s")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("s"), i) for i in range(BLOOM_HASHES)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
+    pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    bits_bc = spark.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def might_contain(p0: pd.Series, p1: pd.Series, p2: pd.Series) -> pd.Series:
+        b = bits_bc.value
+        hit = None
+        for c in (p0, p1, p2):
+            idx = c.to_numpy()
+            h = (b[idx >> 3] >> (idx & 7)) & 1
+            hit = h if hit is None else (hit & h)
+        return pd.Series(hit.astype(bool))
+
+    probe_cols = [
+        _bloom_pos(F.col("s"), i).alias(f"_p{i}") for i in range(BLOOM_HASHES)
+    ]
+    candidates = (
+        train.select("doc_id", "s", *probe_cols)
+        .filter(might_contain(*[F.col(f"_p{i}") for i in range(BLOOM_HASHES)]))
+        .select("doc_id", "s")
+    )
+    return (
+        candidates.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("bench_doc").alias("n_bench_docs_hit"),
+        )
+    )
+
+
 def prep_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of embeddings (the 4x storage cut a
     100 TB vector corpus takes): per-vector absmax scale, rounded int8
@@ -204,10 +295,14 @@ QUERIES = {
     "prep_train_test_split": prep_train_test_split,
     "prep_sequence_packing": prep_sequence_packing,
     "prep_decontaminate": prep_decontaminate,
+    "prep_decontaminate_bloom": prep_decontaminate_bloom,
     "prep_quantize_int8": prep_quantize_int8,
 }
 
 ORACLES = {
+    # bloom prefilter + exact verify == exact join, so both entries
+    # share the exact oracle (the sharing pattern of dedup_minhash_lsh)
+    "prep_decontaminate_bloom": PREP_DECONTAM_SQL,
     "prep_train_test_split": PREP_SPLIT_SQL,
     "prep_sequence_packing": PREP_PACKING_SQL,
     "prep_decontaminate": PREP_DECONTAM_SQL,

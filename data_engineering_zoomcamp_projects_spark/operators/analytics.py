@@ -516,8 +516,150 @@ ORDER BY day
 """
 
 
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across calendar gaps: observed days carry
+    their value; missing days get prev + (next-prev) * elapsed/gap
+    between the bracketing observations (edges stay null-safe via
+    coalesce to the one-sided neighbor). The standard sensor/market
+    regularization step one past forward-fill.
+
+    Scale: same spine-join shape as gapfill; the interpolation itself
+    is two ignorenulls window passes (backward + forward) over #days
+    rows — the pre-aggregate to day grain keeps the global window
+    admissible."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 250))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = sparse.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("day_sum"),
+    )
+    joined = spine.join(daily, "day", "left").withColumn(
+        "obs_day", F.when(F.col("day_sum").isNotNull(), F.col("day"))
+    )
+    wb = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("day_sum", ignorenulls=True).over(wb)
+    next_v = F.first("day_sum", ignorenulls=True).over(wf)
+    prev_d = F.last("obs_day", ignorenulls=True).over(wb)
+    next_d = F.first("obs_day", ignorenulls=True).over(wf)
+    gap = F.datediff(next_d, prev_d)
+    interp = F.when(F.col("day_sum").isNotNull(), F.col("day_sum")).otherwise(
+        F.coalesce(
+            prev_v + (next_v - prev_v) * F.datediff(F.col("day"), prev_d) / gap,
+            prev_v,
+            next_v,
+        )
+    )
+    return (
+        joined.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("day_sum").isNotNull().alias("observed"),
+            # zero-observation corpus -> whole series 0.0 (null doubles
+            # render None-vs-NaN across engines; same dsum0 discipline)
+            F.coalesce(F.round(interp, 6), F.lit(0.0)).alias("value_interp"),
+        )
+        .orderBy("day")
+    )
+
+
+INTERPOLATE_SQL = """
+WITH sparse AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS day_sum
+  FROM events WHERE event_type = 'purchase' AND value > 250
+  GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT MIN(CAST(ts AS DATE)) FROM events),
+           (SELECT MAX(CAST(ts AS DATE)) FROM events),
+           INTERVAL 1 DAY)) AS DATE) AS day
+), j AS (
+  SELECT spine.day, day_sum,
+         CASE WHEN day_sum IS NOT NULL THEN spine.day END AS obs_day
+  FROM spine LEFT JOIN sparse ON spine.day = sparse.day
+), w AS (
+  SELECT day, day_sum,
+    last_value(day_sum IGNORE NULLS) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prev_v,
+    first_value(day_sum IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    last_value(obs_day IGNORE NULLS) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prev_d,
+    first_value(obs_day IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM j
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       day_sum IS NOT NULL AS observed,
+       COALESCE(ROUND(CASE WHEN day_sum IS NOT NULL THEN day_sum
+             ELSE COALESCE(
+               prev_v + (next_v - prev_v)
+                 * CAST(date_diff('day', prev_d, day) AS DOUBLE)
+                 / CAST(date_diff('day', prev_d, next_d) AS DOUBLE),
+               prev_v, next_v) END, 6), 0.0) AS value_interp
+FROM w ORDER BY day
+"""
+
+
+def timeseries_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: weekly purchase revenue with
+    absolute and percent change vs the prior week (lag over the weekly
+    grain). Weeks keyed by their Monday (date_trunc 'week' agrees
+    across engines). Pre-aggregation to week grain bounds the window
+    input at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.round(F.sum(F.col("value").cast(DEC)), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        )
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return (
+        weekly.select(
+            "week",
+            "revenue",
+            "n_purchases",
+            # first week has no prior: render 0.0, not NULL (engine
+            # null-double rendering diverges None-vs-NaN)
+            F.coalesce(F.round(F.col("revenue") - prev, 2), F.lit(0.0)).alias(
+                "wow_abs"
+            ),
+            F.coalesce(
+                F.round((F.col("revenue") - prev) / prev * 100.0, 4), F.lit(0.0)
+            ).alias("wow_pct"),
+        )
+        .orderBy("week")
+    )
+
+
+WOW_SQL = """
+WITH weekly AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT week, revenue, n_purchases,
+       COALESCE(ROUND(revenue - lag(revenue) OVER (ORDER BY week), 2), 0.0) AS wow_abs,
+       COALESCE(ROUND((revenue - lag(revenue) OVER (ORDER BY week))
+             / lag(revenue) OVER (ORDER BY week) * 100.0, 4), 0.0) AS wow_pct
+FROM weekly ORDER BY week
+"""
+
+
 QUERIES = {
     "timeseries_daily_gapfill": timeseries_daily_gapfill,
+    "timeseries_interpolate": timeseries_interpolate,
+    "timeseries_wow_change": timeseries_wow_change,
     "events_cohort_retention": events_cohort_retention,
     "events_funnel_stages": events_funnel_stages,
     "events_user_rfm": events_user_rfm,
@@ -527,6 +669,8 @@ QUERIES = {
 
 ORACLES = {
     "timeseries_daily_gapfill": GAPFILL_SQL,
+    "timeseries_interpolate": INTERPOLATE_SQL,
+    "timeseries_wow_change": WOW_SQL,
     "events_cohort_retention": COHORT_SQL,
     "events_funnel_stages": FUNNEL_SQL,
     "events_user_rfm": RFM_SQL,

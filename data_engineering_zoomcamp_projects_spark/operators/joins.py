@@ -294,8 +294,62 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+#: salt fan-out for join_salted_skew; 16 splits the hottest key across
+#: 16 reducers — at deploy, size to (hot-key rows / target partition rows)
+SALT_BUCKETS = 16
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: lineitem⋈orders salted so a hot
+    orderkey cannot pin one reducer. The probe (fact) side derives a
+    deterministic salt from non-join attributes — pmod(xxhash64(...),
+    16), NOT rand(), so the plan is replayable/retry-safe; the build
+    side replicates each row across all 16 salt values via
+    explode(sequence) and the join runs on (key, salt), spreading any
+    hot key over 16 reducers. Semantics are exactly the plain join
+    (the oracle is the unsalted SQL); aggregation collapses the salt.
+
+    This is the manual pattern AQE's skew-join mitigation automates
+    for sort-merge; the explicit form also covers shuffled-hash and
+    bucketed joins where AQE cannot split."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    salted_li = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_partkey", "l_suppkey", "l_linenumber"), SALT_BUCKETS),
+    )
+    salted_o = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt"),
+    )
+    return (
+        salted_li.join(
+            salted_o,
+            (salted_li["l_orderkey"] == salted_o["o_orderkey"])
+            & (salted_li["salt"] == salted_o["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_SALTED_SQL = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "join_inner_customer_orders": join_inner_customer_orders,
+    "join_salted_skew": join_salted_skew,
     "join_left_outer_orders": join_left_outer_orders,
     "join_right_outer_lineitem": join_right_outer_lineitem,
     "join_full_outer_nation_activity": join_full_outer_nation_activity,
@@ -309,6 +363,7 @@ QUERIES = {
 
 ORACLES = {
     "join_inner_customer_orders": JOIN_INNER_SQL,
+    "join_salted_skew": JOIN_SALTED_SQL,
     "join_left_outer_orders": JOIN_LEFT_SQL,
     "join_right_outer_lineitem": JOIN_RIGHT_SQL,
     "join_full_outer_nation_activity": JOIN_FULL_SQL,

@@ -1,0 +1,227 @@
+"""Data-quality validation suite (round-5 widening): declarative
+constraint checks in the Deequ/Great-Expectations mold, re-expressed
+Spark-first. A 100 TB ingest pipeline gates every load on exactly
+these three shapes: column constraints (nulls / uniqueness / ranges /
+set & pattern membership), referential integrity across tables, and
+volume-anomaly detection on arrival counts.
+
+Scale design: `quality_constraint_checks` is ONE full scan — every
+constraint is a conditional sum inside a single aggregate (map-side
+partial agg, one-row result), then unpivoted driver-free with
+``stack``. Referential orphans are LEFT ANTI joins — Spark's native
+existence probe (no count-distinct materialization); the PK sides are
+joined shuffle-side because at 100 TB both sides are big, while AQE is
+free to broadcast when a dimension fits. Volume anomaly pre-aggregates
+to one row per day FIRST, so the unpartitioned stats window runs over
+#days rows, not #events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: orders business rules checked by quality_constraint_checks; kept as
+#: data so the Spark plan and the DuckDB oracle enumerate the same set.
+_ALLOWED_STATUS = ("O", "F", "P")
+
+
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-constraint audit over ``orders`` in one scan: null counts
+    per column, PK uniqueness, a numeric range rule, a categorical
+    set-membership rule, and a regex pattern rule. Each constraint is a
+    conditional count folded into a single groupBy-less aggregate;
+    ``stack`` unpivots the one-row result into (constraint, violations,
+    n_rows, passed) rows — no driver round-trip, no second scan."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def viol(cond):  # count of rows VIOLATING the constraint
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    one = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        viol(F.col("o_orderkey").isNull()).alias("v_orderkey_null"),
+        viol(F.col("o_custkey").isNull()).alias("v_custkey_null"),
+        viol(F.col("o_orderstatus").isNull()).alias("v_status_null"),
+        viol(F.col("o_totalprice").isNull()).alias("v_price_null"),
+        viol(F.col("o_orderdate").isNull()).alias("v_date_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v_orderkey_dup"),
+        viol(F.col("o_totalprice") <= 0).alias("v_price_range"),
+        viol(~F.col("o_orderstatus").isin(*_ALLOWED_STATUS)).alias("v_status_set"),
+        viol(~F.col("o_orderpriority").rlike("^[1-5]-")).alias("v_priority_pattern"),
+    )
+    checks = [
+        ("not_null:o_orderkey", "v_orderkey_null"),
+        ("not_null:o_custkey", "v_custkey_null"),
+        ("not_null:o_orderstatus", "v_status_null"),
+        ("not_null:o_totalprice", "v_price_null"),
+        ("not_null:o_orderdate", "v_date_null"),
+        ("unique:o_orderkey", "v_orderkey_dup"),
+        ("range:o_totalprice>0", "v_price_range"),
+        ("in_set:o_orderstatus", "v_status_set"),
+        ("pattern:o_orderpriority", "v_priority_pattern"),
+    ]
+    stack_args = ", ".join(f"'{name}', {col}" for name, col in checks)
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(checks)}, {stack_args}) AS (constraint, violations)"
+            ),
+            "n_rows",
+        )
+        .select(
+            "constraint",
+            "violations",
+            "n_rows",
+            (F.col("violations") == 0).alias("passed"),
+        )
+        .orderBy("constraint")
+    )
+
+
+_STATUS_SQL = ", ".join(f"'{s}'" for s in _ALLOWED_STATUS)
+
+QUALITY_CONSTRAINTS_SQL = f"""
+WITH one AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_orderkey_null,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_custkey_null,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_status_null,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_price_null,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_date_null,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_orderkey_dup,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price_range,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ({_STATUS_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS v_status_set,
+         CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v_priority_pattern
+  FROM orders
+),
+rows_out AS (
+  SELECT 'not_null:o_orderkey' AS constraint, v_orderkey_null AS violations, n_rows FROM one
+  UNION ALL SELECT 'not_null:o_custkey', v_custkey_null, n_rows FROM one
+  UNION ALL SELECT 'not_null:o_orderstatus', v_status_null, n_rows FROM one
+  UNION ALL SELECT 'not_null:o_totalprice', v_price_null, n_rows FROM one
+  UNION ALL SELECT 'not_null:o_orderdate', v_date_null, n_rows FROM one
+  UNION ALL SELECT 'unique:o_orderkey', v_orderkey_dup, n_rows FROM one
+  UNION ALL SELECT 'range:o_totalprice>0', v_price_range, n_rows FROM one
+  UNION ALL SELECT 'in_set:o_orderstatus', v_status_set, n_rows FROM one
+  UNION ALL SELECT 'pattern:o_orderpriority', v_priority_pattern, n_rows FROM one
+)
+SELECT "constraint", violations, n_rows, violations = 0 AS passed
+FROM rows_out ORDER BY "constraint"
+"""
+
+
+def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge of
+    the schema (lineitem→orders, orders→customer, customer→nation,
+    supplier→nation). Each edge is a LEFT ANTI join — Spark's native
+    NOT EXISTS — counted to one row, unioned. The PK side is projected
+    to the key column only before the join (column pruning keeps the
+    shuffle narrow at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def orphans(name, child, fk, parent, pk):
+        cnt = (
+            child.select(F.col(fk).alias("k"))
+            .join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+        )
+        return cnt.select(F.lit(name).alias("fk_edge"), "orphans")
+
+    return (
+        orphans("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(
+            orphans("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey")
+        )
+        .unionByName(
+            orphans("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+        .unionByName(
+            orphans("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey")
+        )
+        .orderBy("fk_edge")
+    )
+
+
+QUALITY_ORPHANS_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS orphans
+FROM lineitem l
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+FROM orders o
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+         (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+FROM customer c
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+         (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+FROM supplier s
+ORDER BY fk_edge
+"""
+
+
+def quality_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-volume anomaly detection: daily event counts scored
+    against the corpus mean/stddev (z-score, |z| > 2 flags the day).
+    The scan reduces to one row per day BEFORE the stats pass, so the
+    unpartitioned window runs over #days rows — the pre-aggregate is
+    what makes a global window admissible at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_samp(
+        "n_events"
+    ).over(w)
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+QUALITY_VOLUME_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, n_events,
+       ROUND((n_events - AVG(n_events) OVER ()) / STDDEV_SAMP(n_events) OVER (), 6) AS zscore,
+       ABS((n_events - AVG(n_events) OVER ()) / STDDEV_SAMP(n_events) OVER ()) > 2.0 AS is_anomaly
+FROM daily ORDER BY day
+"""
+
+
+QUERIES = {
+    "quality_constraint_checks": quality_constraint_checks,
+    "quality_referential_orphans": quality_referential_orphans,
+    "quality_daily_volume_anomaly": quality_daily_volume_anomaly,
+}
+
+ORACLES = {
+    "quality_constraint_checks": QUALITY_CONSTRAINTS_SQL,
+    "quality_referential_orphans": QUALITY_ORPHANS_SQL,
+    "quality_daily_volume_anomaly": QUALITY_VOLUME_SQL,
+}

@@ -33,6 +33,7 @@ _MODULES = [
     "operators.relational",
     "operators.joins",
     "operators.warehouse",
+    "operators.quality",
     # driver-certified in earlier rounds, unchanged
     "operators.subqueries",
     "operators.windows",
@@ -91,6 +92,17 @@ _FRONT = [
     "events_attribution_first_last",
     "profile_orders_columns",
     "agg_exact_percentiles",
+    # new in round 5 (second half): data-quality suite, graph analytics
+    # widening, skew-salted join, time-series interpolation family
+    "quality_constraint_checks",
+    "quality_referential_orphans",
+    "quality_daily_volume_anomaly",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "join_salted_skew",
+    "timeseries_interpolate",
+    "timeseries_wow_change",
+    "prep_decontaminate_bloom",
 ]
 
 

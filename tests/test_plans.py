@@ -267,8 +267,15 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # |calendar days| rows after the pre-aggregation; vocab-topk:
     # rank/coverage windows run on the post-LIMIT 100-row head — the
     # head itself is selected by TakeOrdered, not a global window)
+    # round-5 additions to the same proof: interpolate/wow/volume-anomaly
+    # all pre-aggregate to calendar grain (|days| or |weeks| rows) before
+    # their stats/neighbor windows — the global window input is bounded
+    # by the calendar, not the corpus, at any scale factor
     global_window_ok = {
         "timeseries_daily_gapfill",
+        "timeseries_interpolate",
+        "timeseries_wow_change",
+        "quality_daily_volume_anomaly",
         "window_moving_average",
         "prep_vocab_topk",
     }

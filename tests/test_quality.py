@@ -1,0 +1,136 @@
+"""Pins for the round-5 data-quality / graph / skew-salting / bloom
+additions beyond the oracle-parity sweep (tests/test_oracle_parity.py
+covers value parity for every registry entry automatically).
+
+What needs a dedicated pin here:
+- the salted join must equal the PLAIN join (salting is a pure
+  execution-strategy rewrite — any semantic drift is a bug even if
+  some oracle happens to pass);
+- the bloom prefilter must be *selective* (a degenerate all-pass
+  filter would still be value-correct via the exact verify join, so
+  parity alone cannot catch it) and its bit positions must be exactly
+  reproducible off-engine (the model-state contract);
+- the triangle enumerator must produce each triangle once (pinned on
+  a synthetic graph where the count is known by hand).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_engineering_zoomcamp_projects_spark.llm.preparation import (
+    BLOOM_BITS,
+    BLOOM_HASHES,
+    _bloom_pos,
+)
+from data_engineering_zoomcamp_projects_spark.operators.joins import (
+    join_salted_skew,
+)
+from data_engineering_zoomcamp_projects_spark.operators.parity import dsum
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    plain = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    assert join_salted_skew(spark, sf_dir).collect() == plain.collect()
+
+
+def test_bloom_positions_reproducible_off_engine(spark):
+    """The broadcast bitset is model state: its positions must be
+    derivable outside Spark (same md5-prefix arithmetic) or the filter
+    could never be rebuilt/validated at deploy. Replicate in pure
+    Python and compare."""
+    vals = ["alpha beta", "x", "päämäärä", ""]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = df.select(
+        "s", *[_bloom_pos(F.col("s"), i).alias(f"p{i}") for i in range(BLOOM_HASHES)]
+    ).collect()
+    for row in got:
+        for i in range(BLOOM_HASHES):
+            expect = (
+                int(
+                    hashlib.md5(f"{row['s']};{i}".encode("utf-8")).hexdigest()[:8], 16
+                )
+                % BLOOM_BITS
+            )
+            assert row[f"p{i}"] == expect, (row["s"], i)
+
+
+def test_bloom_prefilter_is_selective(spark, sf_dir):
+    """With bench = src0 and train = everything else, the bloom stage
+    must pass only a small fraction of train shingles (true overlaps +
+    ~1e-3 FP mass). If a sizing/arithmetic bug made the filter all-pass,
+    value parity would still hold (exact verify join) — selectivity is
+    the property only this test sees."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(shingles(F.col("text"), 8)).alias("s")
+    )
+    bench_s = sh(d.filter(F.col("source") == "src0")).select("s").distinct()
+    train = sh(d.filter(F.col("source") != "src0"))
+
+    pos_rows = bench_s.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("s"), i) for i in range(BLOOM_HASHES)])
+        ).alias("p")
+    ).distinct().collect()
+    bits = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
+    pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    probed = train.select(
+        *[_bloom_pos(F.col("s"), i).alias(f"p{i}") for i in range(BLOOM_HASHES)]
+    ).collect()
+    n = len(probed)
+    passed = sum(
+        1
+        for r in probed
+        if all(
+            (bits[r[f"p{i}"] >> 3] >> (r[f"p{i}"] & 7)) & 1
+            for i in range(BLOOM_HASHES)
+        )
+    )
+    # true cross-source shingle overlap in this corpus is tiny; anything
+    # above 20% means the filter is not filtering
+    assert n > 0
+    assert passed / n < 0.2, (passed, n)
+
+
+def test_triangle_count_on_synthetic_graph(spark, monkeypatch):
+    """K4 plus a pendant chain: C(4,3)=4 triangles; each K4 vertex sits
+    in 3 of them, chain vertices in none. Routes the enumerator over a
+    stubbed pair source so the combinatorics are checked independently
+    of LSH."""
+    import data_engineering_zoomcamp_projects_spark.llm.dedup as dedup_mod
+    import data_engineering_zoomcamp_projects_spark.llm.graph as graph_mod
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6)]
+    pairs_df = spark.createDataFrame(k4 + chain, ["doc_a", "doc_b"])
+    monkeypatch.setattr(
+        dedup_mod, "dedup_minhash_lsh", lambda s, sf: pairs_df
+    )
+    out = {
+        r["doc_id"]: r["n_triangles"]
+        for r in graph_mod.graph_triangle_count(spark, "unused").collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
