@@ -879,3 +879,36 @@ WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= {JA
 
 QUERIES["dedup_incremental_batch"] = dedup_incremental_batch
 ORACLES["dedup_incremental_batch"] = DEDUP_INCREMENTAL_SQL
+
+
+def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size census over the connected components: how much of
+    the corpus sits in singletons vs dup families of each size — the
+    summary a curation run reports ('n docs in clusters of size k')
+    and the input to keep-one-per-cluster savings estimates. Two
+    metadata-grain groupBys past the components fixpoint (sizes are
+    |components| rows, the histogram |distinct sizes|)."""
+    comp = dedup_cluster_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+_COMP_FINAL_SELECT = "SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a"
+assert _COMP_FINAL_SELECT in DEDUP_COMPONENTS_SQL
+DEDUP_CENSUS_SQL = DEDUP_COMPONENTS_SQL.replace(
+    _COMP_FINAL_SELECT,
+    f""", comp AS ({_COMP_FINAL_SELECT}),
+sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
+)
+
+QUERIES["dedup_cluster_census"] = dedup_cluster_census
+ORACLES["dedup_cluster_census"] = DEDUP_CENSUS_SQL

@@ -172,15 +172,48 @@ BLOOM_BITS = 1 << 23
 BLOOM_HASHES = 3
 
 
-def _bloom_pos(col, i: int):
-    """Bit position i for shingle `col`: first 8 md5 hex digits of
-    `s;i`, mod the bit-space — pure column arithmetic, identical on
-    every executor (and replayable, unlike a JVM-seeded hash)."""
-    return (
-        F.conv(F.substring(F.md5(F.concat(col, F.lit(f";{i}"))), 1, 8), 16, 10)
-        .cast("long")
-        % BLOOM_BITS
+def _bloom_positions(col):
+    """The BLOOM_HASHES bit positions for shingle `col`, all derived
+    from ONE md5 call: disjoint 7-hex-digit (28-bit) slices of the
+    digest, each mod the bit space — independent-enough hashes at a
+    third of the hashing cost, pure column arithmetic, replayable on
+    any engine (unlike a JVM-seeded hash)."""
+    digest = F.md5(col)
+    return [
+        F.conv(F.substring(digest, 1 + 7 * i, 7), 16, 10).cast("long") % BLOOM_BITS
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+#: single-entry bitset memo (cleared on every miss, so at most one
+#: bitset is retained and a changed session/dir always rebuilds — the
+#: bounded-memo discipline from llm/similarity._CODEBOOK_MEMO)
+_BLOOM_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _bench_bloom_broadcast(spark: SparkSession, sf_dir: str, bench: DataFrame):
+    """Build (or reuse) the broadcast Bloom bitset over the benchmark
+    shingle set. Model state like the IVF codebook: the collect is
+    bounded by the eval suite (never the corpus) and happens once per
+    (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BLOOM_MEMO.get(key)
+    if hit is not None:
+        return hit
+    _BLOOM_MEMO.clear()
+    pos_rows = (
+        bench.select("s")
+        .distinct()
+        .select(F.explode(F.array(*_bloom_positions(F.col("s")))).alias("p"))
+        .distinct()
+        .collect()
     )
+    bits = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
+    pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    bc = spark.sparkContext.broadcast(bits)
+    _BLOOM_MEMO[key] = bc
+    return bc
 
 
 def prep_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,23 +241,7 @@ def prep_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = sh(d.filter(F.col("source") != "src0"))
 
-    # build: distinct bench shingles -> k bit positions each -> driver
-    # bitset (bounded by the eval suite, NOT the corpus) -> broadcast
-    pos_rows = (
-        bench.select("s")
-        .distinct()
-        .select(
-            F.explode(
-                F.array(*[_bloom_pos(F.col("s"), i) for i in range(BLOOM_HASHES)])
-            ).alias("p")
-        )
-        .distinct()
-        .collect()
-    )
-    bits = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
-    pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
-    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
-    bits_bc = spark.sparkContext.broadcast(bits)
+    bits_bc = _bench_bloom_broadcast(spark, sf_dir, bench)
 
     @F.pandas_udf("boolean")
     def might_contain(p0: pd.Series, p1: pd.Series, p2: pd.Series) -> pd.Series:
@@ -237,7 +254,7 @@ def prep_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(hit.astype(bool))
 
     probe_cols = [
-        _bloom_pos(F.col("s"), i).alias(f"_p{i}") for i in range(BLOOM_HASHES)
+        p.alias(f"_p{i}") for i, p in enumerate(_bloom_positions(F.col("s")))
     ]
     candidates = (
         train.select("doc_id", "s", *probe_cols)

@@ -1,6 +1,8 @@
 """Text analysis for training-data pipelines (driver-contract extension):
 quality scoring, token counting, language-ID, tf-idf, fingerprinting,
-corpus rollups. All native expressions — one scan per query, no UDFs.
+corpus rollups. All native expressions — one scan per query; the single
+exception is NFC normalization (no Spark builtin), which rides an
+Arrow-batched pandas_udf in text_normalize_unicode.
 
 Cross-engine notes: every ratio is int/int double division (exact);
 corpus-relative scores use decimal accumulation; idf uses the rational
@@ -9,6 +11,7 @@ boundary."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -257,8 +260,58 @@ FROM documents GROUP BY lang, source
 """
 
 
+def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first pass of any corpus
+    cleaning pipeline: NFC unicode composition, control-character
+    stripping, whitespace collapsing, casefold. NFC is the one step
+    Spark has no builtin for, so it rides an Arrow-batched pandas_udf
+    (stdlib unicodedata — deterministic by the Unicode standard, which
+    is what lets DuckDB's nfc_normalize serve as the oracle); the rest
+    stays JVM-side regex/lower. Output fingerprints the normalized
+    text (md5) rather than shipping it — the production shape where
+    the cleaned column is written, and only its hash is audited."""
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(nfc(F.col("text")), "[\\x00-\\x1f\\x7f]", ""),
+                "\\s+",
+                " ",
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+           '[\\x00-\\x1f\\x7f]', '', 'g'), '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS norm_fp,
+       CAST(length(norm) AS BIGINT) AS norm_len,
+       norm <> text AS changed
+FROM n
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
+    "text_normalize_unicode": text_normalize_unicode,
     "text_token_counting": text_token_counting,
     "text_langid_profile": text_langid_profile,
     "text_fingerprints": text_fingerprints,
@@ -268,6 +321,7 @@ QUERIES = {
 
 ORACLES = {
     "text_quality_scores": TEXT_QUALITY_SQL,
+    "text_normalize_unicode": TEXT_NORMALIZE_SQL,
     "text_token_counting": TEXT_TOKEN_COUNT_SQL,
     "text_langid_profile": TEXT_LANGID_SQL,
     "text_fingerprints": TEXT_FINGERPRINT_SQL,

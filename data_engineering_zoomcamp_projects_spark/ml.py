@@ -412,3 +412,155 @@ FROM a{KMEANS_ITERS} GROUP BY cell ORDER BY cluster_id
 
 QUERIES["ml_kmeans_embeddings"] = ml_kmeans_embeddings
 ORACLES["ml_kmeans_embeddings"] = _kmeans_sql()
+
+
+#: logistic-regression GD configuration: 4 features (embedding dims
+#: 0-3), binary target label>=5, fixed 3 full-batch iterations,
+#: lr=0.5, weights on a 1e-8 integer lattice. The sigmoid is the
+#: RATIONAL approximation s(z) = 0.5 + z/(2(1+|z|)) — same monotone
+#: S-shape, but pure +,*,/,abs arithmetic, which IEEE-754 fixes
+#: bit-for-bit on both engines; exp() carries no such guarantee, so a
+#: true-logistic loss could never be hash-checked. Per-row gradient
+#: contributions floor-quantize to the lattice BEFORE summing (longs,
+#: summed in DECIMAL(38,0)), so the whole optimizer state is exact
+#: integer arithmetic between iterations — the k-means discipline
+#: applied to gradient descent.
+LOGREG_ITERS = 3
+LOGREG_FEATS = 4
+LOGREG_SCALE = 100_000_000
+
+
+def _lg_z() -> str:
+    """z = w.x as left-associated shared expression text (identical
+    parse on Spark SQL and DuckDB, so identical IEEE evaluation)."""
+    t = f"(CAST(wbq AS DOUBLE) / {LOGREG_SCALE}.0)"
+    for j in range(LOGREG_FEATS):
+        t = f"({t} + (CAST(w{j}q AS DOUBLE) / {LOGREG_SCALE}.0) * x{j})"
+    return t
+
+
+def _lg_err() -> str:
+    z = _lg_z()
+    return f"((0.5 + {z} / (2.0 * (1.0 + ABS({z})))) - CAST(y AS DOUBLE))"
+
+
+def _lg_grad_pairs() -> list[tuple[str, str]]:
+    """(expression, name) for each lattice-quantized gradient column."""
+    err = _lg_err()
+    pairs = [(f"CAST(FLOOR({err} * {LOGREG_SCALE}.0) AS BIGINT)", "gqb")]
+    for j in range(LOGREG_FEATS):
+        pairs.append(
+            (f"CAST(FLOOR({err} * x{j} * {LOGREG_SCALE}.0) AS BIGINT)", f"gq{j}")
+        )
+    return pairs
+
+
+def _lg_update_cols() -> list[str]:
+    def upd(w, g):
+        return (
+            f"CAST({w} - FLOOR((0.5 * CAST({g} AS DOUBLE)) / CAST(n AS DOUBLE))"
+            f" AS BIGINT) AS {w}"
+        )
+
+    return [upd("wbq", "sgqb")] + [
+        upd(f"w{j}q", f"sgq{j}") for j in range(LOGREG_FEATS)
+    ]
+
+
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING by full-batch gradient
+    descent, fully oracle-checked: predict (label >= 5) from embedding
+    dims 0-3, 3 unrolled iterations. Each iteration is the canonical
+    distributed-GD shape — the one-row weight frame broadcast-joins the
+    feature scan, per-row lattice-quantized gradient contributions
+    reduce in ONE map-side-combinable aggregation, and the weight
+    update is a projection over the one-row sums. No collect (the
+    optimizer state never leaves the plan), no UDF; at 100 TB each
+    iteration costs one feature-scan + a 5-long reduce.
+
+    Every z/sigmoid/gradient/update expression is built from the SAME
+    text on the Spark and DuckDB sides (rational sigmoid, floor-lattice
+    gradients — see LOGREG_* constants), so the trained weights and the
+    training-set confusion counts hash-match bit-for-bit. Output: n,
+    n_pos, n_correct and the quantized weights."""
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        (F.col("label") >= 5).cast("int").alias("y"),
+        *[
+            F.element_at(F.col("embedding").cast("array<double>"), j + 1).alias(
+                f"x{j}"
+            )
+            for j in range(LOGREG_FEATS)
+        ],
+    ).localCheckpoint(eager=False)  # shared by all iterations + scoring
+    wcols = ["wbq"] + [f"w{j}q" for j in range(LOGREG_FEATS)]
+    w = spark.range(1).selectExpr(*[f"CAST(0 AS BIGINT) AS {c}" for c in wcols])
+    for _ in range(LOGREG_ITERS):
+        g = (
+            feats.crossJoin(F.broadcast(w))
+            .selectExpr(
+                *wcols, *[f"{expr} AS {name}" for expr, name in _lg_grad_pairs()]
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                *[
+                    F.sum(F.col(name).cast("decimal(38,0)")).alias(f"s{name}")
+                    for _, name in _lg_grad_pairs()
+                ],
+                *[F.min(c).alias(c) for c in wcols],
+            )
+        )
+        w = g.selectExpr("n", *_lg_update_cols())
+    score = (
+        feats.crossJoin(F.broadcast(w))
+        .selectExpr(
+            "y",
+            *wcols,
+            f"CASE WHEN ({_lg_z()} > 0.0) = (y = 1) THEN 1 ELSE 0 END AS ok",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("ok").cast("long").alias("n_correct"),
+            *[F.min(c).alias(c) for c in wcols],
+        )
+    )
+    return score
+
+
+def _logreg_sql() -> str:
+    feat_cols = ", ".join(
+        f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j}" for j in range(LOGREG_FEATS)
+    )
+    wcols = ["wbq"] + [f"w{j}q" for j in range(LOGREG_FEATS)]
+    parts = [
+        f"feats AS (SELECT CAST(label >= 5 AS INT) AS y, {feat_cols} FROM embeddings)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS {c}" for c in wcols)
+        + ")",
+    ]
+    for it in range(1, LOGREG_ITERS + 1):
+        gsel = ", ".join(
+            f"SUM(CAST({expr} AS DECIMAL(38,0))) AS s{name}"
+            for expr, name in _lg_grad_pairs()
+        )
+        wmin = ", ".join(f"MIN({c}) AS {c}" for c in wcols)
+        parts.append(
+            f"g{it} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {gsel}, {wmin} "
+            f"FROM feats CROSS JOIN w{it - 1})"
+        )
+        parts.append(
+            f"w{it} AS (SELECT n, " + ", ".join(_lg_update_cols()) + f" FROM g{it})"
+        )
+    return f"""
+WITH {', '.join(parts)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN ({_lg_z()} > 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       {', '.join(f'MIN({c}) AS {c}' for c in wcols)}
+FROM feats CROSS JOIN w{LOGREG_ITERS}
+"""
+
+
+QUERIES["ml_logreg_gd"] = ml_logreg_gd
+ORACLES["ml_logreg_gd"] = _logreg_sql()

@@ -451,3 +451,83 @@ FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["agg_exact_percentiles"] = agg_exact_percentiles
 ORACLES["agg_exact_percentiles"] = PERCENTILES_SQL
+
+
+#: Morton-key bit width per dimension; 16 bits covers part/supp keys to
+#: 65k — at deploy, width matches the key domain (or rank-compress
+#: first) and the z-key feeds range-partitioned writes.
+_Z_BITS = 16
+
+
+def _morton(a, b):
+    """Interleave the low _Z_BITS bits of columns a (odd positions) and
+    b (even): pure shift/mask arithmetic, identical in Spark and DuckDB."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(a.cast("long"), i).bitwiseAND(F.lit(1)),
+                    2 * i + 1,
+                )
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
+            )
+        )
+    return z
+
+
+def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit for multi-dimensional data
+    skipping: interleave l_partkey/l_suppkey bits into a space-filling
+    key, bucket by its high byte (what range-partitioned file writes
+    would use), and report per-bucket min/max of BOTH dimensions. The
+    point of the output: every bucket's partkey AND suppkey ranges are
+    narrow simultaneously — the property that lets parquet min/max
+    stats prune two-predicate scans, which single-column sort order
+    cannot give. Map-side arithmetic + one bounded groupBy (≤256
+    buckets at any scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = _morton(F.col("l_partkey"), F.col("l_suppkey"))
+    return (
+        li.select(
+            F.shiftrightunsigned(z, 2 * _Z_BITS - 8).alias("z_bucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").alias("part_min"),
+            F.max("l_partkey").alias("part_max"),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _morton_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+ZORDER_SQL = f"""
+WITH z AS (
+  SELECT ({_morton_sql('l_partkey', 'l_suppkey')}) >> {2 * _Z_BITS - 8} AS z_bucket,
+         l_partkey, l_suppkey
+  FROM lineitem
+)
+SELECT z_bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_partkey) AS part_min, MAX(l_partkey) AS part_max,
+       MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max
+FROM z GROUP BY z_bucket ORDER BY z_bucket
+"""
+
+QUERIES["layout_zorder_buckets"] = layout_zorder_buckets
+ORACLES["layout_zorder_buckets"] = ZORDER_SQL

@@ -103,6 +103,12 @@ _FRONT = [
     "timeseries_interpolate",
     "timeseries_wow_change",
     "prep_decontaminate_bloom",
+    "stream_live_sliding_15m",
+    "dedup_cluster_census",
+    "text_normalize_unicode",
+    "layout_zorder_buckets",
+    "ml_logreg_gd",
+    "stream_live_dedup_summary",
 ]
 
 

@@ -183,10 +183,28 @@ def _stream_live_join_purchase_views(spark: SparkSession, sf_dir: str) -> DataFr
     return stream_live_join_purchase_views(spark, sf_dir)
 
 
+def _stream_live_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .jobs import stream_live_sliding_15m
+
+    return stream_live_sliding_15m(spark, sf_dir)
+
+
+def _stream_live_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .jobs import stream_live_dedup_summary
+
+    return stream_live_dedup_summary(spark, sf_dir)
+
+
 def _stream_live_join_sql() -> str:
     from .jobs import STREAM_LIVE_JOIN_SQL
 
     return STREAM_LIVE_JOIN_SQL
+
+
+def _stream_live_dedup_sql() -> str:
+    from .jobs import STREAM_LIVE_DEDUP_SQL
+
+    return STREAM_LIVE_DEDUP_SQL
 
 
 QUERIES = {
@@ -194,6 +212,8 @@ QUERIES = {
     # the REAL readStream engine outputs, sharing the batch oracles
     "stream_live_tumbling_hourly": _stream_live_tumbling_hourly,
     "stream_live_session_30m": _stream_live_session_30m,
+    "stream_live_sliding_15m": _stream_live_sliding_15m,
+    "stream_live_dedup_summary": _stream_live_dedup_summary,
     "stream_live_join_purchase_views": _stream_live_join_purchase_views,
     "stream_sliding_15m": stream_sliding_15m,
     "stream_session_30m": stream_session_30m,
@@ -205,6 +225,8 @@ ORACLES = {
     "stream_tumbling_hourly": STREAM_TUMBLING_SQL,
     "stream_live_tumbling_hourly": STREAM_TUMBLING_SQL,
     "stream_live_session_30m": STREAM_SESSION_SQL,
+    "stream_live_sliding_15m": STREAM_SLIDING_SQL,
+    "stream_live_dedup_summary": _stream_live_dedup_sql(),
     "stream_live_join_purchase_views": _stream_live_join_sql(),
     "stream_sliding_15m": STREAM_SLIDING_SQL,
     "stream_session_30m": STREAM_SESSION_SQL,

@@ -322,6 +322,70 @@ def stream_live_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_live_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE `readStream` sliding windows (completes the live-certified
+    window family: tumbling / sliding / session): the 1-hour/15-minute
+    overlapping-window aggregation — each event fans out to exactly 4
+    window states — runs through the real file-source stream into a
+    memory sink and shares `stream_sliding_15m`'s epoch-aligned DuckDB
+    oracle. Complete mode retains all windows for the static dir; the
+    watermark exercises the multi-window state-eviction path."""
+    global _LIVE_QUERY_SEQ
+    from ..operators.parity import dsum, ts_str
+
+    events = load_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+    )
+    _LIVE_QUERY_SEQ += 1
+    name = f"live_sliding_{_LIVE_QUERY_SEQ}"
+    run_to_memory(agg, name)
+    return spark.table(name).select(
+        ts_str(F.col("w.start"), "window_start"),
+        "n",
+        "total_value",
+    )
+
+
+def stream_live_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE `readStream` stateful deduplication under the driver gate:
+    `dropDuplicatesWithinWatermark` on the event id followed by a
+    global summary aggregate, run through the real file-source stream.
+    The watermark bounds the dedup state (ids older than the watermark
+    are evicted — the production guarantee that makes infinite-stream
+    dedup feasible); draining the static dir yields exactly the batch
+    DISTINCT result, which is the oracle. countDistinct is unsupported
+    over streams, so the summary reports count/min/max/checksum."""
+    global _LIVE_QUERY_SEQ
+    events = load_events_stream(spark, sf_dir)
+    dd = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = dd.agg(
+        F.count(F.lit(1)).alias("n_unique_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum("event_id").alias("id_checksum"),
+    )
+    _LIVE_QUERY_SEQ += 1
+    name = f"live_dedup_{_LIVE_QUERY_SEQ}"
+    run_to_memory(agg, name)
+    return spark.table(name).select(
+        "n_unique_events", "min_id", "max_id", "id_checksum"
+    )
+
+
+STREAM_LIVE_DEDUP_SQL = """
+SELECT COUNT(*) AS n_unique_events,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM (SELECT DISTINCT event_id FROM events)
+"""
+
+
 def stream_live_join_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE stream-stream join under the driver gate: purchases matched
     to the same user's views within the preceding hour

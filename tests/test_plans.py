@@ -239,6 +239,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # cross-joined onto the corpus/query scans for map-side cell
         # assignment
         "sim_topk_ivf",
+        # ml_logreg_gd: the 1-row broadcast WEIGHT frame per GD
+        # iteration + scoring pass (optimizer state, the same model-
+        # state-as-one-row-broadcast pattern; 8 BNL joins = 4 passes x
+        # render duplication, each side a single row)
+        "ml_logreg_gd",
         "subq_scalar_above_avg_price", "text_tfidf_top_terms",
         "window_rank_functions",
     }
@@ -248,6 +253,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # actually runs per round — audited separately by their own tests
     iterative = {
         "dedup_cluster_components",
+        # census = two metadata-grain groupBys on top of the components
+        # fixpoint — same rendered-plan inflation, same audit carve-out
+        "dedup_cluster_census",
         "ml_kmeans_embeddings",
         "graph_pagerank_near_dups",
     }

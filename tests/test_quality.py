@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from data_engineering_zoomcamp_projects_spark.llm.preparation import (
     BLOOM_BITS,
     BLOOM_HASHES,
-    _bloom_pos,
+    _bloom_positions,
 )
 from data_engineering_zoomcamp_projects_spark.operators.joins import (
     join_salted_skew,
@@ -56,16 +56,13 @@ def test_bloom_positions_reproducible_off_engine(spark):
     vals = ["alpha beta", "x", "päämäärä", ""]
     df = spark.createDataFrame([(v,) for v in vals], ["s"])
     got = df.select(
-        "s", *[_bloom_pos(F.col("s"), i).alias(f"p{i}") for i in range(BLOOM_HASHES)]
+        "s",
+        *[p.alias(f"p{i}") for i, p in enumerate(_bloom_positions(F.col("s")))],
     ).collect()
     for row in got:
+        digest = hashlib.md5(row["s"].encode("utf-8")).hexdigest()
         for i in range(BLOOM_HASHES):
-            expect = (
-                int(
-                    hashlib.md5(f"{row['s']};{i}".encode("utf-8")).hexdigest()[:8], 16
-                )
-                % BLOOM_BITS
-            )
+            expect = int(digest[7 * i : 7 * i + 7], 16) % BLOOM_BITS
             assert row[f"p{i}"] == expect, (row["s"], i)
 
 
@@ -88,16 +85,14 @@ def test_bloom_prefilter_is_selective(spark, sf_dir):
     train = sh(d.filter(F.col("source") != "src0"))
 
     pos_rows = bench_s.select(
-        F.explode(
-            F.array(*[_bloom_pos(F.col("s"), i) for i in range(BLOOM_HASHES)])
-        ).alias("p")
+        F.explode(F.array(*_bloom_positions(F.col("s")))).alias("p")
     ).distinct().collect()
     bits = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
     pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
     np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
 
     probed = train.select(
-        *[_bloom_pos(F.col("s"), i).alias(f"p{i}") for i in range(BLOOM_HASHES)]
+        *[p.alias(f"p{i}") for i, p in enumerate(_bloom_positions(F.col("s")))]
     ).collect()
     n = len(probed)
     passed = sum(
