@@ -294,41 +294,82 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
-#: salt fan-out for join_salted_skew; 16 splits the hottest key across
-#: 16 reducers — at deploy, size to (hot-key rows / target partition rows)
+#: salt fan-out for join_salted_skew; 16 splits a hot key across 16
+#: reducers — at deploy, size to (hot-key rows / target partition rows)
 SALT_BUCKETS = 16
+#: 1-in-N deterministic sample used to estimate per-key probe counts
+_SKEW_SAMPLE_MOD = 100
+#: estimated probe rows above which a key is treated as hot (sampled
+#: count x _SKEW_SAMPLE_MOD > this)
+_SKEW_HOT_ROWS = 1_000_000
 
 
-def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-mitigated equi-join: lineitem⋈orders salted so a hot
-    orderkey cannot pin one reducer. The probe (fact) side derives a
-    deterministic salt from non-join attributes — pmod(xxhash64(...),
-    16), NOT rand(), so the plan is replayable/retry-safe; the build
-    side replicates each row across all 16 salt values via
-    explode(sequence) and the join runs on (key, salt), spreading any
-    hot key over 16 reducers. Semantics are exactly the plain join
-    (the oracle is the unsalted SQL); aggregation collapses the salt.
+def _salted_skew_join(li: DataFrame, o: DataFrame) -> DataFrame:
+    """SELECTIVELY salted lineitem⋈orders: joined rows, exactly the
+    plain inner join's. A first cut salted EVERY key — replicating the
+    whole build side 16x — and scale-stressed 23x at 10x data (sf1
+    measurement, BASELINE.md §6): uniform replication is itself the
+    skew anti-pattern. Production salting is selective:
 
-    This is the manual pattern AQE's skew-join mitigation automates
-    for sort-merge; the explicit form also covers shuffled-hash and
+    1. estimate per-key probe counts from a 1-in-100 DETERMINISTIC
+       sample (pmod(xxhash64(pk), 100) = 0 — replayable, no rand());
+       map-side partial agg over ~1% of rows, tiny output;
+    2. keys whose estimate exceeds the hot threshold join through the
+       salted branch: probe rows get pmod(xxhash64(attrs), 16) salts,
+       build rows replicate ONLY for hot keys (semi-join then
+       explode(sequence)) — 16 reducers per hot key, nothing else
+       replicated;
+    3. every other key joins plain; the two row sets union before the
+       downstream aggregate.
+
+    The hot set is broadcast both ways (it is bounded by |keys with
+    >threshold rows| <= corpus/threshold — self-limiting at any
+    scale). Result is identical to the plain join whatever the
+    threshold — the oracle is the unsalted SQL, and the synthetic-skew
+    pytest pins the salted branch itself. This is the manual form of
+    AQE's sort-merge skew split; it also covers shuffled-hash and
     bucketed joins where AQE cannot split."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    salted_li = li.withColumn(
+    sampled = li.filter(F.pmod(F.xxhash64("l_orderkey"), _SKEW_SAMPLE_MOD) == 0)
+    hot = (
+        sampled.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("est"))
+        .filter(F.col("est") * _SKEW_SAMPLE_MOD > _SKEW_HOT_ROWS)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+    o_slim = o.select("o_orderkey", "o_orderpriority")
+    li_cold = li.join(
+        F.broadcast(hot), li["l_orderkey"] == hot["hot_key"], "left_anti"
+    )
+    cold = li_cold.join(o_slim, li_cold["l_orderkey"] == o_slim["o_orderkey"])
+    li_hot = li.join(
+        F.broadcast(hot), li["l_orderkey"] == hot["hot_key"], "left_semi"
+    ).withColumn(
         "salt",
         F.pmod(F.xxhash64("l_partkey", "l_suppkey", "l_linenumber"), SALT_BUCKETS),
     )
-    salted_o = o.select(
+    o_hot = o_slim.join(
+        F.broadcast(hot), o_slim["o_orderkey"] == hot["hot_key"], "left_semi"
+    ).select(
         "o_orderkey",
         "o_orderpriority",
         F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt"),
     )
+    hot_joined = li_hot.join(
+        o_hot,
+        (li_hot["l_orderkey"] == o_hot["o_orderkey"])
+        & (li_hot["salt"] == o_hot["salt"]),
+    ).drop("salt")
+    cols = ["o_orderpriority", "l_extendedprice", "l_discount"]
+    return cold.select(*cols).unionByName(hot_joined.select(*cols))
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join (see `_salted_skew_join`): revenue per
+    order priority over the selectively-salted lineitem⋈orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
     return (
-        salted_li.join(
-            salted_o,
-            (salted_li["l_orderkey"] == salted_o["o_orderkey"])
-            & (salted_li["salt"] == salted_o["salt"]),
-        )
+        _salted_skew_join(li, o)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),

@@ -48,6 +48,49 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert join_salted_skew(spark, sf_dir).collect() == plain.collect()
 
 
+def test_salted_branch_fires_on_synthetic_skew(spark, monkeypatch):
+    """Force the hot path: one orderkey carries 500 of 520 probe rows.
+    With the threshold dropped and sampling disabled, that key must
+    route through the salted branch (replicated build rows) and the
+    union must still equal the plain join row-for-row."""
+    import data_engineering_zoomcamp_projects_spark.operators.joins as J
+
+    monkeypatch.setattr(J, "_SKEW_SAMPLE_MOD", 1)
+    monkeypatch.setattr(J, "_SKEW_HOT_ROWS", 200)
+    li_rows = [(1, i % 7, i % 5, i, 10.0 + i, 0.1) for i in range(500)] + [
+        (k, k, k, 1, 5.0, 0.0) for k in range(2, 22)
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_extendedprice double, l_discount double",
+    )
+    o = spark.createDataFrame(
+        [(k, f"P{k % 3}") for k in range(1, 22)],
+        "o_orderkey long, o_orderpriority string",
+    )
+    got = sorted(map(tuple, J._salted_skew_join(li, o).collect()))
+    plain = sorted(
+        map(
+            tuple,
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select("o_orderpriority", "l_extendedprice", "l_discount")
+            .collect(),
+        )
+    )
+    assert got == plain and len(got) == 520
+    # and the hot estimator really selected key 1 (the salted branch is
+    # not vacuous): the build side for key 1 appears replicated in the
+    # join's input — check via the estimator directly
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("est"))
+        .filter(F.col("est") * J._SKEW_SAMPLE_MOD > J._SKEW_HOT_ROWS)
+        .collect()
+    )
+    assert [r["l_orderkey"] for r in hot] == [1]
+
+
 def test_bloom_positions_reproducible_off_engine(spark):
     """The broadcast bitset is model state: its positions must be
     derivable outside Spark (same md5-prefix arithmetic) or the filter
