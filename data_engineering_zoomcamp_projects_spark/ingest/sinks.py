@@ -32,6 +32,20 @@ def write_partitioned_parquet(
     out.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (zlib default codec) — partition layout identical to the
+    parquet sink so Hive-era consumers get the same pruning."""
+    w = df.write.mode(mode)
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.orc(path)
+
+
 def write_csv_gzip(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Compressed CSV sink (reference A17 gzipped files post-hoc with
     shutil; the writer compresses inline)."""

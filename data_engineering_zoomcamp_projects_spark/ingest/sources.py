@@ -218,6 +218,31 @@ def read_json_records(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC scan — the other columnar interchange format a warehouse
+    migration brings in (Hive-era tables are predominantly ORC). Same
+    pushdown/pruning behavior as parquet: predicate + column pruning
+    reach the ORC reader via the native Spark source."""
+    return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob_filter: str | None = None
+) -> DataFrame:
+    """binaryFile scan: (path, modificationTime, length, content) — the
+    ingestion edge for multimodal corpora (images/audio land as opaque
+    `binary` + typed metadata, per SURVEY §2 C-LLM multimodal columns;
+    llm/multimodal.py's mapInPandas decoders consume the `content`
+    column downstream). `glob_filter` prunes by extension at the
+    LISTING level (pathGlobFilter) so non-matching files are never
+    opened; at 100 TB the file listing itself is distributed by the
+    source."""
+    reader = spark.read.format("binaryFile")
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    return reader.load(path)
+
+
 def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,

@@ -308,8 +308,73 @@ FROM q
 """
 
 
+def prep_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (alpha = 0.5): the data-
+    mixing step of a multilingual pretraining pipeline, where dominant
+    languages are downweighted toward a sqrt-share mix instead of
+    either natural (alpha=1) or uniform (alpha=0) sampling. (The
+    corpus's `source` dimension is uniform by construction, so the
+    skewed `lang` dimension is the one worth rebalancing — en carries
+    ~3.4x the mass of the rarest language here.)
+
+    Per-language keep rate = min(1, sqrt(n_min / n_lang)) expressed in
+    per-mille: rates derive FROM the data (one map-side count agg over
+    a tiny 4-row source dimension), membership is the same md5-keyed
+    layout-invariant uniform as sample_hash_reproducible. All rate
+    arithmetic is a fixed IEEE tree (bigint->double casts, one divide,
+    one sqrt, one floor — each correctly rounded in both engines), so
+    the oracle replicates rates AND membership exactly and the driver
+    hash-checks both.
+
+    Scale: counts are partial+final over |sources| groups; the rate
+    frame is broadcast (a few rows); the filter is map-side. No global
+    sort, no per-stratum funnel — the same no-shuffle shape as the
+    stratified sampler, but with data-derived rates."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    min_n = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.floor(
+                F.lit(1000.0)
+                * F.sqrt(
+                    F.col("n_min").cast("double") / F.col("n_lang").cast("double")
+                )
+            ),
+        ).alias("rate_permille"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(u % 1000 < F.col("rate_permille"))
+        .select("doc_id", "lang", "source", "rate_permille")
+    )
+
+
+PREP_TEMPERATURE_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang,
+         LEAST(1000, CAST(FLOOR(1000.0 * sqrt(
+             CAST((SELECT MIN(n_lang) FROM counts) AS DOUBLE)
+             / CAST(n_lang AS DOUBLE))) AS BIGINT)) AS rate_permille
+  FROM counts
+)
+SELECT d.doc_id, d.lang, d.source, r.rate_permille
+FROM documents d JOIN rates r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000 < r.rate_permille
+"""
+
+
 QUERIES = {
     "prep_train_test_split": prep_train_test_split,
+    "prep_temperature_resample": prep_temperature_resample,
     "prep_sequence_packing": prep_sequence_packing,
     "prep_decontaminate": prep_decontaminate,
     "prep_decontaminate_bloom": prep_decontaminate_bloom,
@@ -321,6 +386,7 @@ ORACLES = {
     # share the exact oracle (the sharing pattern of dedup_minhash_lsh)
     "prep_decontaminate_bloom": PREP_DECONTAM_SQL,
     "prep_train_test_split": PREP_SPLIT_SQL,
+    "prep_temperature_resample": PREP_TEMPERATURE_SQL,
     "prep_sequence_packing": PREP_PACKING_SQL,
     "prep_decontaminate": PREP_DECONTAM_SQL,
     "prep_quantize_int8": PREP_QUANTIZE_SQL,

@@ -13,7 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .parity import davg, dsum, date_str, sql_davg, sql_dsum, sql_dsum0, sql_date_str
+from .parity import (
+    DEC,
+    davg,
+    drnd,
+    dsum,
+    date_str,
+    sql_davg,
+    sql_drnd,
+    sql_dsum,
+    sql_dsum0,
+    sql_date_str,
+)
 
 
 def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,17 +82,54 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
-    distinct's shuffle is prohibitive. No SQL oracle (sketches differ
-    between engines); driver records rows-only."""
+    distinct's shuffle is prohibitive — certified through a bounded-
+    error invariant the oracle CAN hash-check.
+
+    Sketch values themselves differ between engines (HLL++ register
+    layouts are implementation-specific), so the raw estimate can never
+    hash-match DuckDB. Instead the query emits, per group, the EXACT
+    distinct counts plus a boolean per sketch asserting the HLL++
+    estimate (rsd=0.01) landed within 5% of exact. The oracle computes
+    the exact counts and literal TRUE — if Spark's sketch ever drifts
+    outside the documented bound, the value hash breaks and the driver
+    sees it. (tests/test_extras.py additionally pins the tighter 3%
+    empirical bound.) At 100 TB only the approx branch runs; the exact
+    branch here is the certification harness, not the scale plan."""
     li = load_table(spark, sf_dir, "lineitem")
+    tol = 0.05
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            (
+                F.abs(F.col("_ao") - F.col("exact_orders"))
+                <= tol * F.col("exact_orders")
+            ).alias("approx_orders_ok"),
+            (
+                F.abs(F.col("_ap") - F.col("exact_parts"))
+                <= tol * F.col("exact_parts")
+            ).alias("approx_parts_ok"),
         )
         .orderBy("l_returnflag")
     )
+
+
+AGG_APPROX_CD_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_orders_ok,
+       TRUE AS approx_parts_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,6 +228,86 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per group, computed
+    from EXACT decimal moment sums so the oracle hash-matches.
+
+    Native `corr`/`covar_pop` stream Welford-style partials whose
+    float error depends on row order — never hash-stable across
+    engines. Here the five moments (Sx, Sy, Sxy, Sxx, Syy) accumulate
+    in decimal(38,10): exact, order-independent, and still partial+
+    final aggregable (the shuffle carries one 5-moment row per group
+    per map task — the same scale shape as any sum). The finish is a
+    fixed double expression tree evaluated identically by both engines
+    (casts, +,-,*,/ and sqrt are all IEEE-correctly-rounded), then
+    tie-safe rounded. This is the moments-not-streams pattern every
+    distributed exact-stats engine uses (same machinery as
+    ml_linreg_normal_eq's normal equations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Per-row products run in DOUBLE (one IEEE multiply — identical in
+    # both engines; decimal-in-decimal products would overflow the
+    # 38-digit product-precision rules differently per engine), then
+    # each product is cast to decimal(38,10) and summed exactly: the
+    # order-independence that matters lives in the SUM, not the row op.
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).alias("_sx"),
+        F.sum(y.cast(DEC)).alias("_sy"),
+        F.sum((x * y).cast(DEC)).alias("_sxy"),
+        F.sum((x * x).cast(DEC)).alias("_sxx"),
+        F.sum((y * y).cast(DEC)).alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    mx = sx / nd
+    my = sy / nd
+    cov = sxy / nd - mx * my
+    vx = sxx / nd - mx * mx
+    vy = syy / nd - my * my
+    return m.select(
+        "l_returnflag",
+        "n",
+        drnd(cov, "covar_pop_qty_price", 4),
+        drnd(cov / F.sqrt(vx * vy), "corr_qty_price", 6),
+    ).orderBy("l_returnflag")
+
+
+AGG_CORR_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS sy,
+         SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS sxy,
+         SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS sxx,
+         SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+), f AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+  FROM m
+)
+SELECT l_returnflag, n,
+       {sql_drnd('sxyd / nd - (sxd / nd) * (syd / nd)',
+                 'covar_pop_qty_price', 4)},
+       {sql_drnd(
+           '(sxyd / nd - (sxd / nd) * (syd / nd))'
+           ' / sqrt((sxxd / nd - (sxd / nd) * (sxd / nd))'
+           '        * (syyd / nd - (syd / nd) * (syd / nd)))',
+           'corr_qty_price', 6)}
+FROM f ORDER BY l_returnflag
+"""
+
+
 def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot linestatus into columns (compiles to conditional aggregation
     — one pass, no self-join)."""
@@ -271,6 +399,7 @@ QUERIES = {
     "agg_global_stats": agg_global_stats,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_count_distinct": agg_approx_count_distinct,
+    "agg_corr_covar": agg_corr_covar,
     "agg_rollup_flag_status": agg_rollup_flag_status,
     "agg_cube_status_priority": agg_cube_status_priority,
     "agg_grouping_sets": agg_grouping_sets,
@@ -285,7 +414,9 @@ QUERIES = {
 ORACLES = {
     "agg_global_stats": AGG_GLOBAL_SQL,
     "agg_count_distinct": AGG_COUNT_DISTINCT_SQL,
-    # agg_approx_count_distinct: intentionally no oracle (sketch-based)
+    # raw sketch values can't cross engines; the bounded-error invariant can
+    "agg_approx_count_distinct": AGG_APPROX_CD_SQL,
+    "agg_corr_covar": AGG_CORR_SQL,
     "agg_rollup_flag_status": AGG_ROLLUP_SQL,
     "agg_cube_status_priority": AGG_CUBE_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,

@@ -109,6 +109,12 @@ _FRONT = [
     "layout_zorder_buckets",
     "ml_logreg_gd",
     "stream_live_dedup_summary",
+    # new in round 5 (final stretch): exact-moment correlation, the
+    # HLL bounded-error invariant (rows-only -> full oracle), and
+    # temperature-based language rebalancing
+    "agg_corr_covar",
+    "agg_approx_count_distinct",
+    "prep_temperature_resample",
 ]
 
 

@@ -127,3 +127,102 @@ def test_salted_join_rejects_dim_duplicating_types(spark, sf_dir):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="fact-preserving"):
             skew.salted_join(li, orders, "l_orderkey", "o_orderkey", how=how)
+
+
+def test_hll_estimate_within_3pct(spark, sf_dir):
+    """Tighter empirical pin behind agg_approx_count_distinct's 5%
+    driver invariant: the rsd=0.01 HLL++ estimates land within 3% of
+    exact on this data."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("eo"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
+            F.countDistinct("l_partkey").alias("ep"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["ao"] - r["eo"]) <= 0.03 * r["eo"]
+        assert abs(r["ap"] - r["ep"]) <= 0.03 * r["ep"]
+
+
+def test_corr_covar_matches_numpy(spark, sf_dir):
+    """agg_corr_covar's exact-moment finish equals numpy's reference
+    corrcoef/cov on the raw columns (to rounding scale)."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.operators.aggregates import (
+        agg_corr_covar,
+    )
+
+    got = {
+        r["l_returnflag"]: r for r in agg_corr_covar(spark, sf_dir).collect()
+    }
+    raw = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag: dict[str, list[tuple[float, float]]] = {}
+    for r in raw:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_extendedprice"])
+        )
+    for flag, pairs in by_flag.items():
+        x = np.array([p[0] for p in pairs])
+        y = np.array([p[1] for p in pairs])
+        assert got[flag]["n"] == len(pairs)
+        assert abs(got[flag]["corr_qty_price"] - np.corrcoef(x, y)[0, 1]) < 1e-5
+        assert abs(got[flag]["covar_pop_qty_price"] - np.cov(x, y, bias=True)[0, 1]) < 1e-3
+
+
+def test_temperature_resample_rates(spark, sf_dir):
+    """Dominant language is downweighted toward the sqrt-share mix;
+    the rarest language keeps everything; realized keep fractions track
+    the declared per-mille rates."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.llm.preparation import (
+        prep_temperature_resample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_min = min(counts.values())
+    out = prep_temperature_resample(spark, sf_dir).collect()
+    assert out
+    rates = {}
+    kept: dict[str, int] = {}
+    for r in out:
+        rates[r["lang"]] = r["rate_permille"]
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    for lang, rate in rates.items():
+        expect = min(1000, math.floor(1000.0 * math.sqrt(n_min / counts[lang])))
+        assert rate == expect, (lang, rate, expect)
+    # rarest language(s) keep everything
+    for lang, n in counts.items():
+        if n == n_min and lang in rates:
+            assert rates[lang] == 1000
+    # dominant language genuinely downweighted on skewed data
+    n_max = max(counts.values())
+    if n_max > 2 * n_min:
+        dominant = max(counts, key=counts.get)
+        assert rates[dominant] < 800
+        # realized keep fraction within 12 points of the declared rate
+        frac = 1000.0 * kept[dominant] / counts[dominant]
+        assert abs(frac - rates[dominant]) < 120

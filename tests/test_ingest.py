@@ -421,3 +421,62 @@ def test_sorted_layout_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
         1 for (a_lo, a_hi), (b_lo, b_hi) in zip(plain, plain[1:]) if a_hi > b_lo
     )
     assert overlaps >= 1, plain
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink -> scan roundtrip preserves values; predicate reaches
+    the ORC reader (PushedFilters in the formatted plan)."""
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.ingest.sinks import write_orc
+    from data_engineering_zoomcamp_projects_spark.ingest.sources import read_orc
+
+    src = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    filtered = back.filter("n_regionkey = 1").select("n_name")
+    plan = filtered._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_orc_partitioned_prunes(spark, sf_dir, tmp_path):
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.ingest.sinks import write_orc
+    from data_engineering_zoomcamp_projects_spark.ingest.sources import read_orc
+
+    src = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out, partition_col="o_orderstatus")
+    back = read_orc(spark, out).filter("o_orderstatus = 'F'")
+    assert back.count() == src.filter("o_orderstatus = 'F'").count()
+    # partition pruning: only the o_orderstatus=F directory is read
+    scan = back._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus=F" in scan or "PartitionFilters" in scan
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile ingestion edge for multimodal payloads: bytes survive
+    verbatim, pathGlobFilter prunes at listing time."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.ingest.sources import (
+        read_binary_files,
+    )
+
+    blobs = {f"img_{i}.bin": bytes([i] * (10 + i)) for i in range(5)}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+    (tmp_path / "notes.txt").write_text("not a blob")
+
+    df = read_binary_files(spark, str(tmp_path), glob_filter="*.bin")
+    rows = df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"), "length", "content"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert bytes(r["content"]) == blobs[r["name"]]
+        assert r["length"] == len(blobs[r["name"]])

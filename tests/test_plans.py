@@ -246,6 +246,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "ml_logreg_gd",
         "subq_scalar_above_avg_price", "text_tfidf_top_terms",
         "window_rank_functions",
+        # prep_temperature_resample: the 1-row broadcast min-count frame
+        # crossed onto the |langs|-row counts frame (rate derivation —
+        # bounded by language count at any scale); the corpus-side
+        # membership join is a BroadcastHashJoin, verified in-plan
+        "prep_temperature_resample",
     }
     # iterative queries execute during construction (convergence loop /
     # Lloyd rounds) and their rendered plan embeds cached/checkpointed
