@@ -294,6 +294,53 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-gap tolerance (pandas merge_asof
+    `tolerance=` semantics): each purchase matches its most recent
+    strictly-earlier 'view' by the same user ONLY if it happened within
+    the last 30 minutes; staler matches are nulled out.
+
+    Same single-shuffle window plan as join_asof_purchase_prior_view —
+    the tolerance is a post-match conditional, not a second join, so
+    the scale shape is unchanged. (DuckDB oracle: native ASOF LEFT JOIN
+    + the same gap CASE.)"""
+    tol_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    prior = F.last(view_ts, ignorenulls=True).over(w)
+    within = F.unix_micros("ts") - F.unix_micros(prior) <= tol_us
+    return (
+        ev.withColumn("prior_view_ts", F.when(within, prior))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            ts_str(F.col("ts"), "purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            ts_str(
+                F.col("prior_view_ts"),
+                "recent_view_ts",
+                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            ),
+        )
+    )
+
+
+JOIN_ASOF_TOL_SQL = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 30 * 60 * 1000000
+            THEN strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') END AS recent_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts > v.ts
+"""
+
+
 #: salt fan-out for join_salted_skew; 16 splits a hot key across 16
 #: reducers — at deploy, size to (hot-key rows / target partition rows)
 SALT_BUCKETS = 16
@@ -400,6 +447,7 @@ QUERIES = {
     "join_theta_supplier_pairs": join_theta_supplier_pairs,
     "join_range_trailing_shipments": join_range_trailing_shipments,
     "join_asof_purchase_prior_view": join_asof_purchase_prior_view,
+    "join_asof_tolerance": join_asof_tolerance,
 }
 
 ORACLES = {
@@ -414,4 +462,5 @@ ORACLES = {
     "join_theta_supplier_pairs": JOIN_THETA_SQL,
     "join_range_trailing_shipments": JOIN_RANGE_SQL,
     "join_asof_purchase_prior_view": JOIN_ASOF_SQL,
+    "join_asof_tolerance": JOIN_ASOF_TOL_SQL,
 }

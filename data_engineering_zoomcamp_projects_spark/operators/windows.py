@@ -191,6 +191,40 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame: each customer's 2nd
+    order date and 3rd order value (NULL while the customer has fewer
+    orders) — the "second purchase" cohort primitive. Deterministic
+    order via the (o_orderdate, o_orderkey) tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        date_str(F.nth_value("o_orderdate", 2).over(w), "second_order_date"),
+        # null-free: a NULL double reaches the comparator as NaN via
+        # pandas on the oracle side (the dsum0 rationale) — 0.0 marks
+        # "fewer than 3 orders" on both engines
+        F.coalesce(F.nth_value("o_totalprice", 3).over(w), F.lit(0.0)).alias(
+            "third_order_value"
+        ),
+    )
+
+
+WINDOW_NTH_SQL = """
+SELECT o_custkey, o_orderkey,
+  strftime(NTH_VALUE(o_orderdate, 2) OVER w, '%Y-%m-%d') AS second_order_date,
+  COALESCE(NTH_VALUE(o_totalprice, 3) OVER w, 0.0) AS third_order_value
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by value — the scalable top-k idiom
     (window row_number <= k after one shuffle; never a global sort)."""
@@ -238,6 +272,7 @@ QUERIES = {
     "window_running_sum": window_running_sum,
     "window_moving_average": window_moving_average,
     "window_first_last": window_first_last,
+    "window_nth_value": window_nth_value,
     "topk_per_group": topk_per_group,
     "topk_global": topk_global,
 }
@@ -248,6 +283,7 @@ ORACLES = {
     "window_running_sum": WINDOW_RUNNING_SQL,
     "window_moving_average": WINDOW_MOVING_AVG_SQL,
     "window_first_last": WINDOW_FIRST_LAST_SQL,
+    "window_nth_value": WINDOW_NTH_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "topk_global": TOPK_GLOBAL_SQL,
 }

@@ -115,6 +115,8 @@ _FRONT = [
     "agg_corr_covar",
     "agg_approx_count_distinct",
     "prep_temperature_resample",
+    "join_asof_tolerance",
+    "window_nth_value",
 ]
 
 
