@@ -94,17 +94,28 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the documented bound, the value hash breaks and the driver
     sees it. (tests/test_extras.py additionally pins the tighter 3%
     empirical bound.) At 100 TB only the approx branch runs; the exact
-    branch here is the certification harness, not the scale plan."""
+    branch here is the certification harness, not the scale plan.
+
+    Plan shape: exact and approx run as SEPARATE aggregations joined on
+    the group key. Mixing countDistinct with a small-rsd sketch in ONE
+    agg makes Catalyst's multi-distinct Expand plan carry the HLL
+    buffer (16 KB at rsd=0.01, per sketch) in the FIRST aggregate's
+    per-distinct-value buffers — ~32 KB x |distinct keys| of transient
+    aggregation state, a measured GC death spiral at sf1 (245 s / GC
+    lockup vs ~4 s split). Two scans of a columnar source are far
+    cheaper than one degenerate plan."""
     li = load_table(spark, sf_dir, "lineitem")
     tol = 0.05
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
-        )
+        exact.join(F.broadcast(approx), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_orders",
