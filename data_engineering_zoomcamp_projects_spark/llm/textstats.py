@@ -309,8 +309,112 @@ FROM n
 """
 
 
+#: collocation extraction knobs: candidate pairs need >= MIN_SUPPORT
+#: corpus occurrences; top K by lift survive
+COLLOC_MIN_SUPPORT = 20
+COLLOC_TOP_K = 50
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: adjacent token pairs ranked by
+    lift = p(xy) / (p(x) p(y)) — the PMI-without-the-log phrase scorer
+    that feeds tokenizer vocab candidates and phrase dictionaries.
+    Rational form (c_xy * N^2) / (B * c_x * c_y) keeps every factor an
+    exact integer so the oracle hash-matches (the same no-transcendental
+    discipline as the tf-idf rational idf).
+
+    Scale: bigram counts and unigram counts are two partial+final
+    explode-aggs over the corpus; the pair->unigram joins shuffle on
+    the WORD key (vocab-sized relations, not corpus-sized); the (N, B)
+    totals ride a one-row broadcast. Top-K picks over rounded lift with
+    a full lexical tie-break, so the cut is deterministic on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok = d.select(F.explode(toks).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= COLLOC_MIN_SUPPORT)
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    ).crossJoin(
+        d.select(
+            F.explode(pairs).alias("p")
+        ).agg(F.count(F.lit(1)).alias("n_bigrams"))
+    )
+    lift = (
+        F.col("c_xy").cast("decimal(38,6)")
+        * F.col("n_tokens").cast("decimal(18,0)")
+        * F.col("n_tokens").cast("decimal(18,0)")
+    ).cast("double") / (
+        F.col("n_bigrams").cast("decimal(38,6)")
+        * F.col("c_x").cast("decimal(18,0)")
+        * F.col("c_y").cast("decimal(18,0)")
+    ).cast(
+        "double"
+    )
+    return (
+        bg.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_x"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_y"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("support"),
+            F.round(lift.cast("decimal(38,10)"), 4).cast("double").alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+    )
+
+
+TEXT_COLLOC_SQL = f"""
+WITH tok AS (
+  SELECT unnest(split(text, ' ')) AS w FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c_w FROM tok GROUP BY w
+), bg AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM (SELECT split(text, ' ') AS ts FROM documents) t,
+       (SELECT unnest(generate_series(1,
+           (SELECT COALESCE(MAX(len(split(text, ' '))), 1) FROM documents))) AS i) g
+  WHERE i <= len(ts) - 1
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2
+  HAVING COUNT(*) >= {COLLOC_MIN_SUPPORT}
+), totals AS (
+  SELECT (SELECT COUNT(*) FROM tok) AS n_tokens,
+         (SELECT COUNT(*) FROM bg) AS n_bigrams
+)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS support,
+       CAST(ROUND(CAST(CAST(
+         CAST(c_xy AS DECIMAL(38,6)) * CAST(n_tokens AS DECIMAL(18,0))
+           * CAST(n_tokens AS DECIMAL(18,0)) AS DOUBLE)
+         / CAST(CAST(n_bigrams AS DECIMAL(38,6)) * CAST(x.c_w AS DECIMAL(18,0))
+           * CAST(y.c_w AS DECIMAL(18,0)) AS DOUBLE) AS DECIMAL(38,10)), 4)
+         AS DOUBLE) AS lift
+FROM bgc
+JOIN uni x ON bgc.w1 = x.w
+JOIN uni y ON bgc.w2 = y.w
+CROSS JOIN totals
+ORDER BY lift DESC, w1, w2
+LIMIT {COLLOC_TOP_K}
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
+    "text_collocations": text_collocations,
     "text_normalize_unicode": text_normalize_unicode,
     "text_token_counting": text_token_counting,
     "text_langid_profile": text_langid_profile,
@@ -321,6 +425,7 @@ QUERIES = {
 
 ORACLES = {
     "text_quality_scores": TEXT_QUALITY_SQL,
+    "text_collocations": TEXT_COLLOC_SQL,
     "text_normalize_unicode": TEXT_NORMALIZE_SQL,
     "text_token_counting": TEXT_TOKEN_COUNT_SQL,
     "text_langid_profile": TEXT_LANGID_SQL,

@@ -117,6 +117,7 @@ _FRONT = [
     "prep_temperature_resample",
     "join_asof_tolerance",
     "window_nth_value",
+    "text_collocations",
 ]
 
 

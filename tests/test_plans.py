@@ -251,6 +251,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # bounded by language count at any scale); the corpus-side
         # membership join is a BroadcastHashJoin, verified in-plan
         "prep_temperature_resample",
+        # text_collocations: the one-row broadcast (N, B) totals frame
+        # crossed onto the vocab-sized candidate-pair frame
+        "text_collocations",
     }
     # iterative queries execute during construction (convergence loop /
     # Lloyd rounds) and their rendered plan embeds cached/checkpointed
