@@ -164,6 +164,86 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bounded-BFS horizon for graph_reachability_recursive. Recursion is
+#: UNION ALL (Spark 4 supports no recursive UNION-distinct yet), so
+#: path multiplicity grows with clique size ^ depth — the depth bound
+#: plus the final min-dist aggregation keep the result exact while
+#: bounding work. At 100 TB scale, unbounded reachability runs through
+#: the iterative min-label flood (dedup_cluster_components), which
+#: dedupes its frontier every round; this entry is the DECLARATIVE
+#: Spark-4 recursive-CTE surface for bounded-horizon queries.
+REACH_MAX_DEPTH = 3
+#: deterministic seed predicate: every 97th document
+REACH_SEED_MOD = 97
+
+
+def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the near-dup graph via Spark 4's WITH RECURSIVE:
+    hop distance (<= REACH_MAX_DEPTH) from the deterministic seed set
+    (doc_id % 97 == 0), reported as docs-reached per distance. The
+    recursive member joins the frontier to the undirected edge list;
+    the final SELECT collapses path multiplicity with a min-dist
+    per-vertex aggregate. DuckDB runs the IDENTICAL recursive SQL over
+    the exact-Jaccard pair CTE, so the whole recursion is hash-checked."""
+    from .dedup import dedup_minhash_lsh
+
+    # materialize the pair list BEFORE the recursion: each unrolled
+    # recursion level scans `edges`, and an un-materialized view would
+    # re-execute the whole LSH pipeline per level (measured 15 s ->
+    # ~4 s at sf0.1 from this one barrier)
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    pairs.createOrReplaceTempView("near_pairs_rcte")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(f"""
+      WITH RECURSIVE edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near_pairs_rcte
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM near_pairs_rcte
+      ),
+      reach(doc_id, dist) AS (
+        SELECT doc_id, 0 AS dist FROM documents
+        WHERE doc_id % {REACH_SEED_MOD} = 0
+        UNION ALL
+        SELECT e.dst AS doc_id, r.dist + 1 AS dist
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+        WHERE r.dist < {REACH_MAX_DEPTH}
+      ),
+      best AS (
+        SELECT doc_id, MIN(dist) AS dist FROM reach GROUP BY doc_id
+      )
+      SELECT dist, COUNT(*) AS n_docs
+      FROM best GROUP BY dist ORDER BY dist
+    """)
+
+
+def _reachability_sql() -> str:
+    return f"""
+WITH RECURSIVE {', '.join(_near_pair_ctes())},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM near
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM near
+),
+reach(doc_id, dist) AS (
+  SELECT doc_id, 0 AS dist FROM documents
+  WHERE doc_id % {REACH_SEED_MOD} = 0
+  UNION ALL
+  SELECT e.dst AS doc_id, r.dist + 1 AS dist
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+  WHERE r.dist < {REACH_MAX_DEPTH}
+),
+best AS (
+  SELECT doc_id, MIN(dist) AS dist FROM reach GROUP BY doc_id
+)
+SELECT CAST(dist AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM best GROUP BY dist ORDER BY dist
+"""
+
+
 def _near_pair_ctes() -> list[str]:
     """Shared oracle CTE chain: exact shingle-Jaccard near-dup pairs
     (pair-identical to the banded MinHash-LSH path at these parameters
@@ -273,9 +353,11 @@ QUERIES = {
     "graph_pagerank_near_dups": graph_pagerank_near_dups,
     "graph_degree_distribution": graph_degree_distribution,
     "graph_triangle_count": graph_triangle_count,
+    "graph_reachability_recursive": graph_reachability_recursive,
 }
 ORACLES = {
     "graph_pagerank_near_dups": _pagerank_sql(),
     "graph_degree_distribution": _degree_dist_sql(),
     "graph_triangle_count": _triangle_sql(),
+    "graph_reachability_recursive": _reachability_sql(),
 }

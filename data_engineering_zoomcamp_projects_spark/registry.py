@@ -62,8 +62,9 @@ _FRONT = [
     "dedup_cluster_components",
     "pipeline_corpus_curation",
     "dedup_shingle_jaccard",
-    "dedup_exact",
-    "mart_daily_revenue",
+    # (dedup_exact / mart_daily_revenue dropped from the front-load:
+    # both were green in r2/r3 with plans unchanged since; the window
+    # slots go to never-certified round-5 entries instead)
     # plans re-designed in round 5 (banded LSH candidate stage;
     # bounded-state window-chain funnel)
     "dedup_embedding_cosine",
@@ -118,6 +119,7 @@ _FRONT = [
     "join_asof_tolerance",
     "window_nth_value",
     "text_collocations",
+    "graph_reachability_recursive",
 ]
 
 
