@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .parity import date_str
+from .parity import date_str, sql_dsum
 
 
 def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,8 +267,85 @@ FROM events
 """
 
 
+def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT over events.props: parse_json to the binary
+    semi-structured type, typed path extraction with variant_get, and
+    missing-path NULL semantics — the open-schema ingestion pattern
+    (land raw JSON as VARIANT, extract lazily, no upfront schema). The
+    variant value itself never crosses the comparator (its binary
+    encoding is engine-specific); the EXTRACTED values do, and DuckDB's
+    JSON functions produce the identical ones."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+            F.expr("variant_get(parse_json(props), '$.missing', 'int')").alias(
+                "miss"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("miss").alias("n_missing_path"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FN_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       COUNT(CAST(json_extract_string(props, '$.missing') AS INT)) AS n_missing_path
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def fn_sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined scalar functions (CREATE TEMPORARY FUNCTION
+    ... RETURN <expr>): the engine-extension surface that needs NO
+    Python runtime — the body inlines into Catalyst, stays inside
+    whole-stage codegen, and composes (taxed_price calls disc_price).
+    The oracle inlines the same expressions (the UDF is Spark-side
+    registration surface; values are what cross the comparator)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION taxed_price(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_price(p, d) * (1.0 + t)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               {sql_dsum('disc_price(l_extendedprice, l_discount)', 'revenue')},
+               {sql_dsum('taxed_price(l_extendedprice, l_discount, l_tax)',
+                         'taxed_revenue')}
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+FN_SQL_UDF_SQL = f"""
+SELECT l_returnflag,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       {sql_dsum('(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)',
+                 'taxed_revenue')}
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "fn_string_suite": fn_string_suite,
+    "fn_variant_suite": fn_variant_suite,
+    "fn_sql_udf_suite": fn_sql_udf_suite,
     "fn_date_suite": fn_date_suite,
     "fn_math_suite": fn_math_suite,
     "fn_conditional_suite": fn_conditional_suite,
@@ -278,6 +355,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_variant_suite": FN_VARIANT_SQL,
+    "fn_sql_udf_suite": FN_SQL_UDF_SQL,
     "fn_string_suite": FN_STRING_SQL,
     "fn_date_suite": FN_DATE_SQL,
     "fn_math_suite": FN_MATH_SQL,

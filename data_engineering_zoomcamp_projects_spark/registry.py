@@ -120,6 +120,8 @@ _FRONT = [
     "window_nth_value",
     "text_collocations",
     "graph_reachability_recursive",
+    "fn_variant_suite",
+    "fn_sql_udf_suite",
 ]
 
 
