@@ -65,3 +65,19 @@ def stopwatch(label: str, sink: dict[str, float] | None = None):
         elapsed = time.perf_counter() - t0
         if sink is not None:
             sink[label] = elapsed
+
+
+def observed(df, name: str, *metric_cols):
+    """Attach in-flight metrics to a DataFrame via ``df.observe``: the
+    metrics are computed DURING the job that consumes `df` (no second
+    scan — the difference from running a separate count()). Returns
+    (observed_df, Observation); read ``obs.get`` after an action.
+
+    The pipeline-observability pattern at scale: row counts / null
+    counts / value sums ride along the existing shuffle-free pass, so
+    a 100 TB load gets its data-quality counters for free.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metric_cols), obs

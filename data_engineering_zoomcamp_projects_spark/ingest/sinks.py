@@ -103,6 +103,37 @@ def write_sorted_layout(
     )
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction — the table-maintenance op every
+    streaming/incremental parquet sink eventually needs (thousands of
+    KB-sized files turn listing + task scheduling into the bottleneck
+    long before scan cost matters). Rewrites `path` with
+    ceil(rows / target_rows_per_file) files via repartition, preserving
+    values exactly; returns the new file count.
+
+    The rewrite stages through a sibling temp dir + atomic-ish rename
+    (read and overwrite of the SAME path in one plan is undefined —
+    Spark deletes the input mid-scan). At deploy this op runs per
+    partition directory under a metastore/Iceberg lock; Iceberg's
+    rewrite_data_files is the managed equivalent (jar-gated here, see
+    lakehouse.py)."""
+    import math
+    import shutil
+
+    src = spark.read.parquet(path)
+    n_rows = src.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
 def write_object_store(df: DataFrame, uri: str, fmt: str = "parquet") -> None:
     """Object-store sink (reference A18 uploaded files via
     google-cloud-storage; Spark writes s3a://, gs:// URIs directly given

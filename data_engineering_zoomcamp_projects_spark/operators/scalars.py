@@ -342,8 +342,73 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation under ANSI SQL mode (Spark 4 default):
+    try_divide / try_cast / try_add return NULL where strict ANSI would
+    raise (divide-by-zero, malformed cast, overflow) — the semantics a
+    robust pipeline needs on dirty data. Exercised against real zero
+    divisors (q14-style promo ratio per part brand-line) and a
+    deliberately unparseable cast. Oracle: DuckDB's TRY_CAST + NULLIF
+    guards produce the identical NULLs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    g = j.groupBy("p_brand").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), F.col("l_quantity"))),
+            F.lit(0.0),
+        )
+        .cast("long")
+        .alias("promo_qty"),
+        F.coalesce(
+            F.sum(F.when(~F.col("p_type").startswith("PROMO"), F.col("l_quantity"))),
+            F.lit(0.0),
+        )
+        .cast("long")
+        .alias("base_qty"),
+    )
+    # NULL results surface as IS-NULL booleans: a NULL double column
+    # reaches the comparator as NaN via pandas on the oracle side, and
+    # a NULL bigint flips the whole pandas column to float64 — booleans
+    # certify the try_* semantics without either trap
+    return g.select(
+        "p_brand",
+        "promo_qty",
+        "base_qty",
+        F.try_divide(F.col("promo_qty"), F.col("base_qty") - F.col("base_qty"))
+        .isNull()
+        .alias("div_by_zero_is_null"),
+        F.coalesce(
+            F.round(F.try_divide(F.col("promo_qty"), F.col("base_qty")), 6),
+            F.lit(-1.0),
+        ).alias("promo_ratio"),
+        F.col("p_brand").try_cast("int").isNull().alias("bad_cast_is_null"),
+        F.try_add(F.col("promo_qty"), F.lit(9223372036854775807))
+        .isNull()
+        .alias("overflow_is_null"),
+    ).orderBy("p_brand")
+
+
+FN_TRY_SQL = """
+WITH g AS (
+  SELECT p_brand,
+         CAST(COALESCE(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN l_quantity END), 0) AS BIGINT) AS promo_qty,
+         CAST(COALESCE(SUM(CASE WHEN p_type NOT LIKE 'PROMO%' THEN l_quantity END), 0) AS BIGINT) AS base_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, promo_qty, base_qty,
+       (CAST(promo_qty AS DOUBLE) / NULLIF(base_qty - base_qty, 0)) IS NULL AS div_by_zero_is_null,
+       COALESCE(ROUND(CAST(promo_qty AS DOUBLE) / NULLIF(base_qty, 0), 6), -1.0) AS promo_ratio,
+       TRY_CAST(p_brand AS INT) IS NULL AS bad_cast_is_null,
+       promo_qty > 0 AS overflow_is_null
+FROM g ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "fn_string_suite": fn_string_suite,
+    "fn_try_suite": fn_try_suite,
     "fn_variant_suite": fn_variant_suite,
     "fn_sql_udf_suite": fn_sql_udf_suite,
     "fn_date_suite": fn_date_suite,
@@ -355,6 +420,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_try_suite": FN_TRY_SQL,
     "fn_variant_suite": FN_VARIANT_SQL,
     "fn_sql_udf_suite": FN_SQL_UDF_SQL,
     "fn_string_suite": FN_STRING_SQL,

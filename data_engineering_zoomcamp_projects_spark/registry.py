@@ -122,6 +122,7 @@ _FRONT = [
     "graph_reachability_recursive",
     "fn_variant_suite",
     "fn_sql_udf_suite",
+    "fn_try_suite",
 ]
 
 

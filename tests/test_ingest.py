@@ -480,3 +480,41 @@ def test_binary_file_source(spark, tmp_path):
     for r in rows:
         assert bytes(r["content"]) == blobs[r["name"]]
         assert r["length"] == len(blobs[r["name"]])
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.ingest.sinks import compact_parquet
+
+    src = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_fragmented")
+    # simulate a small-file mess: 64 files for a tiny table
+    src.repartition(64).write.parquet(out)
+    frag = [p for p in (tmp_path / "orders_fragmented").glob("*.parquet")]
+    assert len(frag) == 64
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    n_files = compact_parquet(spark, out, target_rows_per_file=10_000_000)
+    assert n_files == 1
+    after_files = [p for p in (tmp_path / "orders_fragmented").glob("*.parquet")]
+    assert len(after_files) == 1
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+
+def test_observe_metrics_ride_the_job(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.ingest.observability import observed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df, obs = observed(
+        li,
+        "load_audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("int")).alias("null_qty"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "audited"))
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert got["null_qty"] == 0
