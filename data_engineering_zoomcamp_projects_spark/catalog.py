@@ -85,3 +85,24 @@ def register_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def analyze_table(spark: SparkSession, table: str, columns: tuple[str, ...] = ()):
+    """Collect table (and optionally column) statistics into the
+    catalog — the cost-based-optimizer feed: with row counts and column
+    NDV/min/max on file, Catalyst reorders joins and picks broadcast
+    sides from evidence instead of size heuristics. Expects `table` to
+    be a saved catalog table (saveAsTable / Iceberg), not a temp view.
+    Returns the statistics string Catalyst will use."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS "
+            + ", ".join(columns)
+        )
+    row = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .filter("col_name = 'Statistics'")
+        .collect()
+    )
+    return row[0]["data_type"] if row else None

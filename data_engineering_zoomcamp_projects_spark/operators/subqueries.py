@@ -182,8 +182,31 @@ FROM lineitem
 """
 
 
+LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 3
+) t
+"""
+
+
+def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per nation, its top-3 customers by
+    account balance — the dependent-join SQL surface. Catalyst plans
+    the lateral as a decorrelated join (not one probe per outer row);
+    the per-group LIMIT gets the same window/top-k treatment as
+    topk_per_group at scale. Deterministic via the (acctbal, name)
+    tie-break; DuckDB executes the identical LATERAL."""
+    register_tables(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(LATERAL_SQL)
+
+
 QUERIES = {
     "subq_scalar_above_avg_price": subq_scalar_above_avg_price,
+    "subq_lateral_topn": subq_lateral_topn,
     "subq_in_european_suppliers": subq_in_european_suppliers,
     "subq_exists_multi_order_days": subq_exists_multi_order_days,
     "subq_orders_above_customer_avg": subq_orders_above_customer_avg,
@@ -193,6 +216,7 @@ QUERIES = {
 
 ORACLES = {
     "subq_scalar_above_avg_price": SUBQ_SCALAR_SQL,
+    "subq_lateral_topn": LATERAL_SQL,
     "subq_in_european_suppliers": SUBQ_IN_SQL,
     "subq_exists_multi_order_days": SUBQ_EXISTS_SQL,
     "subq_orders_above_customer_avg": SUBQ_CORRELATED_SQL,

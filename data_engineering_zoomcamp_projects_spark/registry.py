@@ -123,6 +123,7 @@ _FRONT = [
     "fn_variant_suite",
     "fn_sql_udf_suite",
     "fn_try_suite",
+    "subq_lateral_topn",
 ]
 
 

@@ -183,3 +183,40 @@ def test_kmeans_matches_numpy_fixed_point(spark, sf_dir):
         for r in ml.ml_kmeans_embeddings(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE puts row/size (and column NDV) stats in the
+    catalog, and the logical plan exposes them to the optimizer."""
+    from data_engineering_zoomcamp_projects_spark.catalog import (
+        analyze_table,
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "nation_stats_t"
+    )
+    try:
+        stats = analyze_table(spark, "nation_stats_t", ("n_nationkey", "n_name"))
+        assert stats is not None and "rows" in stats
+        # column-level stats visible
+        desc = spark.sql(
+            "DESCRIBE EXTENDED nation_stats_t n_nationkey"
+        ).collect()
+        kv = {r["info_name"]: r["info_value"] for r in desc}
+        assert kv.get("distinct_count") == "25"
+        # with CBO on, the optimizer's plan stats expose the row count
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            sized = (
+                spark.table("nation_stats_t")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .rowCount()
+            )
+            assert sized.isDefined() and int(str(sized.get())) == 25
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats_t")
