@@ -107,12 +107,15 @@ GROUP BY doc_id
 
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy matching: customer-name pairs within an
-    edit distance of 2, blocked by nation so the pair space is
-    per-block quadratic instead of corpus-quadratic (the same blocking
-    discipline as the embedding near-dup path — at 100 TB the block
-    key would be a phonetic/sorted-key bucket). levenshtein is
-    JVM-native on the Spark side and identical classic edit distance
-    on both engines."""
+    edit distance of 2, blocked by nation. Per-block quadratic BY
+    DESIGN — this is the small-SF oracle twin (the role
+    dedup_shingle_jaccard plays for the text path); measured ~100x at
+    10x data since blocks grow linearly (>10 min at sf1, BASELINE.md
+    §10). The SHIPPED scale path is dedup_fuzzy_names_symspell
+    (deletion-neighborhood candidate join, lossless for ed<=2), pinned
+    equal to this form by pytest and sharing this oracle. levenshtein
+    is JVM-native on the Spark side and identical classic edit
+    distance on both engines."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )

@@ -58,6 +58,19 @@ def replica_select(table: str, cols: list[tuple[str, str]], r: int) -> str:
     for name, _typ in cols:
         if name in SHIFT.get(table, []):
             exprs.append(f"({name} + {r * OFF}) AS {name}")
+        elif table == "customer" and name == "c_name" and r > 0:
+            # Key-shifted names ("Customer#010000001" vs
+            # "Customer#000000001") sit at edit distance 1-2 of their
+            # replica twins, so a verbatim shift makes every name a
+            # near-dup of its 9 copies and the fuzzy-match workloads
+            # measure that data artifact (candidate explosion at sf1)
+            # instead of the plan — the same trap the documents
+            # word-suffix already avoids. A 3-char replica suffix pushes
+            # every cross-replica pair to edit distance >= 3: density
+            # per name stays constant as the corpus grows.
+            exprs.append(
+                f"(c_name || '~' || repeat(chr(97 + {r}), 3)) AS c_name"
+            )
         elif table == "documents" and name == "text" and r > 0:
             exprs.append(rf"regexp_replace(text, '(\S+)', '\1x{r}', 'g') AS text")
         elif table == "documents" and name == "n_chars" and r > 0:
