@@ -174,6 +174,87 @@ def _funnel_fold_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: conversion window for events_funnel_windowed (stage k must land
+#: within this many hours of stage k-1)
+CONV_HOURS = 72
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: like events_funnel_stages, but each
+    stage must occur WITHIN 72 hours of the previous stage's first
+    occurrence — the product-analytics distinction between "eventually
+    converted" and "converted while the intent was live". Same
+    bounded-state single-shuffle window-chain plan; the deadline is one
+    extra predicate inside each conditional min, so per-row state stays
+    O(1)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "view", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id")
+    t_s = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.select("user_id", "ts", "event_type").withColumn("t_s", t_s)
+    deadline = F.expr(f"INTERVAL {CONV_HOURS} HOURS")
+    for col, typ, prev in (
+        ("t_v", "view", "t_s"),
+        ("t_c", "click", "t_v"),
+        ("t_p", "purchase", "t_c"),
+    ):
+        staged = staged.withColumn(
+            col,
+            F.min(
+                F.when(
+                    (F.col("event_type") == typ)
+                    & (F.col("ts") > F.col(prev))
+                    & (F.col("ts") <= F.col(prev) + deadline),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_s").alias("t_s"),
+        F.first("t_v").alias("t_v"),
+        F.first("t_c").alias("t_c"),
+        F.first("t_p").alias("t_p"),
+    )
+    return per_user.filter(F.col("t_s").isNotNull()).agg(
+        F.count("t_s").alias("n_signup"),
+        F.count("t_v").alias("n_view_72h"),
+        F.count("t_c").alias("n_click_72h"),
+        F.count("t_p").alias("n_purchase_72h"),
+    )
+
+
+FUNNEL_WINDOWED_SQL = f"""
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s1 AS (
+  SELECT s0.user_id, t_signup, MIN(e.ts) AS t_view
+  FROM s0 LEFT JOIN events e
+    ON e.user_id = s0.user_id AND e.event_type = 'view'
+   AND e.ts > s0.t_signup AND e.ts <= s0.t_signup + INTERVAL {CONV_HOURS} HOUR
+  GROUP BY s0.user_id, t_signup
+), s2 AS (
+  SELECT s1.user_id, t_signup, t_view, MIN(e.ts) AS t_click
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+   AND e.ts > s1.t_view AND e.ts <= s1.t_view + INTERVAL {CONV_HOURS} HOUR
+  GROUP BY s1.user_id, t_signup, t_view
+), s3 AS (
+  SELECT s2.user_id, t_signup, t_view, t_click, MIN(e.ts) AS t_purchase
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+   AND e.ts > s2.t_click AND e.ts <= s2.t_click + INTERVAL {CONV_HOURS} HOUR
+  GROUP BY s2.user_id, t_signup, t_view, t_click
+)
+SELECT COUNT(t_signup) AS n_signup,
+       COUNT(t_view) AS n_view_72h,
+       COUNT(t_click) AS n_click_72h,
+       COUNT(t_purchase) AS n_purchase_72h
+FROM s3
+"""
+
+
 FUNNEL_SQL = """
 WITH s0 AS (
   SELECT user_id, MIN(ts) AS t_signup FROM events
@@ -662,6 +743,7 @@ QUERIES = {
     "timeseries_wow_change": timeseries_wow_change,
     "events_cohort_retention": events_cohort_retention,
     "events_funnel_stages": events_funnel_stages,
+    "events_funnel_windowed": events_funnel_windowed,
     "events_user_rfm": events_user_rfm,
     "events_daily_actives": events_daily_actives,
     "events_sessionize": events_sessionize,
@@ -673,6 +755,7 @@ ORACLES = {
     "timeseries_wow_change": WOW_SQL,
     "events_cohort_retention": COHORT_SQL,
     "events_funnel_stages": FUNNEL_SQL,
+    "events_funnel_windowed": FUNNEL_WINDOWED_SQL,
     "events_user_rfm": RFM_SQL,
     "events_daily_actives": DAILY_ACTIVES_SQL,
     "events_sessionize": SESSIONIZE_SQL,
