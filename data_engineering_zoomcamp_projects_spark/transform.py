@@ -124,12 +124,85 @@ GROUP BY c_custkey, c_mktsegment
 """
 
 
+#: incremental-refresh watermark: rows shipped before this date are the
+#: "already materialized" batch; the rest arrive as the increment
+REFRESH_CUTOFF = "1997-01-01"
+
+
+def mart_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily revenue
+    rollup refreshed by MERGING per-batch partial aggregates instead of
+    recomputing from scratch — the continuous-aggregate pattern every
+    warehouse mart eventually needs when the fact table stops fitting a
+    nightly full rebuild.
+
+    The existing batch (shipped before REFRESH_CUTOFF) and the
+    late-arriving increment are aggregated independently to day-grain
+    PARTIALS — unrounded decimal sums and longs, the mergeable state —
+    then merged with one more groupBy-sum and finalized (round/cast)
+    once. The oracle computes the same mart in a single full pass, so
+    the hash match IS the associativity proof: merge(partial(A),
+    partial(B)) == full(A ∪ B). Only decomposable aggregates ride this
+    path (sum/count/min/max); COUNT(DISTINCT) deliberately does NOT
+    appear — distinct state doesn't merge (use HLL sketch-merge or
+    re-aggregate from base, see agg_approx_count_distinct).
+
+    Scale: each batch aggregates map-side to |days| rows; the merge is
+    a shuffle of day-grain partials (metadata-sized), never of facts —
+    refresh cost is proportional to the INCREMENT, not the table."""
+    from pyspark.sql import functions as F
+
+    li = register_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+
+    def day_partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date")
+        ).agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("_rev_partial"),
+            F.count(F.lit(1)).alias("_n_partial"),
+            F.max("l_extendedprice").alias("_max_partial"),
+        )
+
+    old = day_partials(li.filter(F.col("l_shipdate") < REFRESH_CUTOFF))
+    inc = day_partials(li.filter(F.col("l_shipdate") >= REFRESH_CUTOFF))
+    merged = (
+        old.unionByName(inc)
+        .groupBy("ship_date")
+        .agg(
+            F.sum("_rev_partial").alias("_rev"),
+            F.sum("_n_partial").alias("_n"),
+            F.max("_max_partial").alias("_mx"),
+        )
+    )
+    return merged.select(
+        "ship_date",
+        F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        F.col("_n").cast("long").alias("n_lines"),
+        F.col("_mx").alias("max_line_price"),
+    )
+
+
+MART_INCREMENTAL_SQL = f"""
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_lines,
+       MAX(l_extendedprice) AS max_line_price
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES = {
     "mart_daily_revenue": mart_daily_revenue,
+    "mart_incremental_refresh": mart_incremental_refresh,
     "mart_customer_activity": mart_customer_activity,
 }
 
 ORACLES = {
     "mart_daily_revenue": MART_DAILY_REVENUE_SQL,
+    "mart_incremental_refresh": MART_INCREMENTAL_SQL,
     "mart_customer_activity": MART_CUSTOMER_ACTIVITY_SQL,
 }
