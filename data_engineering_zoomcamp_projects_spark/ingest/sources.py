@@ -243,6 +243,33 @@ def read_binary_files(
     return reader.load(path)
 
 
+def read_parquet_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every parquet file
+    under `path` (mergeSchema) so batches written before a column was
+    added read back with NULLs in the missing slots — the append-only
+    lakehouse contract. Off by default in Spark because footer-merging
+    costs a pass over file metadata; turn it on per-read where drift is
+    expected, or pin the canonical schema with `.schema(...)` once the
+    table is contracted."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def read_json_permissive(
+    spark: SparkSession, path: str, schema, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """Corrupt-tolerant JSON scan: malformed rows land whole in
+    `corrupt_col` instead of failing the job (PERMISSIVE mode) — route
+    them to a quarantine sink and keep the pipeline up. FAILFAST is the
+    right mode only once a feed is contracted. The schema must carry
+    the corrupt column as a string field."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,

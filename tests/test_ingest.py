@@ -518,3 +518,55 @@ def test_observe_metrics_ride_the_job(spark, sf_dir, tmp_path):
     got = obs.get
     assert got["n_rows"] == li.count()
     assert got["null_qty"] == 0
+
+
+def test_merge_schema_reads_drifted_batches(spark, tmp_path):
+    """Append-only schema evolution: a column added in batch 2 reads
+    back as NULL for batch-1 rows under mergeSchema."""
+    from data_engineering_zoomcamp_projects_spark.ingest.sources import (
+        read_parquet_merged_schema,
+    )
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(out)
+
+    df = read_parquet_merged_schema(spark, out)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 9.5
+
+
+def test_permissive_json_quarantines_corrupt_rows(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from data_engineering_zoomcamp_projects_spark.ingest.sources import (
+        read_json_permissive,
+    )
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "v": 10}\n'
+        "this is not json\n"
+        '{"id": 2, "v": 20}\n'
+        '{"id": 3, "v": "not-a-number"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_json_permissive(spark, str(p), schema).cache()
+    good = df.filter("_corrupt_record IS NULL AND id IS NOT NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert good.count() == 2
+    assert bad.count() == 2  # the non-JSON line and the type-mismatch line
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    df.unpersist()
