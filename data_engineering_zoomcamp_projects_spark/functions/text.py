@@ -63,3 +63,24 @@ def doc_fingerprint_md5(col: Column) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set (classic near-dup blocking key)."""
     return F.md5(F.array_join(F.sort_array(F.array_distinct(tokens(col))), " "))
+
+
+def register_split_tokens_udtf(spark):
+    """Python UDTF surface (Spark 3.5+/4): a table function usable in
+    the FROM clause / LATERAL position. Registered for API parity —
+    the engine's own plans use native explode/posexplode (JVM-side,
+    codegen) for this exact job; a Python UDTF pays a Python-worker
+    round trip per partition and belongs only where logic genuinely
+    can't be expressed natively. tests/test_extras.py pins UDTF output
+    == posexplode(split(...)) so the two surfaces stay semantically
+    interchangeable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                yield i, t
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    return SplitTokens

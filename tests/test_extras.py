@@ -226,3 +226,27 @@ def test_temperature_resample_rates(spark, sf_dir):
         # realized keep fraction within 12 points of the declared rate
         frac = 1000.0 * kept[dominant] / counts[dominant]
         assert abs(frac - rates[dominant]) < 120
+
+
+def test_udtf_matches_native_posexplode(spark, sf_dir):
+    """The Python UDTF table function returns exactly what the native
+    posexplode path returns (the engine's preferred formulation)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.functions.text import (
+        register_split_tokens_udtf,
+    )
+
+    register_split_tokens_udtf(spark)
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    d.createOrReplaceTempView("docs_udtf_t")
+    via_udtf = spark.sql(
+        "SELECT doc_id, pos, token FROM docs_udtf_t, LATERAL split_tokens(text)"
+    )
+    via_native = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    assert sorted(map(tuple, via_udtf.collect())) == sorted(
+        map(tuple, via_native.collect())
+    )
