@@ -412,8 +412,79 @@ LIMIT {COLLOC_TOP_K}
 """
 
 
+#: count-min sketch parameters for text_heavy_hitters_cms: eps bounds
+#: the overestimate (est <= exact + eps*N per query, prob >= conf);
+#: the sketch never underestimates. Fixed seed -> deterministic sketch.
+CMS_EPS = 0.001
+CMS_CONF = 0.99
+CMS_SEED = 42
+CMS_TOP_K = 10
+
+
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection with a count-min sketch — the streaming/
+    mergeable frequency structure (16 KB-scale state vs a full token
+    dictionary) every 100 TB frequency pipeline uses for hot-key and
+    hot-phrase monitoring. Like agg_approx_count_distinct, the sketch
+    bytes are engine-specific and can never hash-match DuckDB, so the
+    certified surface is the INVARIANT: per exact-top-K token, the CMS
+    estimate (a) never underestimates and (b) lands within eps*N of
+    exact. The oracle emits the exact counts and literal TRUEs.
+
+    Plan: one explode-agg builds the sketch (map-side partials, the
+    sketch is mergeable state); the 112 KB serialized sketch and the
+    K=10 head are the only driver-side bytes (model state, the IVF-
+    codebook discipline); the probed estimates re-enter the PLAN as a
+    broadcast literal map so the booleans are computed by the engine."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("w"))
+    topk = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "w")
+        .limit(CMS_TOP_K)
+    )
+    sk_row = tok.agg(
+        F.count_min_sketch(
+            "w", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk_row["s"]))
+    )
+    slack = int(CMS_EPS * sk_row["n"]) + 1
+    head = [r["w"] for r in topk.collect()]
+    est = {w: int(cms.estimateCount(w)) for w in head}
+    est_map = F.create_map(
+        *[c for w, e in sorted(est.items()) for c in (F.lit(w), F.lit(e))]
+    )
+    return topk.select(
+        "w",
+        "exact_cnt",
+        (F.element_at(est_map, F.col("w")) >= F.col("exact_cnt")).alias(
+            "cms_never_under"
+        ),
+        (
+            F.element_at(est_map, F.col("w")) <= F.col("exact_cnt") + F.lit(slack)
+        ).alias("cms_within_eps"),
+    ).orderBy(F.col("exact_cnt").desc(), "w")
+
+
+TEXT_CMS_SQL = f"""
+SELECT w, exact_cnt, TRUE AS cms_never_under, TRUE AS cms_within_eps
+FROM (
+  SELECT w, COUNT(*) AS exact_cnt
+  FROM (SELECT unnest(split(text, ' ')) AS w FROM documents)
+  GROUP BY w ORDER BY exact_cnt DESC, w LIMIT {CMS_TOP_K}
+) ORDER BY exact_cnt DESC, w
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
+    "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_collocations": text_collocations,
     "text_normalize_unicode": text_normalize_unicode,
     "text_token_counting": text_token_counting,
@@ -426,6 +497,7 @@ QUERIES = {
 ORACLES = {
     "text_quality_scores": TEXT_QUALITY_SQL,
     "text_collocations": TEXT_COLLOC_SQL,
+    "text_heavy_hitters_cms": TEXT_CMS_SQL,
     "text_normalize_unicode": TEXT_NORMALIZE_SQL,
     "text_token_counting": TEXT_TOKEN_COUNT_SQL,
     "text_langid_profile": TEXT_LANGID_SQL,
