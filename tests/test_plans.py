@@ -346,3 +346,50 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     over = {name for n, name in worst if n > 8}
     assert over <= set(ceilings), sorted(over - set(ceilings))
     assert len(ceilings) <= 2, "justified-ceiling set is growing — audit it"
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime filtering: a selective dimension filter injects a bloom
+    filter on the fact side's join key, so fact rows that cannot match
+    die at the scan instead of riding the shuffle. Thresholds are
+    lowered to fire on test-sized data — at 100 TB the defaults (10 GB
+    application-side scan) trigger naturally; the point pinned here is
+    that the engine's plans are ELIGIBLE for the rewrite (equi-join,
+    key pushable to the scan) and results are unchanged."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter("o_totalprice > 400000")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    baseline = sorted(map(tuple, j.collect()))
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j2 = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:800]
+        assert sorted(map(tuple, j2.collect())) == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
