@@ -372,8 +372,56 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 """
 
 
+def prep_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: assign each document a training PHASE
+    by content quality (easy/typical/hard via fixed type-token-ratio
+    thresholds) and a deterministic intra-phase shuffle key — the
+    ordered-dataloader contract (train on cleaner text first, shuffle
+    stably within each phase so every run and every worker sees the
+    same order).
+
+    Scale: entirely map-side — the phase is a fixed threshold on a
+    per-row rational score (no global sort, no ntile; rank-based
+    bucketing would need the distributed-rank machinery and gains
+    nothing when thresholds are part of the recipe), and the shuffle
+    key is the same md5 uniform as the samplers. A dataloader reads
+    ORDER BY (phase, shuffle_key) off the sorted-layout sink."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
+        "double"
+    )
+    phase = (
+        F.when(ttr >= 0.75, F.lit(0))
+        .when(ttr >= 0.5, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ttr, 6).alias("ttr"),
+        phase.alias("phase"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+
+
+PREP_CURRICULUM_SQL = """
+SELECT doc_id, lang,
+       ROUND(CAST(len(list_distinct(split(text, ' '))) AS DOUBLE)
+             / CAST(len(split(text, ' ')) AS DOUBLE), 6) AS ttr,
+       CASE WHEN CAST(len(list_distinct(split(text, ' '))) AS DOUBLE)
+                 / CAST(len(split(text, ' ')) AS DOUBLE) >= 0.75 THEN 0
+            WHEN CAST(len(list_distinct(split(text, ' '))) AS DOUBLE)
+                 / CAST(len(split(text, ' ')) AS DOUBLE) >= 0.5 THEN 1
+            ELSE 2 END AS phase,
+       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+"""
+
+
 QUERIES = {
     "prep_train_test_split": prep_train_test_split,
+    "prep_curriculum_order": prep_curriculum_order,
     "prep_temperature_resample": prep_temperature_resample,
     "prep_sequence_packing": prep_sequence_packing,
     "prep_decontaminate": prep_decontaminate,
@@ -387,6 +435,7 @@ ORACLES = {
     "prep_decontaminate_bloom": PREP_DECONTAM_SQL,
     "prep_train_test_split": PREP_SPLIT_SQL,
     "prep_temperature_resample": PREP_TEMPERATURE_SQL,
+    "prep_curriculum_order": PREP_CURRICULUM_SQL,
     "prep_sequence_packing": PREP_PACKING_SQL,
     "prep_decontaminate": PREP_DECONTAM_SQL,
     "prep_quantize_int8": PREP_QUANTIZE_SQL,
