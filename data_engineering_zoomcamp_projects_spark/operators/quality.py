@@ -214,14 +214,89 @@ FROM daily ORDER BY day
 """
 
 
+def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of a table by primary
+    key + row hash — the audit verb behind every migration sign-off,
+    CDC replay check, and backfill validation ("what changed between
+    yesterday's snapshot and today's?").
+
+    Versions are derived deterministically here (v1 = orders with
+    pre-correction prices capped at 200k and the two highest-key rows
+    per priority dropped; v2 = the table as shipped) so the diff has
+    all three change classes. Mechanics are the real thing: md5 over a
+    canonical column rendering per row, ONE full outer join on the key,
+    change class from null-ness + hash inequality, counted per class.
+    At 100 TB both sides shuffle on the key once; no column-wise
+    compare explosion — the hash collapses row equality to 16 bytes."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_hash = lambda price: F.md5(  # noqa: E731
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.format_string("%.2f", price),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderpriority"),
+        )
+    )
+    v2 = orders.select(
+        F.col("o_orderkey").alias("k2"), row_hash(F.col("o_totalprice")).alias("h2")
+    )
+    capped = F.least(F.col("o_totalprice"), F.lit(200000.0))
+    w_drop = F.col("o_orderkey") % 1000 < 2
+    v1 = (
+        orders.filter(~w_drop)
+        .select(F.col("o_orderkey").alias("k1"), row_hash(capped).alias("h1"))
+    )
+    diff = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("change")
+    )
+    return (
+        diff.groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH v2 AS (
+  SELECT o_orderkey AS k2,
+         md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+             printf('%.2f', o_totalprice),
+             strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)) AS h2
+  FROM orders
+), v1 AS (
+  SELECT o_orderkey AS k1,
+         md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+             printf('%.2f', LEAST(o_totalprice, 200000.0)),
+             strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)) AS h1
+  FROM orders WHERE NOT (o_orderkey % 1000 < 2)
+)
+SELECT CASE WHEN k1 IS NULL THEN 'added'
+            WHEN k2 IS NULL THEN 'removed'
+            WHEN h1 <> h2 THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       COUNT(*) AS n_rows
+FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "quality_constraint_checks": quality_constraint_checks,
+    "quality_snapshot_diff": quality_snapshot_diff,
     "quality_referential_orphans": quality_referential_orphans,
     "quality_daily_volume_anomaly": quality_daily_volume_anomaly,
 }
 
 ORACLES = {
     "quality_constraint_checks": QUALITY_CONSTRAINTS_SQL,
+    "quality_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "quality_referential_orphans": QUALITY_ORPHANS_SQL,
     "quality_daily_volume_anomaly": QUALITY_VOLUME_SQL,
 }

@@ -126,7 +126,8 @@ _FRONT = [
     "subq_lateral_topn",
     # NOTE round-6 rotation debt: events_funnel_windowed,
     # mart_incremental_refresh, text_heavy_hitters_cms, and
-    # prep_curriculum_order (added after the 50 slots above filled)
+    # prep_curriculum_order, quality_snapshot_diff (added after the 50
+    # slots above filled)
     # are pytest-certified at sf0.001+sf0.01 but have no driver row
     # yet — front-load them next round.
 ]
