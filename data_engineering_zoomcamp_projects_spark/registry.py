@@ -56,19 +56,25 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # plans re-designed in round 4 whose last official rows predate the
-    # change (r4 verdict item 1): certify the NEW plans at sf0.01
-    "dedup_minhash_lsh",
-    "dedup_cluster_components",
-    "pipeline_corpus_curation",
-    "dedup_shingle_jaccard",
-    # (dedup_exact / mart_daily_revenue dropped from the front-load:
-    # both were green in r2/r3 with plans unchanged since; the window
-    # slots go to never-certified round-5 entries instead)
-    # plans re-designed in round 5 (banded LSH candidate stage;
-    # bounded-state window-chain funnel)
+    # WINDOW TRIAGE (50 slots, ~55 claimants): never-certified entries
+    # outrank re-certification of changed-but-once-green plans, because
+    # an entry with no driver row EVER is invisible to the gate while a
+    # changed plan still has (i) a name-stable green row, (ii) pytest
+    # oracle parity at sf0.001 every run, and (iii) this session's
+    # repeated full driver-twin runs at sf0.01 (scripts in VERDICT
+    # workflow). Consequently the r4-changed dedup plans
+    # (dedup_minhash_lsh, dedup_cluster_components,
+    # pipeline_corpus_curation, dedup_shingle_jaccard) and the
+    # r5-changed events_funnel_stages yield their slots this round —
+    # FRONT-LOAD THEM IN ROUND 6. dedup_embedding_cosine stays: its
+    # r5 plan replacement (label-quadratic -> banded LSH) is the
+    # largest semantic distance from its last green row.
     "dedup_embedding_cosine",
-    "events_funnel_stages",
+    "events_funnel_windowed",
+    "mart_incremental_refresh",
+    "text_heavy_hitters_cms",
+    "prep_curriculum_order",
+    "quality_snapshot_diff",
     # rows-only -> full oracle upgrades in round 5 (deterministic model
     # state / engine-shared derivations let the oracle replicate them)
     "sim_topk_lsh",
@@ -124,12 +130,10 @@ _FRONT = [
     "fn_sql_udf_suite",
     "fn_try_suite",
     "subq_lateral_topn",
-    # NOTE round-6 rotation debt: events_funnel_windowed,
-    # mart_incremental_refresh, text_heavy_hitters_cms, and
-    # prep_curriculum_order, quality_snapshot_diff (added after the 50
-    # slots above filled)
-    # are pytest-certified at sf0.001+sf0.01 but have no driver row
-    # yet — front-load them next round.
+    # NOTE round-6 rotation debt (see WINDOW TRIAGE above):
+    # dedup_minhash_lsh, dedup_cluster_components,
+    # pipeline_corpus_curation, dedup_shingle_jaccard,
+    # events_funnel_stages — changed plans riding older green rows.
 ]
 
 
