@@ -174,6 +174,71 @@ def _funnel_fold_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: timeline export cap: first N events per user (bounded output rows)
+TIMELINE_MAX_EVENTS = 20
+
+
+def events_user_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event timelines — the behavioral-sequence
+    export a sequence model trains on: each user's first N events
+    rendered as one 'ts:type' string in strict (ts, event_id) order.
+    This is the ordered list-aggregation surface (SQL LISTAGG WITHIN
+    GROUP): Spark has no ordered listagg, so the deterministic form is
+    a row_number PREFILTER (rk <= N) feeding sort_array(collect_list)
+    — the struct sort key makes the order total, and because the
+    filter runs BEFORE the aggregate, per-user collected state is
+    bounded at N rows no matter how many events a pathological user
+    has (collect-then-slice would materialize the full per-user array
+    in one task — the exact unbounded-state trap the funnel rework
+    removed). One shuffle: the window and the aggregate share the
+    user_id partitioning. DuckDB's oracle is the native
+    string_agg(ORDER BY) over the same prefilter."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rk") <= TIMELINE_MAX_EVENTS)
+    )
+    item = F.struct(F.col("rk"), F.col("ts"), F.col("event_type"))
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(item)),
+            lambda x: F.concat_ws(
+                ":",
+                F.date_format(x["ts"], "yyyy-MM-dd HH:mm:ss"),
+                x["event_type"],
+            ),
+        ),
+        "|",
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            rendered.alias("timeline"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TIMELINE_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, n_events,
+       string_agg(strftime(ts, '%Y-%m-%d %H:%M:%S') || ':' || event_type,
+                  '|' ORDER BY rk) AS timeline
+FROM ranked WHERE rk <= {TIMELINE_MAX_EVENTS}
+GROUP BY user_id, n_events ORDER BY user_id
+"""
+
+
 #: conversion window for events_funnel_windowed (stage k must land
 #: within this many hours of stage k-1)
 CONV_HOURS = 72
@@ -744,6 +809,7 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "events_funnel_stages": events_funnel_stages,
     "events_funnel_windowed": events_funnel_windowed,
+    "events_user_timeline": events_user_timeline,
     "events_user_rfm": events_user_rfm,
     "events_daily_actives": events_daily_actives,
     "events_sessionize": events_sessionize,
@@ -756,6 +822,7 @@ ORACLES = {
     "events_cohort_retention": COHORT_SQL,
     "events_funnel_stages": FUNNEL_SQL,
     "events_funnel_windowed": FUNNEL_WINDOWED_SQL,
+    "events_user_timeline": TIMELINE_SQL,
     "events_user_rfm": RFM_SQL,
     "events_daily_actives": DAILY_ACTIVES_SQL,
     "events_sessionize": SESSIONIZE_SQL,

@@ -66,10 +66,10 @@ _FRONT = [
     # (dedup_minhash_lsh, dedup_cluster_components,
     # pipeline_corpus_curation, dedup_shingle_jaccard) and the
     # r5-changed events_funnel_stages yield their slots this round —
-    # FRONT-LOAD THEM IN ROUND 6. dedup_embedding_cosine stays: its
-    # r5 plan replacement (label-quadratic -> banded LSH) is the
-    # largest semantic distance from its last green row.
-    "dedup_embedding_cosine",
+    # FRONT-LOAD THEM IN ROUND 6 (all six changed-plan names,
+    # dedup_embedding_cosine included — every slot this round went to a
+    # never-certified entry, the strictly worse orphan class).
+    "events_user_timeline",
     "events_funnel_windowed",
     "mart_incremental_refresh",
     "text_heavy_hitters_cms",
@@ -133,7 +133,8 @@ _FRONT = [
     # NOTE round-6 rotation debt (see WINDOW TRIAGE above):
     # dedup_minhash_lsh, dedup_cluster_components,
     # pipeline_corpus_curation, dedup_shingle_jaccard,
-    # events_funnel_stages — changed plans riding older green rows.
+    # events_funnel_stages, dedup_embedding_cosine — changed plans
+    # riding older green rows.
 ]
 
 
