@@ -130,8 +130,92 @@ FROM documents JOIN embeddings ON doc_id = vec_id
 """
 
 
+#: audio-window analysis geometry: 128-byte payload, 32-byte windows,
+#: 16-byte hop -> 7 half-overlapping windows per clip
+AUDIO_BYTES = 128
+AUDIO_WIN = 32
+AUDIO_HOP = 16
+AUDIO_N_WIN = (AUDIO_BYTES - AUDIO_WIN) // AUDIO_HOP + 1
+
+
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-clip windowing: half-overlapping fixed-size windows over a
+    binary payload with per-window energy and peak — the frame-analysis
+    shape (STFT framing, VAD energy gating) of an audio pipeline, run
+    ENTIRELY in native expressions: the payload's hex rendering is
+    processed with nested higher-order functions (outer transform over
+    window starts, inner aggregate over the bytes of each window), so
+    the whole per-clip loop stays in codegen with zero Python.
+
+    The 128-byte payload is synthesized (8 chained md5 blocks — the
+    documents table ships no real audio; same convention as the other
+    multimodal payloads), letting DuckDB recompute every byte
+    symbolically: window geometry, energy sums, and peaks are all
+    hash-checked. A real corpus swaps the synthesized payload for its
+    parquet `binary` column; the windowing expressions don't change."""
+    d = load_table(spark, sf_dir, "documents")
+    hexes = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i) if i else ""))) for i in range(8)]
+    )
+    # keep the binary column in the plan (the storage contract), then
+    # analyze its hex rendering with native expressions
+    clip = d.select("doc_id", F.unhex(hexes).alias("payload"))
+    hx = F.lower(F.hex("payload"))
+    byte_at = lambda pos: F.conv(  # noqa: E731
+        F.substring(hx, pos * F.lit(2) + 1, 2), 16, 10
+    ).cast("long")
+    win = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(AUDIO_N_WIN - 1)),
+            lambda w: F.struct(
+                w.cast("int").alias("win_idx"),
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(AUDIO_WIN - 1)),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc + byte_at(w * AUDIO_HOP + i),
+                ).alias("energy"),
+                F.array_max(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(AUDIO_WIN - 1)),
+                        lambda i: byte_at(w * AUDIO_HOP + i),
+                    )
+                ).alias("peak"),
+            ),
+        )
+    )
+    return (
+        clip.select("doc_id", win.alias("w"))
+        .select(
+            "doc_id",
+            F.col("w.win_idx").alias("win_idx"),
+            F.col("w.energy").alias("energy"),
+            F.col("w.peak").alias("peak"),
+        )
+    )
+
+
+AUDIO_WINDOWS_SQL = f"""
+WITH clip AS (
+  SELECT doc_id,
+         md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3')
+         || md5(text || '4') || md5(text || '5') || md5(text || '6')
+         || md5(text || '7') AS hx
+  FROM documents
+)
+SELECT doc_id, w AS win_idx,
+       CAST(list_sum(list_transform(range(0, {AUDIO_WIN}),
+            i -> CAST(('0x' || substr(hx, (w * {AUDIO_HOP} + i) * 2 + 1, 2)) AS BIGINT)))
+            AS BIGINT) AS energy,
+       CAST(list_max(list_transform(range(0, {AUDIO_WIN}),
+            i -> CAST(('0x' || substr(hx, (w * {AUDIO_HOP} + i) * 2 + 1, 2)) AS BIGINT)))
+            AS BIGINT) AS peak
+FROM clip, (SELECT unnest(generate_series(0, {AUDIO_N_WIN - 1})) AS w) g
+"""
+
+
 QUERIES = {
     "multimodal_binary_features": multimodal_binary_features,
+    "multimodal_audio_windows": multimodal_audio_windows,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_join_docs_embeddings": multimodal_join_docs_embeddings,
 }
@@ -171,6 +255,14 @@ FROM documents, (SELECT unnest(generate_series(0, 3)) AS k) f
 
 ORACLES = {
     "multimodal_binary_features": BINARY_FEATURES_SQL,
+    # multimodal_audio_windows: AUDIO_WINDOWS_SQL is fully written and
+    # pinned by tests/test_llm.py::test_audio_windows_matches_oracle
+    # (the exact driver-twin compare, both SFs) — but held OUT of the
+    # driver dict this round because the 50-slot certification window
+    # is already filled by never-certified entries
+    # (tests/test_certification.py would flag an oracle-backed name
+    # with no reachable slot). PROMOTE IN ROUND 6 alongside the
+    # rotation-debt names in registry._FRONT.
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "multimodal_join_docs_embeddings": MULTIMODAL_JOIN_SQL,
 }

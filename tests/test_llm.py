@@ -292,3 +292,21 @@ def test_incremental_equals_full_cross_pairs(spark, sf_dir):
         for r in dedup.dedup_incremental_batch(spark, sf_dir).collect()
     }
     assert got == cross
+
+
+def test_audio_windows_matches_oracle(spark, sf_dir):
+    """Driver-twin differential for multimodal_audio_windows: its
+    oracle SQL is written but held out of the round-5 driver dict
+    (window full — see llm/multimodal.py ORACLES comment); this test
+    runs the identical compare locally so the invariant never rots."""
+    from data_engineering_zoomcamp_projects_spark.llm.multimodal import (
+        AUDIO_WINDOWS_SQL,
+        multimodal_audio_windows,
+    )
+
+    from .oracle import compare, run_oracle
+
+    df = multimodal_audio_windows(spark, sf_dir)
+    pdf = run_oracle(AUDIO_WINDOWS_SQL, sf_dir)
+    problems = compare(df, pdf, "multimodal_audio_windows")
+    assert not problems, "\n".join(problems)
