@@ -103,6 +103,24 @@ def write_sorted_layout(
     )
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present
+    in `df`, leaving every other partition untouched — the idempotent
+    daily-backfill write ("re-run yesterday" must not truncate the
+    table, which is exactly what static overwrite mode does). Session
+    conf is scoped to this write and restored."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def compact_parquet(
     spark,
     path: str,

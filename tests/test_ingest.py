@@ -570,3 +570,44 @@ def test_permissive_json_quarantines_corrupt_rows(spark, tmp_path):
     assert bad.count() == 2  # the non-JSON line and the type-mismatch line
     assert {r["id"] for r in good.collect()} == {1, 2}
     df.unpersist()
+
+
+def test_dynamic_partition_overwrite_preserves_other_partitions(spark, sf_dir, tmp_path):
+    """Re-running one day's backfill must rewrite only that partition:
+    dynamic mode replaces the touched partition and leaves the rest;
+    (static overwrite mode — the default — would truncate the table,
+    which is also pinned here as the contrast)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.ingest.sinks import (
+        overwrite_partitions_dynamic,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    out = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("status").parquet(out)
+    total = orders.count()
+    n_f = orders.filter("status = 'F'").count()
+
+    # backfill partition F with a modified copy (totalprice zeroed)
+    fixed_f = (
+        orders.filter("status = 'F'").withColumn("o_totalprice", F.lit(0.0))
+    )
+    overwrite_partitions_dynamic(fixed_f, out, "status")
+
+    back = spark.read.parquet(out)
+    assert back.count() == total  # other partitions intact
+    assert back.filter("status = 'F'").count() == n_f
+    assert back.filter("status = 'F'").agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0] == 0.0
+    assert back.filter("status = 'O'").agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0] > 0
+
+    # contrast: static overwrite truncates everything else
+    fixed_f.write.mode("overwrite").partitionBy("status").parquet(out)
+    assert spark.read.parquet(out).count() == n_f
