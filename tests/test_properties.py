@@ -80,3 +80,95 @@ def test_upsert_idempotent(spark, rows):
     once = upsert(target.dropDuplicates(["k"]), updates.dropDuplicates(["k"]), "k")
     twice = upsert(once, updates.dropDuplicates(["k"]), "k")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_moment_corr_bounded_and_matches_numpy(spark, rows):
+    """The exact-moment correlation finish (agg_corr_covar's formula)
+    stays in [-1, 1] and tracks numpy on arbitrary integer frames."""
+    import numpy as np
+
+    # need at least 2 distinct points with variance in both coords
+    df = spark.createDataFrame(
+        [(k, v, (v * 7 + k) % 13) for k, v in rows], "g int, x int, y int"
+    )
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,10)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,10)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,10)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,10)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,10)")).alias("syy"),
+    ).collect()[0]
+    n = m["n"]
+    vx = float(m["sxx"]) / n - (float(m["sx"]) / n) ** 2
+    vy = float(m["syy"]) / n - (float(m["sy"]) / n) ** 2
+    if n < 2 or vx <= 1e-12 or vy <= 1e-12:
+        return
+    cov = float(m["sxy"]) / n - (float(m["sx"]) / n) * (float(m["sy"]) / n)
+    corr = cov / (vx**0.5 * vy**0.5)
+    assert -1.0 - 1e-9 <= corr <= 1.0 + 1e-9
+    xs = np.array([r[1] for r in rows], dtype=float)
+    ys = np.array([(r[1] * 7 + r[0]) % 13 for r in rows], dtype=float)
+    assert abs(corr - np.corrcoef(xs, ys)[0, 1]) < 1e-6
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_snapshot_diff_classes_partition_keyspace(spark, rows):
+    """Row-hash diff invariant: added + removed + changed + unchanged
+    counts always sum to |keys(v1) ∪ keys(v2)| for ANY pair of
+    versions derived by dropping/modifying rows."""
+    base = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id int, k int, v int"
+    )
+    v1 = base.filter(F.col("id") % 3 != 0).withColumn(
+        "v", F.when(F.col("id") % 5 == 0, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    h = lambda c: F.md5(F.concat_ws("|", "id", "k", c))  # noqa: E731
+    a = v1.select(F.col("id").alias("k1"), h("v").alias("h1"))
+    b = base.select(F.col("id").alias("k2"), h("v").alias("h2"))
+    diff = a.join(b, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("c")
+    )
+    counts = {r["c"]: r["n"] for r in diff.groupBy("c").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_keys = base.select("id").union(v1.select("id")).distinct().count()
+    assert sum(counts.values()) == n_keys
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_timeline_prefilter_bounds_state(spark, rows):
+    """The ordered-timeline prefilter yields at most N items per key,
+    they are the N smallest by the sort key, and the rendered string
+    has exactly min(n, N) segments."""
+    N = 3
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v int, i int"
+    )
+    w = Window.partitionBy("k").orderBy("v", "i")
+    staged = df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= N)
+    out = staged.groupBy("k").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "v"))),
+                lambda x: x["v"].cast("string"),
+            ),
+            "|",
+        ).alias("tl"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in out.collect():
+        expect = min(totals[r["k"]], N)
+        assert r["n_kept"] == expect
+        assert len(r["tl"].split("|")) == expect
+        # segments are exactly the multiset of the key's smallest values
+        vals = sorted(v for kk, v in rows if kk == r["k"])
+        got = sorted(int(x) for x in r["tl"].split("|"))
+        assert got == vals[:expect]
