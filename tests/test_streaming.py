@@ -318,3 +318,51 @@ def test_stream_static_enrichment_parity(spark, sf_dir):
     cols = ["event_id", "user_id", "event_type", "segment", "nation_key"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() == ev.count()  # left join never drops events
+
+
+def test_max_files_per_trigger_paces_microbatches(spark, tmp_path):
+    """Backpressure: maxFilesPerTrigger=1 over a 4-file backlog must
+    process in 4 micro-batches, oldest files first — the pacing
+    contract a production backlog reprocess relies on."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.streaming.jobs import (
+        load_events_stream,
+    )
+
+    src = tmp_path / "events_backlog"
+    src.mkdir()
+    # file-stream sources list FILES under the dir (no recursion):
+    # stage each single-file write, then move the part file in flat
+    for i in range(4):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            [(i * 10 + j, i, float(j), "view", "{}") for j in range(5)],
+            "event_id long, user_id long, value double, event_type string, props string",
+        ).withColumn(
+            "ts", F.timestamp_micros(F.lit(1_700_000_000_000_000 + i))
+        ).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        part.rename(src / f"f{i}.parquet")
+        time.sleep(0.05)  # distinct modification times -> stable order
+
+    stream = load_events_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append(df.count())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    non_empty = [b for b in batches if b > 0]
+    assert len(non_empty) == 4, batches
+    assert all(b == 5 for b in non_empty), batches
