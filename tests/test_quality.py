@@ -172,3 +172,23 @@ def test_triangle_count_on_synthetic_graph(spark, monkeypatch):
         for r in graph_mod.graph_triangle_count(spark, "unused").collect()
     }
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_distribution_drift_matches_oracle(spark, sf_dir):
+    """Driver-twin differential for quality_distribution_drift (oracle
+    held out of the round-5 driver dict — window full; see the ORACLES
+    comment in operators/quality.py)."""
+    from data_engineering_zoomcamp_projects_spark.operators.quality import (
+        DRIFT_SQL,
+        quality_distribution_drift,
+    )
+
+    from .oracle import compare, run_oracle
+
+    df = quality_distribution_drift(spark, sf_dir)
+    pdf = run_oracle(DRIFT_SQL, sf_dir)
+    problems = compare(df, pdf, "quality_distribution_drift")
+    assert not problems, "\n".join(problems)
+    # sanity: TVD is a distance in [0, 1]
+    for r in df.collect():
+        assert 0.0 <= r["tvd"] <= 1.0
