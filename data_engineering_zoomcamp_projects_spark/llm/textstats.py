@@ -482,8 +482,49 @@ FROM (
 """
 
 
+#: GPT-2-style pretokenizer classes (lowercase corpus): letter runs,
+#: digit runs, non-alnum-non-space runs
+PRETOK_LETTERS = "[a-z]+"
+PRETOK_DIGITS = "[0-9]+"
+PRETOK_OTHER = "[^a-z0-9 ]+"
+
+
+def text_pretokenize_bpe_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex pretokenization counts — the first stage of
+    every GPT-class tokenizer (split into letter runs / digit runs /
+    symbol runs BEFORE byte-pair merging; the merge table is model
+    state applied downstream). Per document: counts per pretoken class
+    and the total, the budget-planning numbers a tokenizer-aware
+    pipeline wants next to the whitespace and chars/4 estimates of
+    text_token_counting. Pure regexp_count — JVM-side, one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    n_let = F.regexp_count(F.col("text"), F.lit(PRETOK_LETTERS))
+    n_dig = F.regexp_count(F.col("text"), F.lit(PRETOK_DIGITS))
+    n_oth = F.regexp_count(F.col("text"), F.lit(PRETOK_OTHER))
+    return d.select(
+        "doc_id",
+        n_let.alias("n_letter_runs"),
+        n_dig.alias("n_digit_runs"),
+        n_oth.alias("n_symbol_runs"),
+        (n_let + n_dig + n_oth).alias("n_pretokens"),
+    )
+
+
+PRETOK_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PRETOK_LETTERS}')) AS n_letter_runs,
+       len(regexp_extract_all(text, '{PRETOK_DIGITS}')) AS n_digit_runs,
+       len(regexp_extract_all(text, '{PRETOK_OTHER}')) AS n_symbol_runs,
+       len(regexp_extract_all(text, '{PRETOK_LETTERS}'))
+       + len(regexp_extract_all(text, '{PRETOK_DIGITS}'))
+       + len(regexp_extract_all(text, '{PRETOK_OTHER}')) AS n_pretokens
+FROM documents
+"""
+
+
 QUERIES = {
     "text_quality_scores": text_quality_scores,
+    "text_pretokenize_bpe_style": text_pretokenize_bpe_style,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_collocations": text_collocations,
     "text_normalize_unicode": text_normalize_unicode,
@@ -498,6 +539,9 @@ ORACLES = {
     "text_quality_scores": TEXT_QUALITY_SQL,
     "text_collocations": TEXT_COLLOC_SQL,
     "text_heavy_hitters_cms": TEXT_CMS_SQL,
+    # text_pretokenize_bpe_style: PRETOK_SQL written + pinned by
+    # tests/test_llm.py::test_pretokenize_matches_oracle; held out of
+    # the driver dict (round-5 window full) — PROMOTE IN ROUND 6
     "text_normalize_unicode": TEXT_NORMALIZE_SQL,
     "text_token_counting": TEXT_TOKEN_COUNT_SQL,
     "text_langid_profile": TEXT_LANGID_SQL,

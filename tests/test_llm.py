@@ -310,3 +310,19 @@ def test_audio_windows_matches_oracle(spark, sf_dir):
     pdf = run_oracle(AUDIO_WINDOWS_SQL, sf_dir)
     problems = compare(df, pdf, "multimodal_audio_windows")
     assert not problems, "\n".join(problems)
+
+
+def test_pretokenize_matches_oracle(spark, sf_dir):
+    """Driver-twin differential for text_pretokenize_bpe_style (oracle
+    held out of the round-5 driver dict — window full)."""
+    from data_engineering_zoomcamp_projects_spark.llm.textstats import (
+        PRETOK_SQL,
+        text_pretokenize_bpe_style,
+    )
+
+    from .oracle import compare, run_oracle
+
+    df = text_pretokenize_bpe_style(spark, sf_dir)
+    pdf = run_oracle(PRETOK_SQL, sf_dir)
+    problems = compare(df, pdf, "text_pretokenize_bpe_style")
+    assert not problems, "\n".join(problems)
