@@ -564,3 +564,99 @@ FROM feats CROSS JOIN w{LOGREG_ITERS}
 
 QUERIES["ml_logreg_gd"] = ml_logreg_gd
 ORACLES["ml_logreg_gd"] = _logreg_sql()
+
+
+# ---------------------------------------------------------------------------
+# PCA over the embedding corpus: distributed covariance, driver eigh
+
+
+def _embedding_covariance(spark: SparkSession, sf_dir: str):
+    """Distributed covariance of the (64-dim) embedding corpus: each
+    row contributes its flattened outer product x x^T through ONE
+    explode + position-grain groupBy of exact decimal sums (4096
+    positions — partial+final aggregable like any sum; at 100 TB the
+    shuffle carries 4096 x shards partials, never rows). Returns
+    (mean, cov, n) as numpy — driver-side MODEL STATE bounded by d^2,
+    never by the corpus (the IVF-codebook discipline)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    d = 64
+    outer = F.flatten(
+        F.transform(v, lambda xi: F.transform(v, lambda xj: xi * xj))
+    )
+    sums = (
+        e.select(F.posexplode(outer).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("val").cast(DEC)).alias("s"))
+        .collect()
+    )
+    means = (
+        e.select(F.posexplode(v).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("val").cast(DEC)).alias("s"))
+        .collect()
+    )
+    n = e.count()
+    sx = np.zeros(d)
+    for r in means:
+        sx[r["pos"]] = float(r["s"])
+    sxx = np.zeros((d, d))
+    for r in sums:
+        sxx[r["pos"] // d, r["pos"] % d] = float(r["s"])
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    return mean, cov, n
+
+
+PCA_COMPONENTS = 2
+
+
+def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction over the embedding corpus — the
+    missing piece between quantization and ANN in the vector toolkit
+    (visualization, whitening, cheap pre-ANN reduction). Covariance is
+    computed distributed (see _embedding_covariance); the 64x64 eigh
+    runs driver-side on model-state-sized input and the top-k
+    components broadcast back as literals; projection is a map-side
+    higher-order dot product per component. Scores are rounded for
+    stability; component sign is fixed (largest-|loading| coordinate
+    made positive) so the output is deterministic — eigenvectors are
+    only defined up to sign.
+
+    No SQL oracle (eigendecomposition is not SQL-expressible): driver
+    records rows-only; tests/test_ml-side pins variance ordering,
+    numpy-projection equality, and reconstruction-error bounds."""
+    import numpy as np
+
+    mean, cov, _ = _embedding_covariance(spark, sf_dir)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:PCA_COMPONENTS]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        j = int(np.argmax(np.abs(c)))
+        comps.append(c if c[j] >= 0 else -c)
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    cols = [F.col("vec_id"), F.col("label")]
+    for k, c in enumerate(comps):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        marr = F.array(*[F.lit(float(x)) for x in mean])
+        centered_dot = F.aggregate(
+            F.zip_with(
+                F.zip_with(v, marr, lambda x, m: x - m),
+                carr,
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        cols.append(F.round(centered_dot, 6).alias(f"pc{k + 1}"))
+    return e.select(*cols)
+
+
+QUERIES["ml_pca_embeddings"] = ml_pca_embeddings
+# no ORACLES entry: eigendecomposition is not SQL-expressible (driver
+# records rows-only; pytest pins the numpy twin exactly)

@@ -326,3 +326,43 @@ def test_pretokenize_matches_oracle(spark, sf_dir):
     pdf = run_oracle(PRETOK_SQL, sf_dir)
     problems = compare(df, pdf, "text_pretokenize_bpe_style")
     assert not problems, "\n".join(problems)
+
+
+def test_pca_matches_numpy_and_orders_variance(spark, sf_dir):
+    """ml_pca_embeddings equals a pure-numpy PCA on the same vectors
+    (projection values to rounding scale), pc1 captures at least as
+    much variance as pc2, and projections are deterministic across
+    invocations (sign-fixing works)."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.ml import ml_pca_embeddings
+
+    got = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in ml_pca_embeddings(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([list(r["embedding"]) for r in rows], dtype=float)
+    mean = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        j = int(np.argmax(np.abs(c)))
+        comps.append(c if c[j] >= 0 else -c)
+    proj = (X - mean) @ np.array(comps).T
+    for i, vid in enumerate(ids):
+        assert abs(got[vid][0] - proj[i, 0]) < 1e-4, vid
+        assert abs(got[vid][1] - proj[i, 1]) < 1e-4, vid
+    # variance ordering
+    p1 = np.array([got[v][0] for v in ids])
+    p2 = np.array([got[v][1] for v in ids])
+    assert p1.var() >= p2.var() - 1e-9
+    # determinism across invocations
+    again = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in ml_pca_embeddings(spark, sf_dir).collect()}
+    assert again == got
