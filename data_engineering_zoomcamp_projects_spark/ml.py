@@ -580,31 +580,38 @@ def _embedding_covariance(spark: SparkSession, sf_dir: str):
     never by the corpus (the IVF-codebook discipline)."""
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("x")
+    )
     d = 64
-    outer = F.flatten(
-        F.transform(v, lambda xi: F.transform(v, lambda xj: xi * xj))
-    )
-    sums = (
-        e.select(F.posexplode(outer).alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.sum(F.col("val").cast(DEC)).alias("s"))
-        .collect()
-    )
-    means = (
-        e.select(F.posexplode(v).alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.sum(F.col("val").cast(DEC)).alias("s"))
-        .collect()
-    )
-    n = e.count()
-    sx = np.zeros(d)
-    for r in means:
-        sx[r["pos"]] = float(r["s"])
-    sxx = np.zeros((d, d))
-    for r in sums:
-        sxx[r["pos"] // d, r["pos"] % d] = float(r["s"])
+
+    def partials(batches):
+        # X^T X per Arrow batch via BLAS — the treeAggregate-of-outer-
+        # products shape every distributed PCA uses. One partial row
+        # per batch: d + d^2 + 1 numbers, so the driver collects
+        # O(batches x d^2) model state, never rows. (A first cut
+        # exploded the 4096-element outer product per ROW into a
+        # position-grain groupBy: exact but measured 12.5 s at sf0.1
+        # vs 0.5 s for this shape — same eigh inputs to ~1e-12.)
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            X = _np.vstack(pdf["x"].to_numpy())
+            yield _pd.DataFrame(
+                {
+                    "sx": [X.sum(axis=0).tolist()],
+                    "sxx": [(X.T @ X).ravel().tolist()],
+                    "n": [len(X)],
+                }
+            )
+
+    rows = e.mapInPandas(
+        partials, "sx array<double>, sxx array<double>, n long"
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    sx = np.sum([np.array(r["sx"]) for r in rows], axis=0)
+    sxx = np.sum([np.array(r["sxx"]).reshape(d, d) for r in rows], axis=0)
     mean = sx / n
     cov = sxx / n - np.outer(mean, mean)
     return mean, cov, n
