@@ -222,6 +222,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: single-entry memo for the near-dup pair frame (the bounded-memo
+#: discipline of similarity._CODEBOOK_MEMO: cleared on every miss so at
+#: most one checkpointed frame is retained, and a changed session or
+#: sf_dir always rebuilds; in-place parquet regeneration within ONE
+#: application would serve stale pairs — the bench/driver regenerate
+#: between applications)
+_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized, MATERIALIZED near-dup pair frame
+    (doc_a, doc_b, jaccard) — shared infrastructure for everything
+    downstream of the pair computation (graph analytics, clustering,
+    census, reachability). Each of those operators used to re-execute
+    the full LSH pipeline per query (~17-19 s each at sf1); the pairs
+    are model-state-sized (bounded by near-dup density, not the
+    corpus), so one eager localCheckpoint per (session, sf_dir) pays
+    the pipeline once. `dedup_minhash_lsh` itself keeps its
+    un-memoized plan — it IS the certified pair computation."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PAIRS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    _PAIRS_MEMO.clear()
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    _PAIRS_MEMO[key] = pairs
+    return pairs
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming distance <= 3 on 60-bit
     fingerprints, banded into 4 x 15-bit blocks for candidate
@@ -758,17 +787,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm.py::test_minhash_equals_exact_jaccard) and LSH is
     both the 100 TB path and ~30% cheaper at bench scale.
     """
-    # cache the (tiny) pair set: the symmetrizing union inside
-    # min_label_components consumes it twice, and exchange reuse does
-    # not always cover the LSH plan's join subtree
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # the memoized checkpointed pair frame: materialized once per
+    # (session, sf_dir) and shared with the whole graph family
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    out = min_label_components(spark, edges, docs)
-    # min_label_components materialized everything it needs (counts +
-    # eager checkpoints), so the cache can be released immediately
-    pairs.unpersist()
-    return out
+    return min_label_components(spark, edges, docs)
 
 
 DEDUP_COMPONENTS_SQL = f"""

@@ -50,9 +50,9 @@ def graph_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on the 1e12 lattice, so the DuckDB oracle's unrolled
     iterations hash-match bit-for-bit. Rank state is checkpointed
     lazily per round (iterative-plan hygiene)."""
-    from .dedup import dedup_minhash_lsh
+    from .dedup import near_dup_pairs
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     edges = (
@@ -94,7 +94,6 @@ def graph_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    pairs.unpersist()
     return pr.select("doc_id", F.col("pr").alias("pagerank_q")).orderBy("doc_id")
 
 
@@ -107,9 +106,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two shuffles past the pair path — per-vertex degree count,
     then the histogram groupBy over #vertices rows. The degree-0 row
     comes from a left join of the full vertex set, not a subtract."""
-    from .dedup import dedup_minhash_lsh
+    from .dedup import near_dup_pairs
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     ends = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
@@ -135,10 +134,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-join triangle enumeration — each triangle a<b<c is produced
     exactly once from (a,b)x(b,c) checked against (a,c); wedge count
     is bounded by the LSH candidate generation, never all-pairs."""
-    from .dedup import dedup_minhash_lsh
+    from .dedup import near_dup_pairs
 
     pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
+        near_dup_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
@@ -185,17 +184,13 @@ def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final SELECT collapses path multiplicity with a min-dist
     per-vertex aggregate. DuckDB runs the IDENTICAL recursive SQL over
     the exact-Jaccard pair CTE, so the whole recursion is hash-checked."""
-    from .dedup import dedup_minhash_lsh
+    from .dedup import near_dup_pairs
 
-    # materialize the pair list BEFORE the recursion: each unrolled
-    # recursion level scans `edges`, and an un-materialized view would
-    # re-execute the whole LSH pipeline per level (measured 15 s ->
-    # ~4 s at sf0.1 from this one barrier)
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    # the memoized pair frame is already an eager localCheckpoint, so
+    # each unrolled recursion level scans materialized rows (an
+    # un-materialized view re-executed the whole LSH pipeline per
+    # level — measured 15 s -> ~4 s at sf0.1 from this barrier)
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     pairs.createOrReplaceTempView("near_pairs_rcte")
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(f"""
