@@ -366,3 +366,25 @@ def test_pca_matches_numpy_and_orders_variance(spark, sf_dir):
     # determinism across invocations
     again = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in ml_pca_embeddings(spark, sf_dir).collect()}
     assert again == got
+
+
+def test_near_dup_pairs_memo_discipline(spark, sf_dir):
+    """The shared pair frame is memoized per (session, sf_dir), serves
+    the SAME materialized frame on hits, and evicts (single-entry) on
+    an sf_dir change — the bounded-memo discipline the IVF codebook
+    memo established (a keyed-forever dict would pin frames of stopped
+    sessions / regenerated dirs)."""
+    from data_engineering_zoomcamp_projects_spark.llm import dedup
+
+    dedup._PAIRS_MEMO.clear()
+    a = dedup.near_dup_pairs(spark, sf_dir)
+    b = dedup.near_dup_pairs(spark, sf_dir)
+    assert a is b
+    assert len(dedup._PAIRS_MEMO) == 1
+    other = "/root/testdata/sf0.001"
+    if other != sf_dir:
+        c = dedup.near_dup_pairs(spark, other)
+        assert c is not a
+        assert len(dedup._PAIRS_MEMO) == 1  # single-entry: old key evicted
+        assert next(iter(dedup._PAIRS_MEMO))[1] == other
+    dedup._PAIRS_MEMO.clear()
