@@ -309,7 +309,44 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 """
 
 
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted sampling: each document's keep probability is
+    proportional to its length (w = n_chars / max_chars) — the
+    length-weighted document sampling a token-budgeted corpus draw
+    uses (long docs carry more tokens, so uniform-by-doc sampling
+    underweights them).
+
+    Membership is EXACT integer arithmetic end to end: the md5 uniform
+    reduced mod 1e6 is compared by cross-multiplication
+    (u6 * max_chars < n_chars * 1e6), so no float rate ever exists and
+    the oracle replicates membership bit-for-bit. Map-side except the
+    one-row broadcast corpus max; layout-invariant like every sampler
+    in this family."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("max_chars"))
+    u6 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .filter(u6 * F.col("max_chars") < F.col("n_chars") * 1000000)
+        .select("doc_id", "lang", "n_chars", "max_chars")
+    )
+
+
+SAMPLE_WEIGHTED_SQL = """
+WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+SELECT doc_id, lang, n_chars, max_chars
+FROM documents, mx
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       % 1000000) * max_chars < n_chars * 1000000
+"""
+
+
 QUERIES = {
+    "sample_importance_weighted": sample_importance_weighted,
     "agg_collect_sets": agg_collect_sets,
     "agg_percentiles": agg_percentiles,
     "agg_percentile_approx": agg_percentile_approx,
@@ -321,6 +358,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    # sample_importance_weighted: SAMPLE_WEIGHTED_SQL written + pinned
+    # by tests/test_extras.py::test_importance_weighted_matches_oracle;
+    # held out of the driver dict (round-5 window full) — PROMOTE IN
+    # ROUND 6 with the other three held oracles
     "agg_collect_sets": AGG_COLLECT_SQL,
     "agg_percentiles": AGG_PERCENTILES_SQL,
     # round-5 upgrade: deterministic histogram sketch, fully checked

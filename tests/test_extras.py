@@ -250,3 +250,33 @@ def test_udtf_matches_native_posexplode(spark, sf_dir):
     assert sorted(map(tuple, via_udtf.collect())) == sorted(
         map(tuple, via_native.collect())
     )
+
+
+def test_importance_weighted_matches_oracle(spark, sf_dir):
+    """Driver-twin differential for sample_importance_weighted (oracle
+    held out of the round-5 driver dict — window full), plus the
+    monotonicity property: kept fraction rises with document length."""
+    from data_engineering_zoomcamp_projects_spark.operators.extras import (
+        SAMPLE_WEIGHTED_SQL,
+        sample_importance_weighted,
+    )
+
+    from .oracle import compare, run_oracle
+
+    df = sample_importance_weighted(spark, sf_dir)
+    pdf = run_oracle(SAMPLE_WEIGHTED_SQL, sf_dir)
+    problems = compare(df, pdf, "sample_importance_weighted")
+    assert not problems, "\n".join(problems)
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    med = d.approxQuantile("n_chars", [0.5], 0.01)[0]
+    kept = df
+    short_total = d.filter(F.col("n_chars") < med).count()
+    long_total = d.filter(F.col("n_chars") >= med).count()
+    short_kept = kept.filter(F.col("n_chars") < med).count()
+    long_kept = kept.filter(F.col("n_chars") >= med).count()
+    assert long_kept / long_total > short_kept / max(short_total, 1)

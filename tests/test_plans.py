@@ -254,6 +254,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # text_collocations: the one-row broadcast (N, B) totals frame
         # crossed onto the vocab-sized candidate-pair frame
         "text_collocations",
+        # sample_importance_weighted: the one-row broadcast corpus-max
+        # frame crossed onto the scan (membership itself is map-side)
+        "sample_importance_weighted",
     }
     # iterative queries execute during construction (convergence loop /
     # Lloyd rounds) and their rendered plan embeds cached/checkpointed
