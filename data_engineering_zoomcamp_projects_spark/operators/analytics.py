@@ -174,6 +174,81 @@ def _funnel_fold_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rolling-distinct window length (days, inclusive of current)
+ROLLING_DAYS = 7
+#: HLL tolerance for the certified invariant (lgConfigK default 12 ->
+#: ~2.5% rsd; 5% is a comfortable certified bound)
+ROLLING_HLL_TOL = 0.05
+
+
+def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users via MERGEABLE Apache DataSketches
+    HLL: one sketch per day (map-side partials), then a bounded 7-day
+    spine self-join unions the daily sketches per window — the property
+    that makes sliding distinct counts tractable at 100 TB, where the
+    exact form re-scans a week of raw events per day. Certification
+    follows the agg_approx_count_distinct playbook: emit the EXACT
+    rolling distinct plus a within-tolerance boolean; sketch bytes are
+    engine-specific and never cross the comparator.
+
+    Scale: the expensive pass is one day-grain sketch aggregation over
+    the events scan; the union stage joins |days| x 7 sketch rows —
+    metadata grain. The exact twin (needed only for certification)
+    pays the week-re-scan; production runs the sketch branch alone."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    # expand-by-offsets (the join_range_trailing_shipments pattern):
+    # each day contributes to the <= 7 window days [day, day+6], so one
+    # explode turns the range condition into EQUI joins/groupBys — a
+    # range-predicate formulation planned as BroadcastNestedLoop
+    # against the day spine (|events| x |days| predicate tests)
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1))).alias("i")
+    spine = ev.select("day").distinct().select(F.col("day").alias("w_day"))
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    approx = (
+        daily.select("day", "sk", offsets)
+        .select(F.date_add("day", F.col("i")).alias("w_day"), "sk")
+        .join(spine, "w_day")  # windows ending past the data edge drop
+        .groupBy("w_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+    )
+    exact = (
+        ev.select("day", "user_id", offsets)
+        .select(F.date_add("day", F.col("i")).alias("w_day"), "user_id")
+        .join(spine, "w_day")
+        .groupBy("w_day")
+        .agg(F.countDistinct("user_id").alias("exact_rolling_users"))
+    )
+    return (
+        exact.join(approx, "w_day")
+        .select(
+            F.date_format("w_day", "yyyy-MM-dd").alias("day"),
+            "exact_rolling_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_rolling_users"))
+                <= ROLLING_HLL_TOL * F.col("exact_rolling_users")
+            ).alias("hll_within_tol"),
+        )
+        .orderBy("day")
+    )
+
+
+ROLLING_DISTINCT_SQL = f"""
+WITH ex AS (
+  SELECT CAST(ts AS DATE) + INTERVAL (i) DAY AS w_day, user_id
+  FROM events, (SELECT unnest(generate_series(0, {ROLLING_DAYS - 1})) AS i) g
+), days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS w_day FROM events
+)
+SELECT strftime(ex.w_day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS exact_rolling_users,
+       TRUE AS hll_within_tol
+FROM ex JOIN days ON ex.w_day = days.w_day
+GROUP BY ex.w_day ORDER BY day
+"""
+
+
 #: timeline export cap: first N events per user (bounded output rows)
 TIMELINE_MAX_EVENTS = 20
 
@@ -810,6 +885,7 @@ QUERIES = {
     "events_funnel_stages": events_funnel_stages,
     "events_funnel_windowed": events_funnel_windowed,
     "events_user_timeline": events_user_timeline,
+    "events_rolling_distinct_hll": events_rolling_distinct_hll,
     "events_user_rfm": events_user_rfm,
     "events_daily_actives": events_daily_actives,
     "events_sessionize": events_sessionize,
@@ -823,6 +899,10 @@ ORACLES = {
     "events_funnel_stages": FUNNEL_SQL,
     "events_funnel_windowed": FUNNEL_WINDOWED_SQL,
     "events_user_timeline": TIMELINE_SQL,
+    # events_rolling_distinct_hll: ROLLING_DISTINCT_SQL written +
+    # pinned by tests/test_analytics_ops.py::test_rolling_distinct_hll
+    # (driver-twin compare, both SFs); held out of the driver dict
+    # (round-5 window full) — PROMOTE IN ROUND 6 (fifth in the queue)
     "events_user_rfm": RFM_SQL,
     "events_daily_actives": DAILY_ACTIVES_SQL,
     "events_sessionize": SESSIONIZE_SQL,

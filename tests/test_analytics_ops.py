@@ -60,3 +60,21 @@ def test_funnel_handles_pathological_user(spark):
         1_800_000,
     )
     assert out[2]["t_s"] == 42 and out[2]["t_v"] is None
+
+
+def test_rolling_distinct_hll(spark, sf_dir):
+    """Driver-twin differential for events_rolling_distinct_hll (oracle
+    held out of the round-5 driver dict — window full): the mergeable
+    daily-sketch union estimates the exact rolling distinct within the
+    certified 5% tolerance on every window day."""
+    from data_engineering_zoomcamp_projects_spark.operators.analytics import (
+        ROLLING_DISTINCT_SQL,
+        events_rolling_distinct_hll,
+    )
+
+    from .oracle import compare, run_oracle
+
+    df = events_rolling_distinct_hll(spark, sf_dir)
+    pdf = run_oracle(ROLLING_DISTINCT_SQL, sf_dir)
+    problems = compare(df, pdf, "events_rolling_distinct_hll")
+    assert not problems, "\n".join(problems)
