@@ -260,14 +260,9 @@ FROM documents, (SELECT unnest(generate_series(0, 3)) AS k) f
 
 ORACLES = {
     "multimodal_binary_features": BINARY_FEATURES_SQL,
-    # multimodal_audio_windows: AUDIO_WINDOWS_SQL is fully written and
-    # pinned by tests/test_llm.py::test_audio_windows_matches_oracle
-    # (the exact driver-twin compare, both SFs) — but held OUT of the
-    # driver dict this round because the 50-slot certification window
-    # is already filled by never-certified entries
-    # (tests/test_certification.py would flag an oracle-backed name
-    # with no reachable slot). PROMOTE IN ROUND 6 alongside the
-    # rotation-debt names in registry._FRONT.
+    # promoted round 6 (held out of the full round-5 window; pinned by
+    # tests/test_llm.py::test_audio_windows_matches_oracle at both SFs)
+    "multimodal_audio_windows": AUDIO_WINDOWS_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "multimodal_join_docs_embeddings": MULTIMODAL_JOIN_SQL,
 }

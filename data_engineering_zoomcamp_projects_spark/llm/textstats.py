@@ -539,9 +539,9 @@ ORACLES = {
     "text_quality_scores": TEXT_QUALITY_SQL,
     "text_collocations": TEXT_COLLOC_SQL,
     "text_heavy_hitters_cms": TEXT_CMS_SQL,
-    # text_pretokenize_bpe_style: PRETOK_SQL written + pinned by
-    # tests/test_llm.py::test_pretokenize_matches_oracle; held out of
-    # the driver dict (round-5 window full) — PROMOTE IN ROUND 6
+    # promoted round 6 (held out of the full round-5 window; pinned by
+    # tests/test_llm.py::test_pretokenize_matches_oracle at both SFs)
+    "text_pretokenize_bpe_style": PRETOK_SQL,
     "text_normalize_unicode": TEXT_NORMALIZE_SQL,
     "text_token_counting": TEXT_TOKEN_COUNT_SQL,
     "text_langid_profile": TEXT_LANGID_SQL,

@@ -899,10 +899,9 @@ ORACLES = {
     "events_funnel_stages": FUNNEL_SQL,
     "events_funnel_windowed": FUNNEL_WINDOWED_SQL,
     "events_user_timeline": TIMELINE_SQL,
-    # events_rolling_distinct_hll: ROLLING_DISTINCT_SQL written +
-    # pinned by tests/test_analytics_ops.py::test_rolling_distinct_hll
-    # (driver-twin compare, both SFs); held out of the driver dict
-    # (round-5 window full) — PROMOTE IN ROUND 6 (fifth in the queue)
+    # promoted round 6 (held out of the full round-5 window; pinned by
+    # tests/test_analytics_ops.py::test_rolling_distinct_hll)
+    "events_rolling_distinct_hll": ROLLING_DISTINCT_SQL,
     "events_user_rfm": RFM_SQL,
     "events_daily_actives": DAILY_ACTIVES_SQL,
     "events_sessionize": SESSIONIZE_SQL,

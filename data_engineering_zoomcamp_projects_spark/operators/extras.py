@@ -358,10 +358,9 @@ QUERIES = {
 }
 
 ORACLES = {
-    # sample_importance_weighted: SAMPLE_WEIGHTED_SQL written + pinned
-    # by tests/test_extras.py::test_importance_weighted_matches_oracle;
-    # held out of the driver dict (round-5 window full) — PROMOTE IN
-    # ROUND 6 with the other three held oracles
+    # promoted round 6 (held out of the full round-5 window; pinned by
+    # tests/test_extras.py::test_importance_weighted_matches_oracle)
+    "sample_importance_weighted": SAMPLE_WEIGHTED_SQL,
     "agg_collect_sets": AGG_COLLECT_SQL,
     "agg_percentiles": AGG_PERCENTILES_SQL,
     # round-5 upgrade: deterministic histogram sketch, fully checked

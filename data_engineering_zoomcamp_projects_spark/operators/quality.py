@@ -393,11 +393,9 @@ QUERIES = {
 
 ORACLES = {
     "quality_constraint_checks": QUALITY_CONSTRAINTS_SQL,
-    # quality_distribution_drift: DRIFT_SQL is written and pinned by
-    # tests/test_quality.py::test_distribution_drift_matches_oracle
-    # (driver-twin compare, both SFs) — held OUT of the driver dict
-    # this round: the 50-slot certification window is full (see
-    # llm/multimodal.py for the same pattern). PROMOTE IN ROUND 6.
+    # promoted round 6 (held out of the full round-5 window; pinned by
+    # tests/test_quality.py::test_distribution_drift_matches_oracle)
+    "quality_distribution_drift": DRIFT_SQL,
     "quality_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "quality_referential_orphans": QUALITY_ORPHANS_SQL,
     "quality_daily_volume_anomaly": QUALITY_VOLUME_SQL,

@@ -20,9 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 #: rounds. tests/test_certification.py asserts no oracle-backed name
 #: can fall outside every round's window.
 _MODULES = [
-    # round-5 window bulk (after _FRONT): the r4-changed dedup/LSH
-    # modules' siblings, then the TPC-H family whose official rows are
-    # the oldest (r1–r3) for a fresh re-certification pass
+    # round-6 window bulk (after _FRONT): the dedup/LSH family whose
+    # plans changed in r4–r6 comes first so its *siblings* also get a
+    # fresh pass, then the TPC-H family whose official rows are the
+    # oldest (r1–r3)
     "llm.dedup",
     "llm.similarity",
     "llm.curation",
@@ -56,85 +57,65 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # WINDOW TRIAGE (50 slots, ~55 claimants): never-certified entries
-    # outrank re-certification of changed-but-once-green plans, because
-    # an entry with no driver row EVER is invisible to the gate while a
-    # changed plan still has (i) a name-stable green row, (ii) pytest
-    # oracle parity at sf0.001 every run, and (iii) this session's
-    # repeated full driver-twin runs at sf0.01 (scripts in VERDICT
-    # workflow). Consequently the r4-changed dedup plans
-    # (dedup_minhash_lsh, dedup_cluster_components,
-    # pipeline_corpus_curation, dedup_shingle_jaccard) and the
-    # r5-changed events_funnel_stages yield their slots this round —
-    # FRONT-LOAD THEM IN ROUND 6 (all six changed-plan names,
-    # dedup_embedding_cosine included — every slot this round went to a
-    # never-certified entry, the strictly worse orphan class).
-    "events_user_timeline",
-    "events_funnel_windowed",
-    "mart_incremental_refresh",
-    "text_heavy_hitters_cms",
-    "prep_curriculum_order",
-    "quality_snapshot_diff",
-    # rows-only -> full oracle upgrades in round 5 (deterministic model
-    # state / engine-shared derivations let the oracle replicate them)
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "agg_percentile_approx",
-    "sample_fraction",
-    # new in round 5: the true readStream paths under the driver gate
-    "stream_live_tumbling_hourly",
-    "stream_live_session_30m",
-    "stream_live_join_purchase_views",
-    # new in round 5: distributed model training, fully oracle-checked
-    # (ml.py): closed-form OLS + fixed-point iterative k-means
-    "ml_linreg_normal_eq",
-    "ml_kmeans_embeddings",
-    "graph_pagerank_near_dups",
-    "dedup_incremental_batch",
-    # new in round 5: warehouse-shaping family (operators/warehouse.py)
-    "events_pivot_daily_types",
-    "part_unpivot_metrics",
-    "orders_scd2_priority",
-    "agg_median_mode_by_segment",
-    "events_attribution_first_last",
-    "profile_orders_columns",
-    "agg_exact_percentiles",
-    # new in round 5 (second half): data-quality suite, graph analytics
-    # widening, skew-salted join, time-series interpolation family
-    "quality_constraint_checks",
-    "quality_referential_orphans",
-    "quality_daily_volume_anomaly",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "join_salted_skew",
-    "timeseries_interpolate",
-    "timeseries_wow_change",
-    "prep_decontaminate_bloom",
-    "stream_live_sliding_15m",
-    "dedup_cluster_census",
-    "text_normalize_unicode",
-    "layout_zorder_buckets",
-    "ml_logreg_gd",
-    "stream_live_dedup_summary",
-    # new in round 5 (final stretch): exact-moment correlation, the
-    # HLL bounded-error invariant (rows-only -> full oracle), and
-    # temperature-based language rebalancing
-    "agg_corr_covar",
-    "agg_approx_count_distinct",
-    "prep_temperature_resample",
-    "join_asof_tolerance",
-    "window_nth_value",
-    "text_collocations",
-    "graph_reachability_recursive",
-    "fn_variant_suite",
-    "fn_sql_udf_suite",
-    "fn_try_suite",
-    "subq_lateral_topn",
-    # NOTE round-6 rotation debt (see WINDOW TRIAGE above):
-    # dedup_minhash_lsh, dedup_cluster_components,
-    # pipeline_corpus_curation, dedup_shingle_jaccard,
-    # events_funnel_stages, dedup_embedding_cosine — changed plans
-    # riding older green rows.
+    # WINDOW TRIAGE round 6 (50 slots): first the six plans whose shape
+    # changed in r4–r6 while their green driver rows predate the change
+    # (the round-5 verdict's #1 item — every other oracle-backed entry
+    # has a driver row over its CURRENT plan); dedup_embedding_cosine
+    # is additionally re-planned THIS round (corpus-adaptive banding).
+    "dedup_minhash_lsh",
+    "dedup_shingle_jaccard",
+    "dedup_cluster_components",
+    "pipeline_corpus_curation",
+    "dedup_embedding_cosine",
+    "events_funnel_stages",
+    # then the five round-5 held-outs, promoted into all_oracles() this
+    # round (oracles were already written + pytest-pinned at both SFs)
+    "multimodal_audio_windows",
+    "quality_distribution_drift",
+    "text_pretokenize_bpe_style",
+    "sample_importance_weighted",
+    "events_rolling_distinct_hll",
+    # remaining 39 slots: re-certification rotation, oldest official
+    # rows first (r1/r2 families untouched since — names stable)
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_fuzzy_names_symspell",
+    "sim_topk_bruteforce",
+    "text_tfidf_top_terms",
+    "text_token_counting",
+    "text_langid_profile",
+    "text_quality_scores",
+    "text_fingerprints",
+    "text_corpus_rollup",
+    "text_lexicon_score",
+    "text_redact_sensitive",
+    "text_repetition_scores",
+    "dedup_fuzzy_names",
+    "prep_decontaminate",
+    "prep_sequence_packing",
+    "prep_chunk_documents",
+    "prep_source_mixing",
+    "prep_train_test_split",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "events_cohort_retention",
+    "events_user_rfm",
+    "events_daily_actives",
+    "events_sessionize",
+    "timeseries_daily_gapfill",
+    "window_rank_functions",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_moving_average",
+    "join_asof_purchase_prior_view",
+    "join_range_trailing_shipments",
+    "agg_rollup_flag_status",
+    "agg_grouping_sets",
+    "setop_intersect",
+    "subq_exists_multi_order_days",
+    "fn_date_suite",
 ]
 
 
