@@ -115,10 +115,24 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deletion-neighborhood candidate join, lossless for ed<=2), pinned
     equal to this form by pytest and sharing this oracle. levenshtein
     is JVM-native on the Spark side and identical classic edit
-    distance on both engines."""
+    distance on both engines.
+
+    Guarded: refuses to build the quadratic plan above the oracle
+    scale (_FUZZY_GUARD_ROWS, covers sf<=0.1) so a full-registry sweep
+    at a big SF fails fast with a pointer to the symspell path instead
+    of hanging for 10+ minutes (round-5 sweep exclusion, now
+    mechanical)."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
+    n = c.count()  # bounded: one scalar, the same selector-count pattern
+    if n > _FUZZY_GUARD_ROWS:
+        raise ValueError(
+            f"dedup_fuzzy_names is the deliberately-quadratic small-SF "
+            f"oracle twin; {n} customers exceeds the {_FUZZY_GUARD_ROWS}-row "
+            f"guard — run dedup_fuzzy_names_symspell (same result set, "
+            f"deletion-neighborhood candidates) at this scale"
+        )
     # the block key alone has ~25 distinct values — a bare equi-join
     # leaves most cores idle. Salt SYMMETRICALLY: the left side gets a
     # deterministic salt, the right side is replicated once per salt
@@ -150,6 +164,12 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("edit_distance").cast("int").alias("edit_distance"),
         )
     )
+
+
+#: quadratic-twin execution guard: 20k rows admits every driver/bench
+#: SF (sf0.1 customer = 15k) and rejects sf1+ (150k), where the blocked
+#: quadratic ran >10 min in the round-5 sweep
+_FUZZY_GUARD_ROWS = 20_000
 
 
 FUZZY_NAMES_SQL = """

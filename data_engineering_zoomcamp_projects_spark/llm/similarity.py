@@ -59,7 +59,13 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. Fast and exact scores differ by ~1e-13 relative, so a true
     top-10 member could be excluded only if 20+ rivals sat within that
     sliver above it — far beyond the corpus's score spacing (and the
-    oracle gate would catch it)."""
+    oracle gate would catch it).
+
+    Deliberate quadratic-in-(queries x corpus) oracle baseline for the
+    ANN family (sim_topk_lsh / sim_topk_ivf are the scale paths): with
+    queries at 1% of vectors the cost grows ~n^2/100 — fine through
+    sf1 (the round-5 sweep), but pick the IVF entry when sweeping
+    bigger SFs."""
     from ..functions.vector import dot_dec, dot_double
 
     queries, corpus = _queries_and_corpus(spark, sf_dir)
