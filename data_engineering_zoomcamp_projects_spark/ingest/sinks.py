@@ -103,6 +103,31 @@ def write_sorted_layout(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed-table sink: hash-bucket rows by `key` into
+    `n_buckets` files (sorted within buckets when `sort_cols` is
+    given) via ``bucketBy().saveAsTable()``. Two tables bucketed on
+    the SAME key with the SAME bucket count join with ZERO shuffle on
+    either side — Catalyst proves the co-location from catalog
+    metadata (HashPartitioning(key, n) on both children satisfies the
+    join's distribution requirement), so a 100 TB fact-fact join that
+    would otherwise move both tables becomes a per-bucket local merge.
+    This is the pre-shuffle-once, join-many-times layout lever the
+    brief calls out; verified in tests by asserting the joined plan
+    contains no Exchange. Bucketing requires the session catalog
+    (path-only parquet has nowhere to record bucket metadata)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def overwrite_partitions_dynamic(
     df: DataFrame, path: str, partition_col: str
 ) -> None:
@@ -133,22 +158,40 @@ def compact_parquet(
     ceil(rows / target_rows_per_file) files via repartition, preserving
     values exactly; returns the new file count.
 
-    The rewrite stages through a sibling temp dir + atomic-ish rename
-    (read and overwrite of the SAME path in one plan is undefined —
-    Spark deletes the input mid-scan). At deploy this op runs per
-    partition directory under a metastore/Iceberg lock; Iceberg's
-    rewrite_data_files is the managed equivalent (jar-gated here, see
-    lakehouse.py)."""
+    The rewrite stages through a sibling temp dir (read and overwrite
+    of the SAME path in one plan is undefined — Spark deletes the input
+    mid-scan), then swaps via rename-aside: the live dir moves to
+    `path__old`, the rewrite moves into place, and only then is the old
+    copy deleted — so a crash at any point leaves a readable dataset at
+    either the published path or the `__old` sibling, never neither
+    (the old delete-then-move window left NO readable data and fed
+    concurrent readers FileNotFound). Local filesystem paths only: the
+    stdlib fs swap silently no-ops on object-store URIs, so those are
+    rejected up front — at deploy this op runs per partition directory
+    under a metastore/Iceberg lock, and Iceberg's rewrite_data_files is
+    the managed equivalent (jar-gated here, see lakehouse.py)."""
     import math
+    import os
     import shutil
 
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_parquet swaps directories with local fs calls; "
+            f"got non-local URI {path!r} — use Iceberg rewrite_data_files "
+            f"(lakehouse.py) for object-store tables"
+        )
+    local = path[len("file://"):] if path.startswith("file://") else path
     src = spark.read.parquet(path)
     n_rows = src.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    tmp = path.rstrip("/") + "__compact_tmp"
+    tmp = local.rstrip("/") + "__compact_tmp"
+    old = local.rstrip("/") + "__old"
     src.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a prior crashed swap
+    os.rename(local.rstrip("/"), old)
+    os.rename(tmp, local.rstrip("/"))
+    shutil.rmtree(old)
     return n_files
 
 

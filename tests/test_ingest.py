@@ -499,6 +499,53 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     after_files = [p for p in (tmp_path / "orders_fragmented").glob("*.parquet")]
     assert len(after_files) == 1
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+    # no leftover swap dirs, and object-store URIs are rejected up front
+    assert not (tmp_path / "orders_fragmented__old").exists()
+    assert not (tmp_path / "orders_fragmented__compact_tmp").exists()
+    import pytest
+
+    with pytest.raises(ValueError, match="non-local URI"):
+        compact_parquet(spark, "s3a://bucket/table")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """write_bucketed_table co-location claim: two tables bucketed on
+    the same key with the same bucket count must join with ZERO
+    Exchange in the physical plan (broadcast disabled so the join
+    cannot cheat around the distribution requirement) — the
+    pre-shuffle-once layout lever for 100 TB fact-fact joins."""
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.ingest.sinks import (
+        write_bucketed_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    write_bucketed_table(orders, "t_orders_bkt", "o_custkey", 8)
+    write_bucketed_table(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "t_cust_bkt", "o_custkey", 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_bkt").join(
+            spark.table("t_cust_bkt"), "o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        plain = orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"]
+        ).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_cust_bkt")
 
 
 def test_observe_metrics_ride_the_job(spark, sf_dir, tmp_path):
