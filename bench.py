@@ -72,6 +72,11 @@ HEADLINE = [
     "quality_constraint_checks",
     "graph_triangle_count",
     "prep_decontaminate_bloom",
+    # round-6 promotions: the two heaviest of the five newly-certified
+    # entries (sf1 factors 4.1 s / 5.4x in the round-5 sweep) — benched
+    # so their plans are tracked round-over-round
+    "events_rolling_distinct_hll",
+    "multimodal_audio_windows",
 ]
 
 

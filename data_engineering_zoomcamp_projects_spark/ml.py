@@ -571,13 +571,18 @@ ORACLES["ml_logreg_gd"] = _logreg_sql()
 
 
 def _embedding_covariance(spark: SparkSession, sf_dir: str):
-    """Distributed covariance of the (64-dim) embedding corpus: each
-    row contributes its flattened outer product x x^T through ONE
-    explode + position-grain groupBy of exact decimal sums (4096
-    positions — partial+final aggregable like any sum; at 100 TB the
-    shuffle carries 4096 x shards partials, never rows). Returns
-    (mean, cov, n) as numpy — driver-side MODEL STATE bounded by d^2,
-    never by the corpus (the IVF-codebook discipline)."""
+    """Distributed covariance of the (64-dim) embedding corpus: one
+    Arrow `mapInPandas` pass emits float BLAS partial sums (sum x,
+    X^T X, n) per batch — d + d^2 + 1 numbers each — and the driver
+    folds the partials (at 100 TB the collect carries
+    O(batches x d^2) model state, never rows; the IVF-codebook
+    discipline). Float partials mean the eigh inputs are reproducible
+    only up to partition layout (~1e-12 — the downstream projection
+    rounds at 1e-6, far above it), not bitwise order-independent; the
+    earlier exact-decimal explode + position-grain groupBy form had
+    that property but measured 12.5 s vs 0.5 s at sf0.1, and the entry
+    is rows-only-by-design either way. Returns (mean, cov, n) as
+    numpy."""
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings").select(
