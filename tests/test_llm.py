@@ -319,6 +319,25 @@ def test_fuzzy_names_guard_fires_above_oracle_scale(spark, sf_dir, monkeypatch):
         scrub.dedup_fuzzy_names(spark, sf_dir)
 
 
+def test_ngram_span_duplication_matches_oracle(spark, sf_dir):
+    """Driver-twin differential for dedup_ngram_span_duplication at
+    BOTH small SFs (oracle held out of the round-6 driver dict — window
+    full; promote in round 7). Also pins the structural invariants:
+    boilerplate spans are a subset of duplicated spans, and every
+    document appears exactly once."""
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = dedup.dedup_ngram_span_duplication(spark, d)
+        pdf = run_oracle(dedup.DEDUP_SPAN_SQL, d)
+        problems = compare(df, pdf, "dedup_ngram_span_duplication")
+        assert not problems, "\n".join(problems)
+        rows = df.collect()
+        assert all(r["n_boilerplate"] <= r["n_duplicated"] <= r["n_shingles"] for r in rows)
+        assert len({r["doc_id"] for r in rows}) == len(rows)
+        assert any(r["n_duplicated"] > 0 for r in rows)  # non-vacuous
+
+
 def test_pagerank_fixed_point_properties(spark, sf_dir):
     """Fixed-point PageRank invariants: deterministic across runs;
     isolated documents (no near-dup edges) sit exactly at the base
