@@ -77,6 +77,12 @@ HEADLINE = [
     # so their plans are tracked round-over-round
     "events_rolling_distinct_hll",
     "multimodal_audio_windows",
+    # round-8 promotions: the substring-dedup pair (span counting, long
+    # held out, + the new span-removal transform) — both linear
+    # no-pair-space plans whose cost is dominated by the positional
+    # shingle explode; tracked here from first certification
+    "dedup_ngram_span_duplication",
+    "dedup_span_removal",
 ]
 
 
@@ -118,19 +124,32 @@ def main() -> None:
         # max/median ratio: 1.0 = perfectly stable; >1.3 = noisy query
         spreads[name] = round(max(samples) / max(timings[name], 1e-9), 2)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "iters": iters,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "spread": spreads,
+            "iters": iters,
+            "sf": sf,
+        }
     )
+    # the driver stores only a bounded stdout tail in BENCH_r{N}.json,
+    # which has truncated the per-query medians two rounds running
+    # (r6/r7 verdicts) — persist the FULL line to a file as well so the
+    # complete artifact always survives. Overwritten per run; committed
+    # per round as the local record.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_local_latest.json"),
+            "w",
+        ) as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout is still the contract
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -1,13 +1,15 @@
 """Deduplication operators for LLM training-data pipelines
 (driver-contract extension; SURVEY.md §2 Part C LLM-data ops).
 
-Five strategies, each a first-class query:
+Seven strategies, each a first-class query:
 
 - exact          hash-groupBy on content (one shuffle on the hash key)
 - shingle-Jaccard  exact 5-gram set similarity via a shingle self-join
 - MinHash + LSH  banded signatures -> candidate pairs -> exact verify
 - SimHash        64-bit fingerprints, banded hamming-distance pairs
 - embedding      cosine near-dup with label blocking
+- span duplication  per-doc duplicated/boilerplate 8-gram span counts
+- span removal   cleaned text with duplicated spans excised (Lee et al.)
 
 Scale notes:
 - the shingle join's cost is sum over shingles of df(s)^2; 5-gram
@@ -29,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import shingles, sql_shingle_cte
+from ..functions.text import shingles, sql_shingle_cte, tokens
 from ..functions.vector import as_double_array, cosine, sql_cosine
 
 JACCARD_THRESHOLD = 0.8
@@ -862,6 +864,143 @@ GROUP BY sh.doc_id
 """
 
 
+#: span-REMOVAL document-frequency bar: a shingle occurring in >= 2
+#: documents is an exact duplicated span (Lee et al. semantics). The
+#: boilerplate bar (BOILERPLATE_DF=5) is deliberately NOT used here —
+#: no shingle reaches df>=5 at the oracle SFs, which would make the
+#: removal op vacuous; df>=2 is the paper's own excision rule.
+SPAN_REMOVAL_DF = 2
+
+#: shingle width shared by the span-duplication/-removal pair
+SPAN_N = 8
+
+
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL — the transform completion of
+    `dedup_ngram_span_duplication` (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": excise exact repeated
+    substrings, keep the rest of the document): emit each document's
+    cleaned text with every token covered by a duplicated 8-token span
+    (document frequency >= SPAN_REMOVAL_DF) removed, plus removal
+    accounting.
+
+    Plan shape is the same FULLY LINEAR no-pair-space pipeline as the
+    sibling, extended with token positions so spans can be excised, not
+    just counted:
+      1. positional shingles (doc_id, start, shingle) — one map-side
+         HOF transform + explode, no shuffle;
+      2. shingle document frequency via distinct(doc,s) -> partial-agg
+         groupBy(s), filtered to df >= bar BEFORE the join-back, so on
+         a mostly-unique 100 TB corpus the hot-shingle frame is bounded
+         by actual duplication and the probe discards the unique
+         majority (the `prep_decontaminate_bloom` runtime-filter
+         shape);
+      3. per-doc start-position sets (collect_set — bounded by that
+         doc's duplicated-span occurrences, never corpus-sized);
+      4. map-side excision: a token at position p is dropped iff some
+         start s in the set covers it (s <= p <= s+n-1), evaluated with
+         native EXISTS/FILTER/TRANSFORM HOFs — no Python, no second
+         shuffle.
+    Duplicated spans cost agg rows and per-doc set entries, never pair
+    joins, so template-heavy corpora degrade linearly.
+
+    Reference parity: the reference has no substring-dedup surface at
+    all (its ETL is whole-file pandas, citibike_project/etl/
+    ingest_data.py); this is driver-contract Part C LLM-data scope."""
+    n = SPAN_N
+    d = load_table(spark, sf_dir, "documents")
+    # one materialization barrier (the sibling's pattern): the token
+    # array and the positional-shingle array are each read by two
+    # consumers — compute the interpreted HOF transforms once
+    arr = d.select(
+        "doc_id",
+        tokens(F.col("text")).alias("ts"),
+    ).withColumn(
+        "psa",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("ts") - (n - 1), F.lit(1))),
+            lambda i: F.struct(
+                i.alias("i"), F.array_join(F.slice("ts", i, n), " ").alias("s")
+            ),
+        ),
+    ).localCheckpoint(eager=False)
+    ps = arr.select("doc_id", F.explode("psa").alias("x")).select(
+        "doc_id", F.col("x.i").alias("i"), F.col("x.s").alias("s")
+    )
+    hot = (
+        ps.select("doc_id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= SPAN_REMOVAL_DF)
+        .select("s")
+    )
+    starts = ps.join(hot, "s").groupBy("doc_id").agg(
+        F.collect_set("i").alias("starts")
+    )
+    return (
+        arr.join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce("starts", F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tokens"),
+            "ts",
+            F.filter(
+                F.sequence(F.lit(1), F.size("ts")),
+                lambda p: ~F.exists(
+                    "starts", lambda s: (p >= s) & (p <= s + F.lit(n - 1))
+                ),
+            ).alias("keep"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("keep")).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform("keep", lambda p: F.get("ts", p - F.lit(1))), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
+DEDUP_SPAN_REMOVAL_SQL = f"""
+WITH tok AS (SELECT doc_id, split(text, ' ') AS ts FROM documents),
+idx AS (
+  SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(ts)), 1) FROM tok))) AS i
+),
+psh AS (
+  SELECT doc_id, i, array_to_string(ts[i:i+{SPAN_N - 1}], ' ') AS s
+  FROM tok, idx
+  WHERE i <= greatest(len(ts) - {SPAN_N - 1}, 1)
+),
+hot AS (
+  SELECT s FROM (
+    SELECT s, COUNT(DISTINCT doc_id) AS df FROM psh GROUP BY s
+  ) WHERE df >= {SPAN_REMOVAL_DF}
+),
+starts AS (SELECT DISTINCT doc_id, i FROM psh JOIN hot USING (s)),
+pos AS (
+  SELECT doc_id, i AS p, ts[i] AS t
+  FROM tok, idx
+  WHERE i <= len(ts)
+),
+marked AS (
+  SELECT pos.doc_id, pos.p, pos.t,
+         EXISTS (SELECT 1 FROM starts st
+                 WHERE st.doc_id = pos.doc_id
+                   AND pos.p BETWEEN st.i AND st.i + {SPAN_N - 1}) AS removed
+  FROM pos
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT removed THEN t END, ' ' ORDER BY p), '')
+         AS clean_text
+FROM marked
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_shingle_jaccard": dedup_shingle_jaccard,
@@ -869,6 +1008,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_ngram_span_duplication": dedup_ngram_span_duplication,
+    "dedup_span_removal": dedup_span_removal,
 }
 
 ORACLES = {
@@ -878,11 +1018,10 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
-    # dedup_ngram_span_duplication: DEDUP_SPAN_SQL is written and
-    # pytest-pinned at both SFs (tests/test_llm.py) but held OUT of the
-    # driver dict — the round-6 window is full with the changed-plan
-    # re-certifications and the round-5 promotions. PROMOTE IN ROUND 7
-    # (the round-5 held-out discipline).
+    # promoted round 8 (held out since round 5 pending window space;
+    # pytest-pinned at both SFs the whole time, tests/test_llm.py)
+    "dedup_ngram_span_duplication": DEDUP_SPAN_SQL,
+    "dedup_span_removal": DEDUP_SPAN_REMOVAL_SQL,
 }
 
 

@@ -57,65 +57,71 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # WINDOW TRIAGE round 6 (50 slots): first the six plans whose shape
-    # changed in r4–r6 while their green driver rows predate the change
-    # (the round-5 verdict's #1 item — every other oracle-backed entry
-    # has a driver row over its CURRENT plan); dedup_embedding_cosine
-    # is additionally re-planned THIS round (corpus-adaptive banding).
-    "dedup_minhash_lsh",
-    "dedup_shingle_jaccard",
-    "dedup_cluster_components",
-    "pipeline_corpus_curation",
-    "dedup_embedding_cosine",
-    "events_funnel_stages",
-    # then the five round-5 held-outs, promoted into all_oracles() this
-    # round (oracles were already written + pytest-pinned at both SFs)
-    "multimodal_audio_windows",
-    "quality_distribution_drift",
-    "text_pretokenize_bpe_style",
-    "sample_importance_weighted",
-    "events_rolling_distinct_hll",
-    # remaining 39 slots: re-certification rotation, oldest official
-    # rows first (r1/r2 families untouched since — names stable)
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_fuzzy_names_symspell",
-    "sim_topk_bruteforce",
-    "text_tfidf_top_terms",
-    "text_token_counting",
-    "text_langid_profile",
-    "text_quality_scores",
-    "text_fingerprints",
-    "text_corpus_rollup",
-    "text_lexicon_score",
-    "text_redact_sensitive",
-    "text_repetition_scores",
-    "dedup_fuzzy_names",
-    "prep_decontaminate",
-    "prep_sequence_packing",
-    "prep_chunk_documents",
-    "prep_source_mixing",
-    "prep_train_test_split",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "events_cohort_retention",
-    "events_user_rfm",
-    "events_daily_actives",
-    "events_sessionize",
-    "timeseries_daily_gapfill",
-    "window_rank_functions",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_moving_average",
-    "join_asof_purchase_prior_view",
-    "join_range_trailing_shipments",
-    "agg_rollup_flag_status",
-    "agg_grouping_sets",
-    "setop_intersect",
-    "subq_exists_multi_order_days",
-    "fn_date_suite",
+    # WINDOW TRIAGE round 8 (50 slots). The round-7 window replayed the
+    # round-6 set verbatim (the rotation was never executed — r7 verdict
+    # item 2), so this rotation does two jobs at once:
+    #
+    # (a) 3 slots for entries with NO driver row of any kind:
+    #     the long-held-out span-duplication oracle (promoted into
+    #     ORACLES this round, llm/dedup.py), its new span-REMOVAL
+    #     sibling (r8 verdict item 6), and ml_pca_embeddings for its
+    #     first rows-only `no_oracle` row (r8 verdict item 7);
+    "dedup_ngram_span_duplication",
+    "dedup_span_removal",
+    "ml_pca_embeddings",
+    # (b) 47 re-certification slots: the oldest official rows across
+    #     CORRECTNESS_r01–r07, oldest round first (computed
+    #     mechanically: latest green row per name over all committed
+    #     artifacts). r1-era aggregates/scalars/setops, then the r2/r3
+    #     streaming batch-parity set, the r4-era subqueries/windows
+    #     re-runs, and the newest-but-unreplayed r5 promotions.
+    "agg_count_distinct",
+    "agg_cube_status_priority",
+    "agg_distinct_rows",
+    "agg_global_stats",
+    "agg_having_big_suppliers",
+    "agg_min_max_by",
+    "agg_monthly_orders",
+    "agg_pivot_status",
+    "agg_stats_dispersion",
+    "fn_array_suite",
+    "fn_bitwise_suite",
+    "fn_conditional_suite",
+    "fn_explode_tokens",
+    "fn_json_suite",
+    "fn_math_suite",
+    "fn_string_suite",
+    "setop_except",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "ml_customer_scores",
+    "stream_dedup_summary",
+    "stream_event_type_rates",
+    "stream_funnel_view_purchase",
+    "stream_session_30m",
+    "stream_sliding_15m",
+    "stream_tumbling_hourly",
+    "filter_predicate_suite",
+    "projection_expressions",
+    "subq_in_european_suppliers",
+    "subq_orders_above_customer_avg",
+    "subq_scalar_above_avg_price",
+    "topk_global",
+    "topk_per_group",
+    "window_first_last",
+    "window_range_frame",
+    "agg_approx_count_distinct",
+    "agg_corr_covar",
+    "fn_sql_udf_suite",
+    "fn_try_suite",
+    "fn_variant_suite",
+    "ml_kmeans_embeddings",
+    "ml_linreg_normal_eq",
+    "ml_logreg_gd",
+    "stream_live_dedup_summary",
+    "stream_live_join_purchase_views",
+    "stream_live_session_30m",
 ]
 
 

@@ -338,6 +338,28 @@ def test_ngram_span_duplication_matches_oracle(spark, sf_dir):
         assert any(r["n_duplicated"] > 0 for r in rows)  # non-vacuous
 
 
+def test_span_removal_matches_oracle(spark, sf_dir):
+    """Driver-twin differential for dedup_span_removal at BOTH small
+    SFs, plus structural invariants: token accounting is consistent
+    (0 <= n_removed <= n_tokens, clean_text token count equals
+    n_tokens - n_removed), every document appears exactly once, and
+    the excision is non-vacuous at oracle scale."""
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = dedup.dedup_span_removal(spark, d)
+        pdf = run_oracle(dedup.DEDUP_SPAN_REMOVAL_SQL, d)
+        problems = compare(df, pdf, "dedup_span_removal")
+        assert not problems, "\n".join(problems)
+        rows = df.collect()
+        assert len({r["doc_id"] for r in rows}) == len(rows)
+        for r in rows:
+            assert 0 <= r["n_removed"] <= r["n_tokens"]
+            kept = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
+            assert kept == r["n_tokens"] - r["n_removed"]
+        assert any(r["n_removed"] > 0 for r in rows)  # non-vacuous
+
+
 def test_pagerank_fixed_point_properties(spark, sf_dir):
     """Fixed-point PageRank invariants: deterministic across runs;
     isolated documents (no near-dup edges) sit exactly at the base
