@@ -30,13 +30,29 @@ def shingles(col: Column, n: int = 5) -> Column:
     pipelines have (exploded pair-join: 1.9s vs 1.37s shuffle-write,
     4.0s vs 2.9s end-to-end; identical row counts, plans, and exchange
     structure — the flip reproduces across sessions and orderings).
-    Don't re-attempt without profiling the shuffle-write path first."""
-    t = tokens(col)
-    return F.array_distinct(
+    Don't re-attempt without profiling the shuffle-write path first.
+
+    The token array is BOUND ONCE through a 1-element-array HOF wrapper
+    (transform(array(split(..)), ts -> ..)): referencing the raw split
+    expression inside the index lambda re-evaluates the split PER
+    SHINGLE INDEX (no common-subexpression elimination across the
+    lambda boundary), which made shingling O(len^2) splits per document
+    — measured 11.4 s vs 2.7 s for the bare sf1 shingle projection
+    (round 8); the wrapper keeps this a pure Column function so the
+    many call sites stay single-expression."""
+    return F.get(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        )
+            F.array(tokens(col)),
+            lambda ts: F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(ts) - (n - 1), F.lit(1))
+                    ),
+                    lambda i: F.array_join(F.slice(ts, i, n), " "),
+                )
+            ),
+        ),
+        F.lit(0),
     )
 
 

@@ -69,12 +69,33 @@ _FRONT = [
     "dedup_ngram_span_duplication",
     "dedup_span_removal",
     "ml_pca_embeddings",
-    # (b) 47 re-certification slots: the oldest official rows across
+    # (b) 13 changed-plan slots: round 8 rewrote functions/text.py
+    #     shingles() (token array bound once through a HOF wrapper —
+    #     2.3–3.5x at sf1), which changes the physical plan of every
+    #     transitive consumer; per the zero-stale-certification
+    #     discipline they all need fresh driver rows over the NEW plan
+    #     (span_duplication is already in group (a)):
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster_components",
+    "dedup_incremental_batch",
+    "dedup_cluster_census",
+    "graph_pagerank_near_dups",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "graph_reachability_recursive",
+    "pipeline_corpus_curation",
+    "prep_decontaminate",
+    "prep_decontaminate_bloom",
+    # (c) 34 re-certification slots: the oldest official rows across
     #     CORRECTNESS_r01–r07, oldest round first (computed
     #     mechanically: latest green row per name over all committed
     #     artifacts). r1-era aggregates/scalars/setops, then the r2/r3
-    #     streaming batch-parity set, the r4-era subqueries/windows
-    #     re-runs, and the newest-but-unreplayed r5 promotions.
+    #     streaming batch-parity set and most of the r4-era re-runs;
+    #     the 13 newest rotation candidates (r4 window_first_last/
+    #     window_range_frame and the r5 family) yielded their slots to
+    #     group (b) — all still green on their existing official rows.
     "agg_count_distinct",
     "agg_cube_status_priority",
     "agg_distinct_rows",
@@ -109,19 +130,6 @@ _FRONT = [
     "subq_scalar_above_avg_price",
     "topk_global",
     "topk_per_group",
-    "window_first_last",
-    "window_range_frame",
-    "agg_approx_count_distinct",
-    "agg_corr_covar",
-    "fn_sql_udf_suite",
-    "fn_try_suite",
-    "fn_variant_suite",
-    "ml_kmeans_embeddings",
-    "ml_linreg_normal_eq",
-    "ml_logreg_gd",
-    "stream_live_dedup_summary",
-    "stream_live_join_purchase_views",
-    "stream_live_session_30m",
 ]
 
 
