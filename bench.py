@@ -83,6 +83,10 @@ HEADLINE = [
     # shingle explode; tracked here from first certification
     "dedup_ngram_span_duplication",
     "dedup_span_removal",
+    # distributed BPE merge learning: corpus -> word-frequency table,
+    # then K vocab-sized argmax/fold rounds — tracked for the round
+    # loop's collect+checkpoint overhead
+    "text_bpe_learn_merges",
 ]
 
 

@@ -601,3 +601,161 @@ FROM documents
 
 QUERIES["text_lexicon_score"] = text_lexicon_score
 ORACLES["text_lexicon_score"] = TEXT_LEXICON_SQL
+
+
+#: number of BPE merge rounds learned by text_bpe_learn_merges; the
+#: oracle SQL unrolls the same number of stages, so keep them in sync
+#: through this constant
+BPE_MERGE_ROUNDS = 6
+
+
+def _bpe_merge_fold(a: str, b: str):
+    """Column expression: apply merge rule (a, b) -> a||b to a symbol
+    array by the standard BPE leftmost-greedy fold (re-scan semantics:
+    merging [x, a, b, ...] makes the NEW last symbol a||b eligible for
+    the next comparison — plain string replace over a joined form
+    cannot express this for immediately repeating pairs, which is why
+    both engines run an explicit fold)."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich et al., "Neural
+    Machine Translation of Rare Words with Subword Units"): learn the
+    first BPE_MERGE_ROUNDS merge rules over the corpus — per round,
+    the most frequent adjacent symbol pair (corpus-frequency weighted,
+    ties broken lexicographically) is merged everywhere and the next
+    round recounts. Returns (merge_rank, left_sym, right_sym, merged,
+    pair_count), the head of the merge table a tokenizer trainer
+    produces.
+
+    Scale design — the classic two-phase reduction:
+      1. corpus -> WORD FREQUENCY TABLE: one explode + partial-agg
+         groupBy(word). This is the only pass over the 100 TB corpus;
+         everything after operates on the vocabulary, which is bounded
+         by distinct words, not corpus size.
+      2. K merge rounds over the vocab frame: each is a map-side pair
+         explode (zip_with of the symbol array with its own tail) +
+         partial-agg groupBy(pair) + a ONE-ROW argmax collect (bounded
+         model state, the k-means-centroid pattern) + a map-side fold
+         applying the merge. An eager localCheckpoint per round keeps
+         the lineage flat (round k's plan would otherwise embed all
+         k-1 prior folds).
+    The per-word fold is O(len^2) array building but words are bounded
+    (whitespace tokens), so the round cost is vocab-linear.
+
+    Reference parity: the reference has no tokenizer surface; this is
+    driver-contract Part C LLM-data scope (the merge-table companion
+    to text_pretokenize_bpe_style's pretokenizer counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.substring("w", i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    out_rows = []
+    for rank in range(1, BPE_MERGE_ROUNDS + 1):
+        n_pairs = F.size("syms") - 1
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n_pairs),
+                    F.slice("syms", 2, n_pairs),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        out_rows.append((rank, a, b, a + b, cnt))
+        vocab = vocab.select(
+            "freq", _bpe_merge_fold(a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        out_rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB twin of text_bpe_learn_merges: stage k derives
+    pair counts p{k} from vocab v{k}, argmax t{k}, and v{k+1} via a
+    recursive-CTE fold identical to _bpe_merge_fold. Generated from
+    the same BPE_MERGE_ROUNDS constant so the two engines always
+    unroll the same depth."""
+    parts = [
+        """WITH RECURSIVE w0 AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT w, freq, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+  FROM w0
+)"""
+    ]
+    for k in range(rounds):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT a, b, SUM(freq) AS cnt FROM (
+    SELECT freq, syms[i] AS a, syms[i + 1] AS b
+    FROM v{k}, LATERAL unnest(range(1, len(syms))) AS u(i)
+  ) GROUP BY a, b
+),
+t{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+r{k} AS (
+  SELECT w, freq, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS out FROM v{k}
+  UNION ALL
+  SELECT w, freq, syms, pos + 1,
+    CASE WHEN len(out) > 0 AND out[-1] = (SELECT a FROM t{k})
+              AND syms[pos] = (SELECT b FROM t{k})
+         THEN list_append(out[1:len(out) - 1],
+                          (SELECT a FROM t{k}) || (SELECT b FROM t{k}))
+         ELSE list_append(out, syms[pos]) END
+  FROM r{k} WHERE pos <= len(syms)
+),
+v{k + 1} AS MATERIALIZED (SELECT w, freq, out AS syms FROM r{k} WHERE pos = len(syms) + 1)""")
+    selects = [
+        f"""SELECT {k + 1} AS merge_rank, a AS left_sym, b AS right_sym,
+       a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM t{k}"""
+        for k in range(rounds)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+TEXT_BPE_SQL = _bpe_oracle_sql(BPE_MERGE_ROUNDS)
+
+QUERIES["text_bpe_learn_merges"] = text_bpe_learn_merges
+ORACLES["text_bpe_learn_merges"] = TEXT_BPE_SQL

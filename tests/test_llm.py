@@ -360,6 +360,32 @@ def test_span_removal_matches_oracle(spark, sf_dir):
         assert any(r["n_removed"] > 0 for r in rows)  # non-vacuous
 
 
+def test_bpe_learn_merges_matches_oracle(spark, sf_dir):
+    """Driver-twin differential for text_bpe_learn_merges at BOTH small
+    SFs, plus the BPE invariants: exactly BPE_MERGE_ROUNDS ranked
+    rules, merged symbol is the concatenation of its parts, and pair
+    counts are non-increasing in rank (a later greedy argmax can never
+    exceed an earlier one: merging only removes occurrences of old
+    pairs, and any newly-created pair occurs at most once per merged
+    occurrence)."""
+    from .oracle import compare, run_oracle
+    from data_engineering_zoomcamp_projects_spark.llm import textstats
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = textstats.text_bpe_learn_merges(spark, d)
+        pdf = run_oracle(textstats.TEXT_BPE_SQL, d)
+        problems = compare(df, pdf, "text_bpe_learn_merges")
+        assert not problems, "\n".join(problems)
+        rows = sorted(df.collect(), key=lambda r: r["merge_rank"])
+        assert [r["merge_rank"] for r in rows] == list(
+            range(1, textstats.BPE_MERGE_ROUNDS + 1)
+        )
+        for r in rows:
+            assert r["merged"] == r["left_sym"] + r["right_sym"]
+        counts = [r["pair_count"] for r in rows]
+        assert counts == sorted(counts, reverse=True)
+
+
 def test_pagerank_fixed_point_properties(spark, sf_dir):
     """Fixed-point PageRank invariants: deterministic across runs;
     isolated documents (no near-dup edges) sit exactly at the base
