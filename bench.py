@@ -87,6 +87,9 @@ HEADLINE = [
     # then K vocab-sized argmax/fold rounds — tracked for the round
     # loop's collect+checkpoint overhead
     "text_bpe_learn_merges",
+    # corpus-LM perplexity scoring: corpus -> vocab-sized bigram model,
+    # micro-nat quantized log-probs, integer per-doc reduction
+    "text_lm_perplexity",
 ]
 
 

@@ -759,3 +759,131 @@ TEXT_BPE_SQL = _bpe_oracle_sql(BPE_MERGE_ROUNDS)
 
 QUERIES["text_bpe_learn_merges"] = text_bpe_learn_merges
 ORACLES["text_bpe_learn_merges"] = TEXT_BPE_SQL
+
+
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity quality filter (the CCNet / Gopher recipe:
+    score each document by a language model trained on a reference
+    corpus; outlier-perplexity docs are dropped before pretraining).
+    The model is an add-1/2-smoothed bigram LM trained on the corpus
+    itself: p(b|a) = (c(ab) + 0.5) / (c(a) + 0.5 * V). Returns
+    (doc_id, n_bigrams, cross_entropy, perplexity) for every document
+    with at least one bigram, where cross_entropy is the mean negative
+    natural log-probability of the document's bigrams and perplexity =
+    exp(cross_entropy).
+
+    Scale design: counts reduce corpus -> vocab-sized model tables
+    (bigram types + a window-partial context sum — no vocab-sized join,
+    one shuffle by left symbol); V is a one-row broadcast; -ln p is
+    computed once per bigram TYPE (O(vocab) transcendentals, not
+    O(corpus)) and immediately quantized to exact micro-nat longs, so
+    the per-document reduction is pure integer arithmetic with map-side
+    combine — the same two-phase corpus->vocab shape as
+    text_bpe_learn_merges.
+
+    Cross-engine parity: the only float crossing the oracle boundary
+    per bigram type is round(-ln p, 6) (the fn_math_suite precedent);
+    everything downstream of the micro-nat quantization is exact long /
+    decimal arithmetic on both engines.
+
+    Reference parity: no LM surface in the reference; driver-contract
+    Part C LLM-data scope (quality-scoring family)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    t = d.select("doc_id", toks.alias("ts"))
+    n_pairs = F.greatest(F.size("ts") - 1, F.lit(0))
+    doc_bg = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, n_pairs),
+                    F.slice("ts", 2, n_pairs),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", F.col("p.a").alias("a_key"), F.col("p.b").alias("b_key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    model = doc_bg.groupBy("a_key", "b_key").agg(F.sum("cnt").alias("c_ab"))
+    vocab = t.select(F.explode("ts").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    c_a = F.sum("c_ab").over(Window.partitionBy("a_key"))
+    p = (F.col("c_ab").cast("double") + F.lit(0.5)) / (
+        c_a.cast("double") + F.lit(0.5) * F.col("v").cast("double")
+    )
+    scored = model.crossJoin(F.broadcast(vocab)).select(
+        "a_key",
+        "b_key",
+        F.floor(F.round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("lp_u"),
+    )
+    per_doc = (
+        doc_bg.join(scored, ["a_key", "b_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lp_u")).alias("total_u"),
+        )
+    )
+    ce = (
+        F.round(
+            (
+                F.col("total_u").cast("double")
+                / (F.lit(1e6) * F.col("n_bigrams").cast("double"))
+            ).cast("decimal(38,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("cross_entropy")
+    )
+    out = per_doc.select("doc_id", "n_bigrams", ce)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "cross_entropy",
+        F.round(F.exp("cross_entropy"), 4).alias("perplexity"),
+    )
+
+
+TEXT_LM_PPL_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(split(text, ' '), x -> len(x) > 0) AS ts
+  FROM documents
+), doc_bg AS (
+  SELECT doc_id, ts[i] AS a, ts[i + 1] AS b, COUNT(*) AS cnt
+  FROM t, LATERAL unnest(range(1, len(ts))) AS u(i)
+  GROUP BY doc_id, a, b
+), model AS (
+  SELECT a, b, SUM(cnt) AS c_ab FROM doc_bg GROUP BY a, b
+), scored AS (
+  SELECT a, b,
+    CAST(FLOOR(ROUND(-ln((CAST(c_ab AS DOUBLE) + 0.5) /
+        (CAST(SUM(c_ab) OVER (PARTITION BY a) AS DOUBLE)
+         + 0.5 * (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE)
+                  FROM (SELECT unnest(ts) AS tok FROM t)))), 6)
+        * 1000000 + 0.5) AS BIGINT) AS lp_u
+  FROM model
+), per_doc AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+         CAST(SUM(d.cnt * s.lp_u) AS BIGINT) AS total_u
+  FROM doc_bg d JOIN scored s ON d.a = s.a AND d.b = s.b
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_bigrams, cross_entropy,
+       ROUND(exp(cross_entropy), 4) AS perplexity
+FROM (
+  SELECT doc_id, n_bigrams,
+    CAST(ROUND(CAST(CAST(total_u AS DOUBLE)
+        / (1000000.0 * CAST(n_bigrams AS DOUBLE)) AS DECIMAL(38,10)), 6)
+      AS DOUBLE) AS cross_entropy
+  FROM per_doc
+)
+"""
+
+QUERIES["text_lm_perplexity"] = text_lm_perplexity
+ORACLES["text_lm_perplexity"] = TEXT_LM_PPL_SQL

@@ -61,16 +61,18 @@ _FRONT = [
     # round-6 set verbatim (the rotation was never executed — r7 verdict
     # item 2), so this rotation does two jobs at once:
     #
-    # (a) 4 slots for entries with NO driver row of any kind:
+    # (a) 5 slots for entries with NO driver row of any kind:
     #     the long-held-out span-duplication oracle (promoted into
     #     ORACLES this round, llm/dedup.py), its new span-REMOVAL
     #     sibling (r8 verdict item 6), ml_pca_embeddings for its
     #     first rows-only `no_oracle` row (r8 verdict item 7), and the
-    #     new distributed BPE merge learner (llm/textstats.py);
+    #     two new llm/textstats ops: distributed BPE merge learning
+    #     and corpus-LM perplexity scoring;
     "dedup_ngram_span_duplication",
     "dedup_span_removal",
     "ml_pca_embeddings",
     "text_bpe_learn_merges",
+    "text_lm_perplexity",
     # (b) 13 changed-plan slots: round 8 rewrote functions/text.py
     #     shingles() (token array bound once through a HOF wrapper —
     #     2.3–3.5x at sf1), which changes the physical plan of every
@@ -90,7 +92,10 @@ _FRONT = [
     "pipeline_corpus_curation",
     "prep_decontaminate",
     "prep_decontaminate_bloom",
-    # (c) 33 re-certification slots: the oldest official rows across
+    #     + the round-8 symspell narrow-shuffle rewrite (names join
+    #     back onto deduped id pairs; 235 s -> 85 s at sf1):
+    "dedup_fuzzy_names_symspell",
+    # (c) 31 re-certification slots: the oldest official rows across
     #     CORRECTNESS_r01–r07, oldest round first (computed
     #     mechanically: latest green row per name over all committed
     #     artifacts). r1-era aggregates/scalars/setops, then the r2/r3
@@ -129,8 +134,6 @@ _FRONT = [
     "projection_expressions",
     "subq_in_european_suppliers",
     "subq_orders_above_customer_avg",
-    "subq_scalar_above_avg_price",
-    "topk_global",
 ]
 
 

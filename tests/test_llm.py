@@ -386,6 +386,30 @@ def test_bpe_learn_merges_matches_oracle(spark, sf_dir):
         assert counts == sorted(counts, reverse=True)
 
 
+def test_lm_perplexity_matches_oracle(spark, sf_dir):
+    """Driver-twin differential for text_lm_perplexity at BOTH small
+    SFs, plus LM invariants: every document with >= 2 tokens is scored,
+    cross-entropy is strictly positive (add-1/2 smoothing makes every
+    bigram probability < 1), and perplexity == exp(cross_entropy) to
+    the output rounding."""
+    import math
+
+    from .oracle import compare, run_oracle
+    from data_engineering_zoomcamp_projects_spark.llm import textstats
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = textstats.text_lm_perplexity(spark, d)
+        pdf = run_oracle(textstats.TEXT_LM_PPL_SQL, d)
+        problems = compare(df, pdf, "text_lm_perplexity")
+        assert not problems, "\n".join(problems)
+        rows = df.collect()
+        assert rows
+        for r in rows:
+            assert r["n_bigrams"] >= 1
+            assert r["cross_entropy"] > 0
+            assert abs(r["perplexity"] - math.exp(r["cross_entropy"])) < 1e-3
+
+
 def test_pagerank_fixed_point_properties(spark, sf_dir):
     """Fixed-point PageRank invariants: deterministic across runs;
     isolated documents (no near-dup edges) sit exactly at the base

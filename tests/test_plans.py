@@ -257,6 +257,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # sample_importance_weighted: the one-row broadcast corpus-max
         # frame crossed onto the scan (membership itself is map-side)
         "sample_importance_weighted",
+        # text_lm_perplexity: the one-row broadcast vocab-size frame
+        # (|V| scalar) crossed onto the vocab-sized bigram-model frame;
+        # the doc-side joins are hash joins on (a_key, b_key)
+        "text_lm_perplexity",
     }
     # iterative queries execute during construction (convergence loop /
     # Lloyd rounds) and their rendered plan embeds cached/checkpointed
