@@ -70,6 +70,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     denom = F.col("qnorm") * F.col("vnorm")
+    # NOTE: the prefilter dot stays the HOF fold here ON PURPOSE: the
+    # n x q pair stream comes out of a BroadcastNestedLoopJoin (non-
+    # equi condition), which blocks whole-stage codegen, and in the
+    # interpreted evaluator the HOF fold is ~3.7x FASTER than the
+    # unrolled fixed-dim tree (measured at sf1; the unrolled form only
+    # wins inside codegen — see sim_topk_ivf's equi-join stream).
     scored_fast = (
         corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .withColumn("cos_fast", dot_double(F.col("qv"), F.col("v")) / denom)
@@ -509,19 +515,28 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nearest_cells(df, vec_col, out_col, n_probe):
         vec = F.col(vec_col)
         df = df.crossJoin(F.broadcast(cb))
+        # score supers as slim (sim, -index) structs; the winning
+        # cell's member arrays are fetched AFTER the argmax via
+        # element_at. The previous form carried every super's
+        # mids/mvecs arrays inside the scored structs, so array_max
+        # copied ~k1 x |members| x dim doubles per row just to compare
+        # two scalars. cells[] is ordered by sc_id (supers are a
+        # stride over id-sorted centroids), so -index ties exactly
+        # match the oracle's (sim DESC, sc_id ASC) head.
         sc_scored = F.transform(
             F.col("cells"),
-            lambda c: F.struct(
+            lambda c, i: F.struct(
                 _dot_double(vec, c["scv"]).alias("sim"),
-                (-c["sc_id"]).alias("neg_sc"),
-                c["mids"].alias("mids"),
-                c["mvecs"].alias("mvecs"),
+                (-i).alias("neg_idx"),
             ),
         )
         best_sc = F.array_max(sc_scored)  # (sim desc, sc_id asc) head
+        chosen = F.element_at(
+            F.col("cells"), (F.lit(1) - best_sc["neg_idx"]).cast("int")
+        )
         mem = F.zip_with(
-            best_sc["mids"],
-            best_sc["mvecs"],
+            chosen["mids"],
+            chosen["mvecs"],
             lambda cid, cv: F.struct(
                 _dot_double(vec, cv).alias("sim"), cid.alias("cent_id")
             ),

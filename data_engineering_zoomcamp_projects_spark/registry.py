@@ -95,7 +95,11 @@ _FRONT = [
     #     + the round-8 symspell narrow-shuffle rewrite (names join
     #     back onto deduped id pairs; 235 s -> 85 s at sf1):
     "dedup_fuzzy_names_symspell",
-    # (c) 31 re-certification slots: the oldest official rows across
+    #     + the round-8 IVF cell-assignment rewrite (slim argmax
+    #     structs + element_at cell retrieval; ~12.3 s -> ~10 s warm
+    #     at sf1):
+    "sim_topk_ivf",
+    # (c) 30 re-certification slots: the oldest official rows across
     #     CORRECTNESS_r01–r07, oldest round first (computed
     #     mechanically: latest green row per name over all committed
     #     artifacts). r1-era aggregates/scalars/setops, then the r2/r3
@@ -133,7 +137,6 @@ _FRONT = [
     "filter_predicate_suite",
     "projection_expressions",
     "subq_in_european_suppliers",
-    "subq_orders_above_customer_avg",
 ]
 
 
