@@ -90,6 +90,9 @@ HEADLINE = [
     # corpus-LM perplexity scoring: corpus -> vocab-sized bigram model,
     # micro-nat quantized log-probs, integer per-doc reduction
     "text_lm_perplexity",
+    # BPE encoding: vocab-sized segmentation map joined back onto the
+    # corpus word stream, per-doc fertility reduction
+    "text_bpe_apply",
 ]
 
 

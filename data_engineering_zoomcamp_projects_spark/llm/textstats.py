@@ -659,6 +659,20 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference has no tokenizer surface; this is
     driver-contract Part C LLM-data scope (the merge-table companion
     to text_pretokenize_bpe_style's pretokenizer counts)."""
+    vocab, out_rows = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        out_rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns (final vocab frame
+    (w, freq, syms) after BPE_MERGE_ROUNDS folds, merge rows
+    [(rank, a, b, a||b, count)]). The word string rides through the
+    folds so appliers (text_bpe_apply) can join documents back onto
+    their post-merge segmentations."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -667,6 +681,7 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     vocab = words.select(
+        "w",
         "freq",
         F.transform(
             F.sequence(F.lit(1), F.length("w")),
@@ -699,14 +714,9 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         out_rows.append((rank, a, b, a + b, cnt))
         vocab = vocab.select(
-            "freq", _bpe_merge_fold(a, b).alias("syms")
+            "w", "freq", _bpe_merge_fold(a, b).alias("syms")
         ).localCheckpoint(eager=True)
-
-    return spark.createDataFrame(
-        out_rows,
-        "merge_rank int, left_sym string, right_sym string, "
-        "merged string, pair_count long",
-    )
+    return vocab, out_rows
 
 
 def _bpe_oracle_sql(rounds: int) -> str:
@@ -752,13 +762,118 @@ v{k + 1} AS MATERIALIZED (SELECT w, freq, out AS syms FROM r{k} WHERE pos = len(
        a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM t{k}"""
         for k in range(rounds)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _bpe_chain_sql(rounds) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_chain_sql(rounds: int) -> str:
+    """The shared WITH chain (w0, v0, p/t/r/v per stage) ending with
+    v{rounds}, the fully-merged vocabulary — used by both the learner
+    oracle (reads the t{k} argmaxes) and the apply oracle (joins
+    documents onto v{rounds})."""
+    parts = [
+        """WITH RECURSIVE w0 AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT w, freq, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+  FROM w0
+)"""
+    ]
+    for k in range(rounds):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT a, b, SUM(freq) AS cnt FROM (
+    SELECT freq, syms[i] AS a, syms[i + 1] AS b
+    FROM v{k}, LATERAL unnest(range(1, len(syms))) AS u(i)
+  ) GROUP BY a, b
+),
+t{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+r{k} AS (
+  SELECT w, freq, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS out FROM v{k}
+  UNION ALL
+  SELECT w, freq, syms, pos + 1,
+    CASE WHEN len(out) > 0 AND out[-1] = (SELECT a FROM t{k})
+              AND syms[pos] = (SELECT b FROM t{k})
+         THEN list_append(out[1:len(out) - 1],
+                          (SELECT a FROM t{k}) || (SELECT b FROM t{k}))
+         ELSE list_append(out, syms[pos]) END
+  FROM r{k} WHERE pos <= len(syms)
+),
+v{k + 1} AS MATERIALIZED (SELECT w, freq, out AS syms FROM r{k} WHERE pos = len(syms) + 1)""")
+    return "".join(parts)
 
 
 TEXT_BPE_SQL = _bpe_oracle_sql(BPE_MERGE_ROUNDS)
 
 QUERIES["text_bpe_learn_merges"] = text_bpe_learn_merges
 ORACLES["text_bpe_learn_merges"] = TEXT_BPE_SQL
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to the corpus: segment every
+    document into subword tokens and report per-document tokenizer
+    stats — word count, subword token count, and fertility (subwords
+    per word, the standard tokenizer-quality metric). Completes the
+    tokenizer story: text_bpe_learn_merges trains the merge table,
+    this entry encodes with it.
+
+    Scale design: encoding never touches documents character-by-
+    character — the fully-merged segmentation lives on the WORD
+    frequency table (vocab-sized, built once by the shared training
+    loop), and documents join their exploded words onto it
+    (corpus-sized equi-join on the word, the only corpus-scale step),
+    then reduce per doc with map-side combine. Fertility is int/int
+    IEEE division (exact cross-engine) rounded at 6.
+
+    Reference parity: no tokenizer surface in the reference;
+    driver-contract Part C LLM-data scope."""
+    vocab, _ = _bpe_learn(spark, sf_dir)
+    seg = vocab.select("w", F.size("syms").alias("n_sub"))
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        doc_words.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subword_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subword_tokens",
+            F.round(
+                F.col("n_subword_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+TEXT_BPE_APPLY_SQL = (
+    _bpe_chain_sql(BPE_MERGE_ROUNDS)
+    + f"""
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(len(v.syms)) AS BIGINT) AS n_subword_tokens,
+       ROUND(CAST(SUM(len(v.syms)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS fertility
+FROM (
+  SELECT doc_id, unnest(split(text, ' ')) AS w FROM documents
+) dw
+JOIN v{BPE_MERGE_ROUNDS} v ON dw.w = v.w
+WHERE len(dw.w) > 0
+GROUP BY doc_id
+"""
+)
+
+QUERIES["text_bpe_apply"] = text_bpe_apply
+ORACLES["text_bpe_apply"] = TEXT_BPE_APPLY_SQL
 
 
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,18 +61,19 @@ _FRONT = [
     # round-6 set verbatim (the rotation was never executed — r7 verdict
     # item 2), so this rotation does two jobs at once:
     #
-    # (a) 5 slots for entries with NO driver row of any kind:
+    # (a) 6 slots for entries with NO driver row of any kind:
     #     the long-held-out span-duplication oracle (promoted into
     #     ORACLES this round, llm/dedup.py), its new span-REMOVAL
     #     sibling (r8 verdict item 6), ml_pca_embeddings for its
     #     first rows-only `no_oracle` row (r8 verdict item 7), and the
-    #     two new llm/textstats ops: distributed BPE merge learning
-    #     and corpus-LM perplexity scoring;
+    #     three new llm/textstats ops: distributed BPE merge learning,
+    #     corpus-LM perplexity scoring, and BPE encoding/fertility;
     "dedup_ngram_span_duplication",
     "dedup_span_removal",
     "ml_pca_embeddings",
     "text_bpe_learn_merges",
     "text_lm_perplexity",
+    "text_bpe_apply",
     # (b) 13 changed-plan slots: round 8 rewrote functions/text.py
     #     shingles() (token array bound once through a HOF wrapper —
     #     2.3–3.5x at sf1), which changes the physical plan of every
@@ -99,7 +100,7 @@ _FRONT = [
     #     structs + element_at cell retrieval; ~12.3 s -> ~10 s warm
     #     at sf1):
     "sim_topk_ivf",
-    # (c) 30 re-certification slots: the oldest official rows across
+    # (c) 29 re-certification slots: the oldest official rows across
     #     CORRECTNESS_r01–r07, oldest round first (computed
     #     mechanically: latest green row per name over all committed
     #     artifacts). r1-era aggregates/scalars/setops, then the r2/r3
@@ -136,7 +137,6 @@ _FRONT = [
     "stream_tumbling_hourly",
     "filter_predicate_suite",
     "projection_expressions",
-    "subq_in_european_suppliers",
 ]
 
 

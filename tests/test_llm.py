@@ -386,6 +386,31 @@ def test_bpe_learn_merges_matches_oracle(spark, sf_dir):
         assert counts == sorted(counts, reverse=True)
 
 
+def test_bpe_apply_matches_oracle(spark, sf_dir):
+    """Driver-twin differential for text_bpe_apply at BOTH small SFs,
+    plus encoder invariants: every scored doc has >= 1 word, subword
+    count >= word count (merges only ever shorten a word's segmentation
+    from |w| toward 1, never below one symbol per word), and fertility
+    is consistent with the two counts."""
+    from .oracle import compare, run_oracle
+    from data_engineering_zoomcamp_projects_spark.llm import textstats
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = textstats.text_bpe_apply(spark, d)
+        pdf = run_oracle(textstats.TEXT_BPE_APPLY_SQL, d)
+        problems = compare(df, pdf, "text_bpe_apply")
+        assert not problems, "\n".join(problems)
+        rows = df.collect()
+        assert rows
+        for r in rows:
+            assert r["n_words"] >= 1
+            assert r["n_subword_tokens"] >= r["n_words"]
+            assert (
+                abs(r["fertility"] - r["n_subword_tokens"] / r["n_words"])
+                < 1e-5
+            )
+
+
 def test_lm_perplexity_matches_oracle(spark, sf_dir):
     """Driver-twin differential for text_lm_perplexity at BOTH small
     SFs, plus LM invariants: every document with >= 2 tokens is scored,
