@@ -100,7 +100,10 @@ _FRONT = [
     #     structs + element_at cell retrieval; ~12.3 s -> ~10 s warm
     #     at sf1):
     "sim_topk_ivf",
-    # (c) 29 re-certification slots: the oldest official rows across
+    #     + the round-8 repetition-scores rewrite (doc-local sorted-run
+    #     fold, zero exchanges — shuffle-free at any scale):
+    "text_repetition_scores",
+    # (c) 27 re-certification slots: the oldest official rows across
     #     CORRECTNESS_r01–r07, oldest round first (computed
     #     mechanically: latest green row per name over all committed
     #     artifacts). r1-era aggregates/scalars/setops, then the r2/r3
@@ -136,7 +139,6 @@ _FRONT = [
     "stream_sliding_15m",
     "stream_tumbling_hourly",
     "filter_predicate_suite",
-    "projection_expressions",
 ]
 
 

@@ -386,6 +386,30 @@ def test_bpe_learn_merges_matches_oracle(spark, sf_dir):
         assert counts == sorted(counts, reverse=True)
 
 
+def test_repetition_scores_zero_shuffle_single_eval(spark, sf_dir):
+    """The round-8 repetition rewrite must stay (a) oracle-equal, (b)
+    a pure scan — zero exchanges (all stats are doc-local), and (c)
+    single-evaluation: exactly one sorted-run fold and one bigram
+    build in the physical plan (CollapseProject must not inline the
+    staged producers into their multiple consumers — the regression
+    that made shingles() O(len^2))."""
+    from .oracle import compare, run_oracle
+    from data_engineering_zoomcamp_projects_spark.llm import scrub
+
+    df = scrub.text_repetition_scores(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("aggregate(array_sort") == 1
+    assert plan.count("transform(sequence") == 1
+    assert "Exchange" not in plan
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        problems = compare(
+            scrub.text_repetition_scores(spark, d),
+            run_oracle(scrub.REPETITION_SQL, d),
+            "text_repetition_scores",
+        )
+        assert not problems, "\n".join(problems)
+
+
 def test_bpe_apply_matches_oracle(spark, sf_dir):
     """Driver-twin differential for text_bpe_apply at BOTH small SFs,
     plus encoder invariants: every scored doc has >= 1 word, subword
