@@ -278,17 +278,37 @@ def prep_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engine-exact."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = absmax / 127.0
-    codes = F.transform(v, lambda x: F.round(x / scale).cast("long"))
-    return e.select(
+    # staged projections (the shingles()/CollapseProject discipline):
+    # `scale` is referenced once per element inside the codes lambda —
+    # inlining its absmax sub-expression there re-evaluates the
+    # array_max PER ELEMENT (O(dim^2) per row), and `codes` feeds
+    # three consumers. Materializing each as a column of its own
+    # projection makes both single-evaluation (CollapseProject will
+    # not inline a non-cheap producer into multiple consumers); the
+    # lambda then reads `scale` as a per-row attribute. Measured
+    # 11.1 s -> ~0.6 s at sf1.
+    staged = e.select("vec_id", v.alias("v")).select(
         "vec_id",
-        F.round(scale, 8).alias("scale"),
-        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias(
-            "code_checksum"
+        "v",
+        (F.array_max(F.transform("v", lambda x: F.abs(x))) / 127.0).alias(
+            "scale"
         ),
-        F.array_max(codes).alias("max_code"),
-        F.array_min(codes).alias("min_code"),
+    )
+    coded = staged.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "v", lambda x: F.round(x / F.col("scale")).cast("long")
+        ).alias("codes"),
+    )
+    return coded.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("code_checksum"),
+        F.array_max("codes").alias("max_code"),
+        F.array_min("codes").alias("min_code"),
     )
 
 

@@ -103,7 +103,10 @@ _FRONT = [
     #     + the round-8 repetition-scores rewrite (doc-local sorted-run
     #     fold, zero exchanges — shuffle-free at any scale):
     "text_repetition_scores",
-    # (c) 27 re-certification slots: the oldest official rows across
+    #     + the round-8 int8-quantizer staging fix (scale/codes were
+    #     re-inlined per element/consumer; 11.1 s -> 0.9 s at sf1):
+    "prep_quantize_int8",
+    # (c) 26 re-certification slots: the oldest official rows across
     #     CORRECTNESS_r01–r07, oldest round first (computed
     #     mechanically: latest green row per name over all committed
     #     artifacts). r1-era aggregates/scalars/setops, then the r2/r3
@@ -138,7 +141,6 @@ _FRONT = [
     "stream_session_30m",
     "stream_sliding_15m",
     "stream_tumbling_hourly",
-    "filter_predicate_suite",
 ]
 
 

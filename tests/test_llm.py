@@ -386,6 +386,28 @@ def test_bpe_learn_merges_matches_oracle(spark, sf_dir):
         assert counts == sorted(counts, reverse=True)
 
 
+def test_quantize_int8_single_eval_plan(spark, sf_dir):
+    """The round-8 quantizer staging fix must hold: exactly two HOF
+    transforms in the physical plan (one abs-scan for the scale, one
+    codes build) — the pre-fix plan re-inlined the absmax into the
+    codes lambda (O(dim^2) per row) and the codes into all three
+    consumers (11.1 s -> 0.9 s at sf1). Oracle parity re-pinned at
+    both SFs."""
+    from .oracle import compare, run_oracle
+    from data_engineering_zoomcamp_projects_spark.llm import preparation
+
+    df = preparation.prep_quantize_int8(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("transform(") == 2, plan.count("transform(")
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        problems = compare(
+            preparation.prep_quantize_int8(spark, d),
+            run_oracle(preparation.PREP_QUANTIZE_SQL, d),
+            "prep_quantize_int8",
+        )
+        assert not problems, "\n".join(problems)
+
+
 def test_repetition_scores_zero_shuffle_single_eval(spark, sf_dir):
     """The round-8 repetition rewrite must stay (a) oracle-equal, (b)
     a pure scan — zero exchanges (all stats are doc-local), and (c)
