@@ -93,6 +93,11 @@ HEADLINE = [
     # BPE encoding: vocab-sized segmentation map joined back onto the
     # corpus word stream, per-doc fertility reduction
     "text_bpe_apply",
+    # round-8 plan rewrites, tracked from first certification:
+    # doc-local sorted-run fold (zero exchanges)
+    "text_repetition_scores",
+    # staged-projection quantizer (single-eval scale/codes)
+    "prep_quantize_int8",
 ]
 
 
