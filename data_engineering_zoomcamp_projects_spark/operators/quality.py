@@ -383,8 +383,74 @@ GROUP BY g.event_type ORDER BY g.event_type
 """
 
 
+def quality_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the DETECTOR that pairs with the
+    `join_salted_skew` mitigation (operators/joins.py). For the
+    engine's heaviest fact join key (lineitem.l_orderkey) it reports
+    the top-5 hottest keys with their row share and skew-vs-average
+    factor — the exact numbers an operator reads before deciding to
+    salt, raise AQE skew thresholds, or re-bucket a 100 TB table.
+
+    Scale shape: one groupBy(key) count (map-side partial agg), a
+    TakeOrderedAndProject top-5 head (never a global window over the
+    key space), and a one-row broadcast totals frame for the shares —
+    the |keys|-sized frame is reduced before anything global runs.
+    All outputs are int/int arithmetic (exact cross-engine) rounded
+    at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    head = counts.orderBy(F.col("key_rows").desc(), F.col("l_orderkey").asc()).limit(5)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("key_rows").desc(), F.col("l_orderkey").asc())
+    return (
+        head.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "l_orderkey",
+            F.col("key_rows").cast("long").alias("key_rows"),
+            F.round(
+                F.col("key_rows").cast("double")
+                / F.col("total_rows").cast("double"),
+                6,
+            ).alias("key_share"),
+            F.round(
+                (F.col("key_rows") * F.col("n_keys")).cast("double")
+                / F.col("total_rows").cast("double"),
+                6,
+            ).alias("skew_vs_avg"),
+        )
+    )
+
+
+QUALITY_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*) AS key_rows FROM lineitem GROUP BY l_orderkey
+), totals AS (
+  SELECT SUM(key_rows) AS total_rows, COUNT(*) AS n_keys FROM counts
+), head AS (
+  SELECT l_orderkey, key_rows FROM counts
+  ORDER BY key_rows DESC, l_orderkey ASC LIMIT 5
+)
+SELECT ROW_NUMBER() OVER (ORDER BY key_rows DESC, l_orderkey ASC) AS rank,
+       l_orderkey,
+       CAST(key_rows AS BIGINT) AS key_rows,
+       ROUND(CAST(key_rows AS DOUBLE) / CAST(total_rows AS DOUBLE), 6)
+         AS key_share,
+       ROUND(CAST(key_rows * n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE), 6)
+         AS skew_vs_avg
+FROM head, totals
+"""
+
+
 QUERIES = {
     "quality_constraint_checks": quality_constraint_checks,
+    "quality_join_skew_audit": quality_join_skew_audit,
     "quality_distribution_drift": quality_distribution_drift,
     "quality_snapshot_diff": quality_snapshot_diff,
     "quality_referential_orphans": quality_referential_orphans,
@@ -393,6 +459,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_constraint_checks": QUALITY_CONSTRAINTS_SQL,
+    "quality_join_skew_audit": QUALITY_SKEW_SQL,
     # promoted round 6 (held out of the full round-5 window; pinned by
     # tests/test_quality.py::test_distribution_drift_matches_oracle)
     "quality_distribution_drift": DRIFT_SQL,

@@ -61,7 +61,7 @@ _FRONT = [
     # round-6 set verbatim (the rotation was never executed — r7 verdict
     # item 2), so this rotation does two jobs at once:
     #
-    # (a) 6 slots for entries with NO driver row of any kind:
+    # (a) 7 slots for entries with NO driver row of any kind:
     #     the long-held-out span-duplication oracle (promoted into
     #     ORACLES this round, llm/dedup.py), its new span-REMOVAL
     #     sibling (r8 verdict item 6), ml_pca_embeddings for its
@@ -74,6 +74,9 @@ _FRONT = [
     "text_bpe_learn_merges",
     "text_lm_perplexity",
     "text_bpe_apply",
+    #     and the join-key skew-audit detector pairing with the
+    #     join_salted_skew mitigation (operators/quality.py):
+    "quality_join_skew_audit",
     # (b) 13 changed-plan slots: round 8 rewrote functions/text.py
     #     shingles() (token array bound once through a HOF wrapper —
     #     2.3–3.5x at sf1), which changes the physical plan of every
@@ -106,7 +109,7 @@ _FRONT = [
     #     + the round-8 int8-quantizer staging fix (scale/codes were
     #     re-inlined per element/consumer; 11.1 s -> 0.9 s at sf1):
     "prep_quantize_int8",
-    # (c) 26 re-certification slots: the oldest official rows across
+    # (c) 25 re-certification slots: the oldest official rows across
     #     CORRECTNESS_r01–r07, oldest round first (computed
     #     mechanically: latest green row per name over all committed
     #     artifacts). r1-era aggregates/scalars/setops, then the r2/r3
@@ -140,7 +143,6 @@ _FRONT = [
     "stream_funnel_view_purchase",
     "stream_session_30m",
     "stream_sliding_15m",
-    "stream_tumbling_hourly",
 ]
 
 

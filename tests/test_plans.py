@@ -261,6 +261,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # (|V| scalar) crossed onto the vocab-sized bigram-model frame;
         # the doc-side joins are hash joins on (a_key, b_key)
         "text_lm_perplexity",
+        # quality_join_skew_audit: the one-row broadcast totals frame
+        # crossed onto the TakeOrdered 5-row head
+        "quality_join_skew_audit",
     }
     # iterative queries execute during construction (convergence loop /
     # Lloyd rounds) and their rendered plan embeds cached/checkpointed
@@ -301,6 +304,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "quality_daily_volume_anomaly",
         "window_moving_average",
         "prep_vocab_topk",
+        # rank window runs on the post-LIMIT 5-row head (TakeOrdered
+        # selects it, same proof as prep_vocab_topk)
+        "quality_join_skew_audit",
     }
     # low-cardinality-window whitelist: a window whose partition clause
     # has ONLY low-card keys (no id/key/shard-bearing column) funnels
