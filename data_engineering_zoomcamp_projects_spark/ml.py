@@ -259,31 +259,26 @@ KMEANS_ITERS = 3
 KMEANS_SCALE = 10_000_000
 
 
-def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means TRAINING over the embeddings table, fully
-    oracle-checked: k=8 seeds (lowest vec_ids), 3 Lloyd iterations on
-    1e-7 fixed-point coordinates (see KMEANS_SCALE — the quantization
-    is what makes the whole training run bit-reproducible across
-    engines, partition layouts, and replays).
+#: single-entry memo, (application id, sf_dir) -> trained centroid
+#: list [(cent_id, [int lattice coords])]. The Lloyd loop is
+#: KMEANS_ITERS-1 collect rounds; `dedup_semantic_semdedup` (the
+#: SemDeDup pruner) reuses the same trained model as
+#: `ml_kmeans_embeddings`, so train once per (session, sf_dir) — the
+#: _CODEBOOK_MEMO / _BPE_MEMO bounded-memo discipline (cleared on any
+#: key miss; a new session or dir always retrains).
+_KMEANS_MEMO: dict[tuple[str, str], list] = {}
 
-    Per round: every vector joins the one-row broadcast centroid frame
-    and picks its nearest centroid MAP-SIDE via array_min over
-    struct(dist, cent_id) — dist is an exact integer fold, so the
-    argmin is deterministic; the centroid update is a (cell, dim)
-    posexplode aggregation whose floor(sum/count) mean stays on the
-    lattice. Empty clusters retain their previous centroid.
 
-    Centroids are MODEL STATE: O(k x d) values collected per round and
-    re-broadcast (the sim_topk_ivf codebook pattern — the corpus never
-    shuffles; each Lloyd round is one scan + one metadata-grain
-    aggregation). The DuckDB oracle unrolls the same 3 rounds as
-    chained CTEs over the same integers, so cluster sizes AND the exact
-    integer inertia hash-match.
-
-    Output: one row per cluster — seed id, member count, exact int64 inertia
-    in squared lattice units (divide by 1e14 for float units)."""
-    from .catalog import load_table as _lt
-
+def kmeans_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared k-means model surface: trains (or reuses, see
+    _KMEANS_MEMO) the fixed-point Lloyd model and returns the final
+    assignment frame (vec_id, vq, cell, dist) — one row per corpus
+    vector, `cell` the seed vec_id of its nearest trained centroid,
+    `dist` the exact integer squared lattice distance. Consumers:
+    ml_kmeans_embeddings (aggregates it to the cluster grain) and
+    dedup_semantic_semdedup (uses `cell` as the cluster-bounded pair
+    space). The DuckDB twin of this frame is `kmeans_chain_sql()`'s
+    terminal a{KMEANS_ITERS} CTE."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -295,10 +290,15 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    cents = [
-        (int(r["vec_id"]), [int(x) for x in r["vq"]])
-        for r in e.orderBy("vec_id").limit(KMEANS_K).collect()
-    ]
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _KMEANS_MEMO.get(memo_key)
+    trained = cents is not None
+    if not trained:
+        _KMEANS_MEMO.clear()
+        cents = [
+            (int(r["vec_id"]), [int(x) for x in r["vq"]])
+            for r in e.orderBy("vec_id").limit(KMEANS_K).collect()
+        ]
 
     def assign(cent_rows):
         cb = spark.createDataFrame(
@@ -322,29 +322,61 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("cells")
         )
 
-    for _ in range(KMEANS_ITERS - 1):
-        assigned = assign(cents)
-        means = (
-            assigned.select("cell", F.posexplode("vq").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(
-                F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
-                .cast("long")
-                .alias("val")
+    if not trained:
+        for _ in range(KMEANS_ITERS - 1):
+            assigned = assign(cents)
+            means = (
+                assigned.select("cell", F.posexplode("vq").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(
+                    F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+                    .cast("long")
+                    .alias("val")
+                )
+                .collect()
             )
-            .collect()
-        )
-        by_cell: dict[int, dict[int, int]] = {}
-        for r in means:
-            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = int(r["val"])
-        cents = [
-            (
-                cid,
-                [by_cell[cid][d] for d in range(len(cq))] if cid in by_cell else cq,
-            )
-            for cid, cq in cents
-        ]
-    final = assign(cents)
+            by_cell: dict[int, dict[int, int]] = {}
+            for r in means:
+                by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = int(r["val"])
+            cents = [
+                (
+                    cid,
+                    [by_cell[cid][d] for d in range(len(cq))]
+                    if cid in by_cell
+                    else cq,
+                )
+                for cid, cq in cents
+            ]
+        _KMEANS_MEMO[memo_key] = cents
+    return assign(cents)
+
+
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means TRAINING over the embeddings table, fully
+    oracle-checked: k=8 seeds (lowest vec_ids), 3 Lloyd iterations on
+    1e-7 fixed-point coordinates (see KMEANS_SCALE — the quantization
+    is what makes the whole training run bit-reproducible across
+    engines, partition layouts, and replays).
+
+    Per round: every vector joins the one-row broadcast centroid frame
+    and picks its nearest centroid MAP-SIDE via array_min over
+    struct(dist, cent_id) — dist is an exact integer fold, so the
+    argmin is deterministic; the centroid update is a (cell, dim)
+    posexplode aggregation whose floor(sum/count) mean stays on the
+    lattice. Empty clusters retain their previous centroid.
+
+    Centroids are MODEL STATE: O(k x d) values collected per round and
+    re-broadcast (the sim_topk_ivf codebook pattern — the corpus never
+    shuffles; each Lloyd round is one scan + one metadata-grain
+    aggregation). The DuckDB oracle unrolls the same 3 rounds as
+    chained CTEs over the same integers, so cluster sizes AND the exact
+    integer inertia hash-match. Training loop + final assignment frame
+    live in `kmeans_final_assignments` (shared with the SemDeDup
+    pruner, llm/dedup.py).
+
+    Output: one row per cluster — seed id, member count, exact int64 inertia
+    in squared lattice units (divide by 1e14 for float units)."""
+    final = kmeans_final_assignments(spark, sf_dir)
     return (
         final.groupBy(F.col("cell").alias("cluster_id"))
         .agg(
@@ -355,7 +387,7 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
+def _kmeans_sql_chain() -> str:
     q = (
         "list_transform(embedding::DOUBLE[], "
         f"x -> CAST(FLOOR(x * {KMEANS_SCALE}) AS BIGINT))"
@@ -402,8 +434,22 @@ def _kmeans_sql() -> str:
         parts.append(assign_cte(f"a{i}", f"c{i - 1}"))
         parts.append(update_cte(f"m{i}", f"c{i}", f"a{i}", f"c{i - 1}"))
     parts.append(assign_cte(f"a{KMEANS_ITERS}", f"c{KMEANS_ITERS - 1}"))
+    return f"WITH {', '.join(parts)}"
+
+
+def kmeans_chain_sql() -> str:
+    """The shared DuckDB WITH chain of the fixed-point Lloyd model
+    (quant, c0, per-round a{i}/m{i}/c{i}) ending with the terminal
+    assignment CTE a{KMEANS_ITERS} (vec_id, vq, cell, dist) — the
+    oracle twin of `kmeans_final_assignments`. Used by both the
+    ml_kmeans_embeddings oracle (aggregates it) and the
+    dedup_semantic_semdedup oracle (pairs within its cells)."""
+    return _kmeans_sql_chain()
+
+
+def _kmeans_sql() -> str:
     return f"""
-WITH {', '.join(parts)}
+{kmeans_chain_sql()}
 SELECT cell AS cluster_id, COUNT(*) AS n_members,
        CAST(SUM(dist) AS BIGINT) AS inertia_q
 FROM a{KMEANS_ITERS} GROUP BY cell ORDER BY cluster_id

@@ -57,92 +57,78 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # WINDOW TRIAGE round 8 (50 slots). The round-7 window replayed the
-    # round-6 set verbatim (the rotation was never executed — r7 verdict
-    # item 2), so this rotation does two jobs at once:
+    # WINDOW TRIAGE round 9 (50 slots). Round 8 closed with zero stale
+    # certifications, so this window is almost entirely group (c)
+    # re-certification, oldest official row first (computed
+    # mechanically: latest green row per name over CORRECTNESS_r01–r08).
     #
-    # (a) 7 slots for entries with NO driver row of any kind:
-    #     the long-held-out span-duplication oracle (promoted into
-    #     ORACLES this round, llm/dedup.py), its new span-REMOVAL
-    #     sibling (r8 verdict item 6), ml_pca_embeddings for its
-    #     first rows-only `no_oracle` row (r8 verdict item 7), and the
-    #     three new llm/textstats ops: distributed BPE merge learning,
-    #     corpus-LM perplexity scoring, and BPE encoding/fertility;
-    "dedup_ngram_span_duplication",
-    "dedup_span_removal",
-    "ml_pca_embeddings",
-    "text_bpe_learn_merges",
-    "text_lm_perplexity",
-    "text_bpe_apply",
-    #     and the join-key skew-audit detector pairing with the
-    #     join_salted_skew mitigation (operators/quality.py):
-    "quality_join_skew_audit",
-    # (b) 13 changed-plan slots: round 8 rewrote functions/text.py
-    #     shingles() (token array bound once through a HOF wrapper —
-    #     2.3–3.5x at sf1), which changes the physical plan of every
-    #     transitive consumer; per the zero-stale-certification
-    #     discipline they all need fresh driver rows over the NEW plan
-    #     (span_duplication is already in group (a)):
-    "dedup_shingle_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_components",
-    "dedup_incremental_batch",
-    "dedup_cluster_census",
-    "graph_pagerank_near_dups",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "graph_reachability_recursive",
-    "pipeline_corpus_curation",
-    "prep_decontaminate",
-    "prep_decontaminate_bloom",
-    #     + the round-8 symspell narrow-shuffle rewrite (names join
-    #     back onto deduped id pairs; 235 s -> 85 s at sf1):
+    # (a) 1 new-op slot: SemDeDup semantic dedup (r8 verdict item 4 —
+    #     k-means cells + within-cell cosine pruning, llm/dedup.py),
+    #     oracle-backed via the shared fixed-point Lloyd chain:
+    "dedup_semantic_semdedup",
+    # (b) 2 changed-plan slots: plans this round rewrites per the r8
+    #     verdict (symspell variant-generator A/B, item 5; distributed
+    #     Bloom bitset build, item 6) need fresh rows over the NEW plan:
     "dedup_fuzzy_names_symspell",
-    #     + the round-8 IVF cell-assignment rewrite (slim argmax
-    #     structs + element_at cell retrieval; ~12.3 s -> ~10 s warm
-    #     at sf1):
-    "sim_topk_ivf",
-    #     + the round-8 repetition-scores rewrite (doc-local sorted-run
-    #     fold, zero exchanges — shuffle-free at any scale):
-    "text_repetition_scores",
-    #     + the round-8 int8-quantizer staging fix (scale/codes were
-    #     re-inlined per element/consumer; 11.1 s -> 0.9 s at sf1):
-    "prep_quantize_int8",
-    # (c) 25 re-certification slots: the oldest official rows across
-    #     CORRECTNESS_r01–r07, oldest round first (computed
-    #     mechanically: latest green row per name over all committed
-    #     artifacts). r1-era aggregates/scalars/setops, then the r2/r3
-    #     streaming batch-parity set and most of the r4-era re-runs;
-    #     the 13 newest rotation candidates (r4 window_first_last/
-    #     window_range_frame and the r5 family) yielded their slots to
-    #     group (b) — all still green on their existing official rows.
-    "agg_count_distinct",
-    "agg_cube_status_priority",
-    "agg_distinct_rows",
-    "agg_global_stats",
-    "agg_having_big_suppliers",
-    "agg_min_max_by",
-    "agg_monthly_orders",
-    "agg_pivot_status",
-    "agg_stats_dispersion",
-    "fn_array_suite",
-    "fn_bitwise_suite",
-    "fn_conditional_suite",
-    "fn_explode_tokens",
-    "fn_json_suite",
-    "fn_math_suite",
-    "fn_string_suite",
-    "setop_except",
-    "setop_intersect_all",
-    "setop_union_all",
-    "setop_union_distinct",
-    "ml_customer_scores",
-    "stream_dedup_summary",
-    "stream_event_type_rates",
-    "stream_funnel_view_purchase",
-    "stream_session_30m",
-    "stream_sliding_15m",
+    "prep_decontaminate_bloom",
+    # (c) 48 re-certification slots, oldest round first.
+    #     The 8 r1-era joins (operators/joins.py — last official rows
+    #     are round 1):
+    "join_anti_inactive_customers",
+    "join_cross_region_nation",
+    "join_full_outer_nation_activity",
+    "join_inner_customer_orders",
+    "join_left_outer_orders",
+    "join_right_outer_lineitem",
+    "join_semi_active_customers",
+    "join_theta_supplier_pairs",
+    #     The 13 r2-era rows (agg/mart/tpch/unpivot; ml_segment_zscores
+    #     is rows-only by design — it re-certifies as a rows-only row):
+    "agg_boolean",
+    "agg_collect_sets",
+    "agg_percentiles",
+    "mart_customer_activity",
+    "mart_daily_revenue",
+    "ml_segment_zscores",
+    "posexplode_tokens",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
+    "q7_volume_shipping",
+    "unpivot_quantities",
+    #     The 15 r3-era rows (the tpch_full batch + the tumbling-window
+    #     batch-parity entry; q1_native_double is rows-only by design):
+    "q10_returned_items",
+    "q11_part_value_share",
+    "q12_ship_delay_buckets",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q19_bracketed_revenue",
+    "q1_native_double",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "stream_tumbling_hourly",
+    #     11 of the 17 r4-era rows (alphabetical; the remaining six —
+    #     subq_orders_above_customer_avg, subq_scalar_above_avg_price,
+    #     topk_global, topk_per_group, window_first_last,
+    #     window_range_frame — are the oldest candidates for round 10):
+    "events_value_histogram",
+    "filter_predicate_suite",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "multimodal_join_docs_embeddings",
+    "prep_vocab_topk",
+    "projection_expressions",
+    "sample_hash_reproducible",
+    "sample_stratified_by_lang",
+    "sim_label_centroids",
+    "subq_in_european_suppliers",
 ]
 
 

@@ -9,10 +9,17 @@ hanging the sweep — the round-5 hand-exclusion is now mechanical.
 
 Usage: python scripts/sweep_registry.py [SF_DIR] [ONLY,NAMES]
 Defaults: SF_DIR=/root/repo/.localdata/sf1
+
+SPARK_GRAFT_SWEEP_OUT=/root/repo/SWEEP_r9_sf1_open.csv tees every
+per-query line (and the summary comments) into that file as well, so
+each round's open/close sweeps leave committed artifacts — the r8
+verdict's nit 1: the close-sweep numbers behind BASELINE.md §16 had
+no CSV on disk. Convention: SWEEP_r{N}_sf1_{open|close}.csv.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -25,6 +32,15 @@ from data_engineering_zoomcamp_projects_spark.session import get_spark  # noqa: 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf1"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    out_path = os.environ.get("SPARK_GRAFT_SWEEP_OUT")
+    out = open(out_path, "w") if out_path else None
+
+    def emit(line: str) -> None:
+        print(line, flush=True)
+        if out:
+            out.write(line + "\n")
+            out.flush()
+
     spark = get_spark(app_name="sweep")
     rows: list[tuple[float, str, str]] = []
     queries = all_queries()
@@ -46,13 +62,15 @@ def main() -> None:
             status = f"err:{type(e).__name__}"
         dt = time.perf_counter() - t0
         rows.append((dt, name, status))
-        print(f"{name},{dt:.2f},{status}", flush=True)
+        emit(f"{name},{dt:.2f},{status}")
     rows.sort(reverse=True)
-    print("# worst 15:")
+    emit("# worst 15:")
     for dt, name, status in rows[:15]:
-        print(f"#   {name}  {dt:.1f}s  {status}")
+        emit(f"#   {name}  {dt:.1f}s  {status}")
     bad = [(n, s) for _, n, s in rows if s.startswith("err")]
-    print(f"# total {sum(r[0] for r in rows):.1f}s over {len(rows)} entries; errors: {bad or 'none'}")
+    emit(f"# total {sum(r[0] for r in rows):.1f}s over {len(rows)} entries; errors: {bad or 'none'}")
+    if out:
+        out.close()
 
 
 if __name__ == "__main__":

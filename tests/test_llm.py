@@ -622,3 +622,37 @@ def test_near_dup_pairs_memo_discipline(spark, sf_dir):
         assert len(dedup._PAIRS_MEMO) == 1  # single-entry: old key evicted
         assert next(iter(dedup._PAIRS_MEMO))[1] == other
     dedup._PAIRS_MEMO.clear()
+
+
+def test_semdedup_matches_oracle_and_invariants(spark, sf_dir):
+    """Driver-twin differential for dedup_semantic_semdedup at BOTH
+    small SFs, plus the SemDeDup invariants: every pruned row names a
+    strictly-lower keeper in the SAME k-means cell, max_cos clears the
+    threshold, each pruned vector appears once, and the prune set is
+    non-vacuous. Cell consistency is checked against an independent
+    call of kmeans_final_assignments (which also exercises the
+    _KMEANS_MEMO reuse path)."""
+    from data_engineering_zoomcamp_projects_spark.ml import kmeans_final_assignments
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = dedup.dedup_semantic_semdedup(spark, d)
+        pdf = run_oracle(dedup.ORACLES["dedup_semantic_semdedup"], d)
+        problems = compare(df, pdf, "dedup_semantic_semdedup")
+        assert not problems, "\n".join(problems)
+        rows = df.collect()
+        assert rows, "prune set must be non-vacuous at oracle scale"
+        assert len({r["vec_id"] for r in rows}) == len(rows)
+        cell_of = {
+            r["vec_id"]: r["cell"]
+            for r in kmeans_final_assignments(spark, d)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        for r in rows:
+            assert r["keeper_id"] < r["vec_id"]
+            assert r["n_dups"] >= 1
+            assert r["max_cos"] >= dedup.SEMDEDUP_TAU
+            assert cell_of[r["vec_id"]] == r["cluster_id"]
+            assert cell_of[r["keeper_id"]] == r["cluster_id"]

@@ -275,6 +275,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # fixpoint — same rendered-plan inflation, same audit carve-out
         "dedup_cluster_census",
         "ml_kmeans_embeddings",
+        # semdedup runs the same Lloyd loop during construction (shared
+        # trained model, ml.kmeans_final_assignments) and its rendered
+        # plan embeds the per-round one-row-broadcast assignment
+        # subtree; the pair-join stage is audited by its own test
+        "dedup_semantic_semdedup",
         "graph_pagerank_near_dups",
     }
     # multi-stage composites get their own ceiling: curation fuses
