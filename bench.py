@@ -102,6 +102,10 @@ HEADLINE = [
     # cosine pruning; tracks the shared Lloyd training + the
     # cluster-bounded pair join from first certification)
     "dedup_semantic_semdedup",
+    # round-9: CCNet quality bucketing (langid + corpus-LM perplexity
+    # + distributed per-language terciles — the composite over two
+    # existing headliners, tracked for the distrank tercile overhead)
+    "pipeline_ccnet_buckets",
 ]
 
 

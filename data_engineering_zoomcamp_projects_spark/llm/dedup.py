@@ -1,7 +1,7 @@
 """Deduplication operators for LLM training-data pipelines
 (driver-contract extension; SURVEY.md §2 Part C LLM-data ops).
 
-Seven strategies, each a first-class query:
+Eight strategies, each a first-class query:
 
 - exact          hash-groupBy on content (one shuffle on the hash key)
 - shingle-Jaccard  exact 5-gram set similarity via a shingle self-join
@@ -10,6 +10,7 @@ Seven strategies, each a first-class query:
 - embedding      cosine near-dup with label blocking
 - span duplication  per-doc duplicated/boilerplate 8-gram span counts
 - span removal   cleaned text with duplicated spans excised (Lee et al.)
+- semantic       SemDeDup: k-means cells + within-cell cosine pruning
 
 Scale notes:
 - the shingle join's cost is sum over shingles of df(s)^2; 5-gram
@@ -1361,18 +1362,49 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Part C, the last dedup-family member (exact / Jaccard / MinHash /
     SimHash / embedding-cosine / span / semantic)."""
     from ..functions.vector import dot_dec, dot_double_fixed, norm
-    from ..ml import kmeans_final_assignments
+    from ..ml import (
+        KMEANS_SCALE,
+        kmeans_cells_expr,
+        kmeans_trained_centroids,
+    )
 
-    asg = kmeans_final_assignments(spark, sf_dir).select("vec_id", "cell")
-    e = (
+    # single-scan corpus frame: v, vnorm AND the k-means cell all
+    # derived in one projection chain over the parquet scan, with the
+    # trained centroids inlined as plan literals (kmeans_cells_expr).
+    # This shape is load-bearing for the join strategy below, twice
+    # over: (1) a localCheckpointed frame is a stats-less ExistingRDD
+    # scan, and (2) even an un-checkpointed vec_id join back onto the
+    # assignment frame makes the self-join side's size estimate the
+    # PRODUCT of the join children — either way Catalyst loses the
+    # real ~scan-sized estimate and falls back to a sort-merge join on
+    # the 8-value cell key: 8 tasks doing all the work AND the
+    # 128-term unrolled dot evaluated as an INTERPRETED SMJ condition
+    # (measured 150/139 s at sf1; 13 s as a pure projection with the
+    # dot inside the codegen'd broadcast-hash-join stream).
+    cents = kmeans_trained_centroids(spark, sf_dir)
+    dist = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("vq"), c["cq"], lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored_cells = F.transform(
+        kmeans_cells_expr(cents),
+        lambda c: F.struct(dist(c).alias("dist"), c["cent_id"].alias("cent_id")),
+    )
+    ec = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-        .withColumn("vnorm", norm(F.col("v")))
+        .select(
+            "vec_id",
+            "v",
+            norm(F.col("v")).alias("vnorm"),
+            F.transform(
+                "v", lambda x: F.floor(x * KMEANS_SCALE).cast("long")
+            ).alias("vq"),
+        )
+        .select("vec_id", "v", "vnorm", F.array_min(scored_cells).alias("_best"))
+        .select("vec_id", "v", "vnorm", F.col("_best")["cent_id"].alias("cell"))
     )
-    # one narrow join attaches the cell, then the frame is reused on
-    # both sides of the self-join; localCheckpoint keeps the (cheap
-    # but collect-bearing) assignment lineage from replaying per side
-    ec = e.join(asg, "vec_id").localCheckpoint(eager=False)
     # probe side re-spread first: same rationale as _emb_pairs_direct —
     # under a broadcast-hash join there is no exchange to undo the
     # one-file input partitioning of the scan

@@ -240,21 +240,35 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 #: (test_symspell_equals_quadratic_fuzzy_match).
 
 
-@F.pandas_udf("array<string>")
-def _deletion_variants(names: pd.Series) -> pd.Series:
-    def gen(s: str) -> list[str]:
+def _deletion_variants_udf():
+    """Arrow pandas_udf producing each name's distinct <=2-deletion
+    variant array. Built per call, with the row generator NESTED so
+    cloudpickle serializes it BY VALUE: a module-level function is
+    pickled by reference and the executor-side Python worker would
+    have to `import data_engineering_zoomcamp_projects_spark` — which fails under the
+    driver contract, where only the DRIVER process has the repo on
+    sys.path (the ml_customer_scores closure convention). Module-level
+    decoration is separately impossible: a string-typed pandas_udf
+    parses its DDL return type eagerly and needs an active
+    SparkContext, so a sessionless registry import would crash."""
+
+    def gen(s: str) -> list:
         out = {s}
         add = out.add
         length = len(s)
         for i in range(length):
-            add(s[: i] + s[i + 1 :])
+            add(s[:i] + s[i + 1 :])
         for i in range(length):
             pre = s[:i]
             for j in range(i + 1, length):
                 add(pre + s[i + 1 : j] + s[j + 1 :])
         return list(out)
 
-    return names.map(gen)
+    @F.pandas_udf("array<string>")
+    def dv(names: pd.Series) -> pd.Series:
+        return names.map(gen)
+
+    return dv
 
 
 def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,9 +290,10 @@ def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed once so the per-name variant generation is not
     re-executed for each side of the self-join. Round 9 swapped the
     generator itself from the interpreted nested-HOF expression to the
-    Arrow pandas_udf `_deletion_variants` (A/B at sf1: 36-39 s -> 19 s
-    for the variant-frame materialization, output bit-identical — see
-    the udf's comment block); hashing stays JVM-side xxhash64.
+    Arrow pandas_udf over `_gen_deletion_variants` (A/B at sf1:
+    36-39 s -> 19 s for the variant-frame materialization, output
+    bit-identical — see the comment block above the generator);
+    hashing stays JVM-side xxhash64.
 
     Cost model: variant generation is linear (~172 rows/name at L=18)
     and join output is proportional to SHARED-variant multiplicity of
@@ -293,7 +308,7 @@ def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "c_custkey",
             "c_nationkey",
-            F.explode(_deletion_variants(F.col("c_name"))).alias("variant"),
+            F.explode(_deletion_variants_udf()(F.col("c_name"))).alias("variant"),
         )
         .select("c_custkey", "c_nationkey", F.xxhash64("variant").alias("vh"))
         .localCheckpoint(eager=False)

@@ -135,27 +135,38 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_LANGID_SQL = """
-WITH tok AS (
+def _langid_chain_sql() -> str:
+    """The langid WITH-chain fragment (CTE names li_*-prefixed so it
+    composes with other chains), terminal CTE `langid` = one row per
+    doc with the argmax language. Single source for both the
+    text_langid_profile oracle and the CCNet composite
+    (llm/curation.pipeline_ccnet_buckets)."""
+    return """li_tok AS (
   SELECT doc_id, lang, unnest(split(text, ' ')) AS token FROM documents
-), profile AS (
+), li_profile AS (
   SELECT lang AS p_lang, token, COUNT(*) AS cnt,
          SUM(COUNT(*)) OVER (PARTITION BY lang) AS total
-  FROM tok GROUP BY lang, token
-), scored AS (
+  FROM li_tok GROUP BY lang, token
+), li_scored AS (
   SELECT t.doc_id, t.lang, p.p_lang,
          CAST(SUM(CAST(CAST(p.cnt AS DOUBLE) / CAST(p.total AS DOUBLE)
               AS DECIMAL(38,10))) AS DOUBLE) AS score
-  FROM tok t JOIN profile p ON t.token = p.token
+  FROM li_tok t JOIN li_profile p ON t.token = p.token
   GROUP BY t.doc_id, t.lang, p.p_lang
-)
-SELECT doc_id, p_lang AS predicted_lang, lang AS actual_lang,
-       CAST(p_lang = lang AS INT) AS correct
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-            ORDER BY score DESC, p_lang ASC) AS rk
-  FROM scored
-) WHERE rk = 1
+), langid AS (
+  SELECT doc_id, p_lang AS predicted_lang, lang AS actual_lang,
+         CAST(p_lang = lang AS INT) AS correct
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, p_lang ASC) AS rk
+    FROM li_scored
+  ) WHERE rk = 1
+)"""
+
+
+TEXT_LANGID_SQL = f"""
+WITH {_langid_chain_sql()}
+SELECT doc_id, predicted_lang, actual_lang, correct FROM langid
 """
 
 
@@ -958,40 +969,50 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_LM_PPL_SQL = """
-WITH t AS (
+def _lm_ppl_chain_sql() -> str:
+    """The corpus-LM WITH-chain fragment (CTE names lm_*-prefixed),
+    terminal CTE `ppl` = (doc_id, n_bigrams, cross_entropy,
+    perplexity) per document. Single source for the text_lm_perplexity
+    oracle and the CCNet composite (llm/curation.pipeline_ccnet_buckets)."""
+    return """lm_t AS (
   SELECT doc_id, list_filter(split(text, ' '), x -> len(x) > 0) AS ts
   FROM documents
-), doc_bg AS (
+), lm_doc_bg AS (
   SELECT doc_id, ts[i] AS a, ts[i + 1] AS b, COUNT(*) AS cnt
-  FROM t, LATERAL unnest(range(1, len(ts))) AS u(i)
+  FROM lm_t, LATERAL unnest(range(1, len(ts))) AS u(i)
   GROUP BY doc_id, a, b
-), model AS (
-  SELECT a, b, SUM(cnt) AS c_ab FROM doc_bg GROUP BY a, b
-), scored AS (
+), lm_model AS (
+  SELECT a, b, SUM(cnt) AS c_ab FROM lm_doc_bg GROUP BY a, b
+), lm_scored AS (
   SELECT a, b,
     CAST(FLOOR(ROUND(-ln((CAST(c_ab AS DOUBLE) + 0.5) /
         (CAST(SUM(c_ab) OVER (PARTITION BY a) AS DOUBLE)
          + 0.5 * (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE)
-                  FROM (SELECT unnest(ts) AS tok FROM t)))), 6)
+                  FROM (SELECT unnest(ts) AS tok FROM lm_t)))), 6)
         * 1000000 + 0.5) AS BIGINT) AS lp_u
-  FROM model
-), per_doc AS (
+  FROM lm_model
+), lm_per_doc AS (
   SELECT d.doc_id,
          CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
          CAST(SUM(d.cnt * s.lp_u) AS BIGINT) AS total_u
-  FROM doc_bg d JOIN scored s ON d.a = s.a AND d.b = s.b
+  FROM lm_doc_bg d JOIN lm_scored s ON d.a = s.a AND d.b = s.b
   GROUP BY d.doc_id
-)
-SELECT doc_id, n_bigrams, cross_entropy,
-       ROUND(exp(cross_entropy), 4) AS perplexity
-FROM (
-  SELECT doc_id, n_bigrams,
-    CAST(ROUND(CAST(CAST(total_u AS DOUBLE)
-        / (1000000.0 * CAST(n_bigrams AS DOUBLE)) AS DECIMAL(38,10)), 6)
-      AS DOUBLE) AS cross_entropy
-  FROM per_doc
-)
+), ppl AS (
+  SELECT doc_id, n_bigrams, cross_entropy,
+         ROUND(exp(cross_entropy), 4) AS perplexity
+  FROM (
+    SELECT doc_id, n_bigrams,
+      CAST(ROUND(CAST(CAST(total_u AS DOUBLE)
+          / (1000000.0 * CAST(n_bigrams AS DOUBLE)) AS DECIMAL(38,10)), 6)
+        AS DOUBLE) AS cross_entropy
+    FROM lm_per_doc
+  )
+)"""
+
+
+TEXT_LM_PPL_SQL = f"""
+WITH {_lm_ppl_chain_sql()}
+SELECT doc_id, n_bigrams, cross_entropy, perplexity FROM ppl
 """
 
 QUERIES["text_lm_perplexity"] = text_lm_perplexity

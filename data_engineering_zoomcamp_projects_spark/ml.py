@@ -269,86 +269,122 @@ KMEANS_SCALE = 10_000_000
 _KMEANS_MEMO: dict[tuple[str, str], list] = {}
 
 
-def kmeans_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared k-means model surface: trains (or reuses, see
-    _KMEANS_MEMO) the fixed-point Lloyd model and returns the final
-    assignment frame (vec_id, vq, cell, dist) — one row per corpus
-    vector, `cell` the seed vec_id of its nearest trained centroid,
-    `dist` the exact integer squared lattice distance. Consumers:
-    ml_kmeans_embeddings (aggregates it to the cluster grain) and
-    dedup_semantic_semdedup (uses `cell` as the cluster-bounded pair
-    space). The DuckDB twin of this frame is `kmeans_chain_sql()`'s
-    terminal a{KMEANS_ITERS} CTE."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: F.floor(x * KMEANS_SCALE).cast("long"),
-            ).alias("vq"),
-        )
-        .localCheckpoint(eager=False)
+def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1e-7 fixed-point lattice view of the embeddings corpus:
+    (vec_id, vq). Plain projection over the parquet scan — callers
+    that iterate (the training loop) add their own checkpoint."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * KMEANS_SCALE).cast("long"),
+        ).alias("vq"),
     )
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    cents = _KMEANS_MEMO.get(memo_key)
-    trained = cents is not None
-    if not trained:
-        _KMEANS_MEMO.clear()
-        cents = [
-            (int(r["vec_id"]), [int(x) for x in r["vq"]])
-            for r in e.orderBy("vec_id").limit(KMEANS_K).collect()
-        ]
 
-    def assign(cent_rows):
-        cb = spark.createDataFrame(
-            [(sorted(cent_rows),)],
-            "cells array<struct<cent_id:bigint,cq:array<bigint>>>",
-        )
-        dist = lambda c: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("vq"), c["cq"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        scored = F.transform(
-            F.col("cells"),
-            lambda c: F.struct(dist(c).alias("dist"), c["cent_id"].alias("cent_id")),
-        )
-        best = F.array_min(scored)  # (dist asc, cent_id asc) head
-        return (
-            e.crossJoin(F.broadcast(cb))
-            .withColumn("cell", best["cent_id"])
-            .withColumn("dist", best["dist"])
-            .drop("cells")
-        )
 
-    if not trained:
-        for _ in range(KMEANS_ITERS - 1):
-            assigned = assign(cents)
-            means = (
-                assigned.select("cell", F.posexplode("vq").alias("dim", "x"))
-                .groupBy("cell", "dim")
-                .agg(
-                    F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
-                    .cast("long")
-                    .alias("val")
-                )
-                .collect()
+def kmeans_cells_expr(cents: list) -> "F.Column":
+    """The trained centroid table as a LITERAL array<struct<cent_id,
+    cq>> column. k x d integers (8 x 64 here) inline fine as plan
+    literals — and unlike the one-row-frame crossJoin form this keeps
+    cell assignment a pure map-side projection, so parquet size
+    statistics survive to downstream join planning (the one-row BNL
+    node made every frame above it stats-blind, which silently forced
+    the SemDeDup self-join into a sort-merge join on the 8-value cell
+    key — 150 s at sf1 vs 16 s with stats intact)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cent_id"),
+                F.array(*[F.lit(int(x)).cast("long") for x in cq]).alias("cq"),
             )
-            by_cell: dict[int, dict[int, int]] = {}
-            for r in means:
-                by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = int(r["val"])
-            cents = [
-                (
-                    cid,
-                    [by_cell[cid][d] for d in range(len(cq))]
-                    if cid in by_cell
-                    else cq,
-                )
-                for cid, cq in cents
-            ]
-        _KMEANS_MEMO[memo_key] = cents
-    return assign(cents)
+            for cid, cq in sorted(cents)
+        ]
+    )
+
+
+def kmeans_assign_frame(e: DataFrame, cents: list) -> DataFrame:
+    """Nearest-centroid assignment over a (vec_id, vq) frame: adds
+    (cell, dist) via array_min over struct(dist, cent_id) — exact
+    integer distances, deterministic argmin. The argmin array is
+    STAGED as its own projection so the 8 x 64 HOF distance folds
+    evaluate once per row, not once per consumer (the CollapseProject
+    discipline)."""
+    dist = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("vq"), c["cq"], lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = F.transform(
+        kmeans_cells_expr(cents),
+        lambda c: F.struct(dist(c).alias("dist"), c["cent_id"].alias("cent_id")),
+    )
+    best = F.array_min(scored)  # (dist asc, cent_id asc) head
+    staged = e.select("vec_id", "vq", best.alias("_best"))
+    return staged.select(
+        "vec_id",
+        "vq",
+        F.col("_best")["cent_id"].alias("cell"),
+        F.col("_best")["dist"].alias("dist"),
+    )
+
+
+def kmeans_trained_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Train (or reuse, see _KMEANS_MEMO) the fixed-point Lloyd model;
+    returns the centroid list [(cent_id, [d lattice ints])] — bounded
+    model state (k x d integers)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KMEANS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    _KMEANS_MEMO.clear()
+    # the training loop re-reads the quantized frame once per round —
+    # a lazy localCheckpoint materializes it once (stats-blindness is
+    # irrelevant here: every training consumer is a map-side explode
+    # or a metadata-grain aggregation, never a planned join)
+    e = kmeans_quantized(spark, sf_dir).localCheckpoint(eager=False)
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["vq"]])
+        for r in e.orderBy("vec_id").limit(KMEANS_K).collect()
+    ]
+    for _ in range(KMEANS_ITERS - 1):
+        assigned = kmeans_assign_frame(e, cents)
+        means = (
+            assigned.select("cell", F.posexplode("vq").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("val")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = int(r["val"])
+        cents = [
+            (
+                cid,
+                [by_cell[cid][d] for d in range(len(cq))] if cid in by_cell else cq,
+            )
+            for cid, cq in cents
+        ]
+    _KMEANS_MEMO[memo_key] = cents
+    return cents
+
+
+def kmeans_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared k-means model surface: the final assignment frame
+    (vec_id, vq, cell, dist) over the TRAINED model — one row per
+    corpus vector, `cell` the seed vec_id of its nearest centroid,
+    `dist` the exact integer squared lattice distance. A pure
+    projection over the parquet scan (literal centroids, see
+    kmeans_cells_expr) so downstream join planning keeps real size
+    statistics. Consumers: ml_kmeans_embeddings (aggregates it to the
+    cluster grain) and dedup_semantic_semdedup (uses `cell` as the
+    cluster-bounded pair space). The DuckDB twin of this frame is
+    `kmeans_chain_sql()`'s terminal a{KMEANS_ITERS} CTE."""
+    cents = kmeans_trained_centroids(spark, sf_dir)
+    return kmeans_assign_frame(kmeans_quantized(spark, sf_dir), cents)
 
 
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,21 +394,23 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes the whole training run bit-reproducible across
     engines, partition layouts, and replays).
 
-    Per round: every vector joins the one-row broadcast centroid frame
-    and picks its nearest centroid MAP-SIDE via array_min over
-    struct(dist, cent_id) — dist is an exact integer fold, so the
+    Per round: every vector picks its nearest centroid MAP-SIDE via
+    array_min over struct(dist, cent_id) against the LITERAL centroid
+    table (kmeans_cells_expr — k x d integers inline in the plan, so
+    assignment is a pure projection and size statistics survive for
+    downstream join planning) — dist is an exact integer fold, so the
     argmin is deterministic; the centroid update is a (cell, dim)
     posexplode aggregation whose floor(sum/count) mean stays on the
     lattice. Empty clusters retain their previous centroid.
 
     Centroids are MODEL STATE: O(k x d) values collected per round and
-    re-broadcast (the sim_topk_ivf codebook pattern — the corpus never
+    re-inlined (the sim_topk_ivf codebook pattern — the corpus never
     shuffles; each Lloyd round is one scan + one metadata-grain
     aggregation). The DuckDB oracle unrolls the same 3 rounds as
     chained CTEs over the same integers, so cluster sizes AND the exact
     integer inertia hash-match. Training loop + final assignment frame
-    live in `kmeans_final_assignments` (shared with the SemDeDup
-    pruner, llm/dedup.py).
+    live in `kmeans_trained_centroids` / `kmeans_final_assignments`
+    (shared with the SemDeDup pruner, llm/dedup.py).
 
     Output: one row per cluster — seed id, member count, exact int64 inertia
     in squared lattice units (divide by 1e14 for float units)."""

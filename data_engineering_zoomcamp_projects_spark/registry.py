@@ -62,15 +62,24 @@ _FRONT = [
     # re-certification, oldest official row first (computed
     # mechanically: latest green row per name over CORRECTNESS_r01–r08).
     #
-    # (a) 1 new-op slot: SemDeDup semantic dedup (r8 verdict item 4 —
+    # (a) 2 new-op slots: SemDeDup semantic dedup (r8 verdict item 4 —
     #     k-means cells + within-cell cosine pruning, llm/dedup.py),
-    #     oracle-backed via the shared fixed-point Lloyd chain:
+    #     oracle-backed via the shared fixed-point Lloyd chain; and the
+    #     CCNet quality-bucketing composite (langid + corpus-LM
+    #     perplexity + distributed per-language terciles,
+    #     llm/curation.py):
     "dedup_semantic_semdedup",
-    # (b) 2 changed-plan slots: plans this round rewrites per the r8
+    "pipeline_ccnet_buckets",
+    # (b) 3 changed-plan slots: plans this round rewrites per the r8
     #     verdict (symspell variant-generator A/B, item 5; distributed
-    #     Bloom bitset build, item 6) need fresh rows over the NEW plan:
+    #     Bloom bitset build, item 6) need fresh rows over the NEW
+    #     plan; ml_kmeans_embeddings joins them because the shared
+    #     Lloyd assignment moved from a one-row-frame crossJoin to
+    #     literal centroids (kmeans_cells_expr — the stats-preserving
+    #     form the SemDeDup self-join needs):
     "dedup_fuzzy_names_symspell",
     "prep_decontaminate_bloom",
+    "ml_kmeans_embeddings",
     # (c) 48 re-certification slots, oldest round first.
     #     The 8 r1-era joins (operators/joins.py — last official rows
     #     are round 1):
@@ -114,7 +123,8 @@ _FRONT = [
     "q6_forecast_revenue",
     "q8_market_share",
     "stream_tumbling_hourly",
-    #     11 of the 17 r4-era rows (alphabetical; the remaining six —
+    #     9 of the 17 r4-era rows (alphabetical; the remaining eight —
+    #     sim_label_centroids, subq_in_european_suppliers,
     #     subq_orders_above_customer_avg, subq_scalar_above_avg_price,
     #     topk_global, topk_per_group, window_first_last,
     #     window_range_frame — are the oldest candidates for round 10):
@@ -127,8 +137,6 @@ _FRONT = [
     "projection_expressions",
     "sample_hash_reproducible",
     "sample_stratified_by_lang",
-    "sim_label_centroids",
-    "subq_in_european_suppliers",
 ]
 
 

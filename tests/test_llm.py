@@ -656,3 +656,63 @@ def test_semdedup_matches_oracle_and_invariants(spark, sf_dir):
             assert r["max_cos"] >= dedup.SEMDEDUP_TAU
             assert cell_of[r["vec_id"]] == r["cluster_id"]
             assert cell_of[r["keeper_id"]] == r["cluster_id"]
+
+
+def test_ccnet_buckets_matches_oracle_and_invariants(spark, sf_dir):
+    """Driver-twin differential for pipeline_ccnet_buckets at BOTH
+    small SFs, plus the CCNet invariants: every document with a bigram
+    gets exactly one bucket; per language the tercile sizes differ by
+    at most 1 (the NTILE size rule); and head never has higher
+    perplexity than tail (bucket boundaries are monotone in the sort
+    key)."""
+    from collections import Counter
+
+    from data_engineering_zoomcamp_projects_spark.llm import curation
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = curation.pipeline_ccnet_buckets(spark, d)
+        pdf = run_oracle(curation.ORACLES["pipeline_ccnet_buckets"], d)
+        problems = compare(df, pdf, "pipeline_ccnet_buckets")
+        assert not problems, "\n".join(problems)
+        rows = df.collect()
+        assert rows
+        assert len({r["doc_id"] for r in rows}) == len(rows)
+        assert {r["bucket"] for r in rows} <= {"head", "middle", "tail"}
+        sizes: Counter = Counter((r["predicted_lang"], r["bucket"]) for r in rows)
+        langs = {r["predicted_lang"] for r in rows}
+        for lang in langs:
+            per = [sizes.get((lang, b), 0) for b in ("head", "middle", "tail")]
+            assert max(per) - min(per) <= 1, (lang, per)
+            head_max = max(
+                (r["perplexity"] for r in rows
+                 if r["predicted_lang"] == lang and r["bucket"] == "head"),
+                default=None,
+            )
+            tail_min = min(
+                (r["perplexity"] for r in rows
+                 if r["predicted_lang"] == lang and r["bucket"] == "tail"),
+                default=None,
+            )
+            if head_max is not None and tail_min is not None:
+                assert head_max <= tail_min
+
+
+def test_semdedup_pair_join_stays_codegen_broadcast(spark, sf_dir):
+    """Plan-shape regression for the round-9 SemDeDup pathology: the
+    corpus frame must stay a pure projection over the parquet scan
+    (literal centroids) so the within-cell self-join plans as a
+    broadcast-hash join with the 128-term unrolled dot inside the
+    codegen'd stream. A localCheckpoint (stats-less ExistingRDD) or a
+    vec_id join back onto the assignment frame (product size estimate)
+    silently degrades it to a sort-merge join on the 8-value cell key
+    with the dot as an INTERPRETED join condition — 150 s vs 13 s at
+    sf1."""
+    df = dedup.dedup_semantic_semdedup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0, "pair join degraded to SMJ"
+    assert plan.count("BroadcastNestedLoop") == 0
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Scan ExistingRDD") == 0, "stats-blind checkpoint crept in"

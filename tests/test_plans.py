@@ -264,6 +264,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # quality_join_skew_audit: the one-row broadcast totals frame
         # crossed onto the TakeOrdered 5-row head
         "quality_join_skew_audit",
+        # pipeline_ccnet_buckets: two bounded broadcasts — the one-row
+        # vocab-size frame (from the perplexity stage) and
+        # distrank.ranked's metadata-sized shard-count frame
+        "pipeline_ccnet_buckets",
     }
     # iterative queries execute during construction (convergence loop /
     # Lloyd rounds) and their rendered plan embeds cached/checkpointed
