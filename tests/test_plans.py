@@ -336,6 +336,23 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "window_rank_functions",
         "agg_median_mode_by_segment",
     }
+    # queries whose plans legitimately contain a SortMergeJoin at test
+    # scale — an EXACT set (the round-9 SemDeDup pathology: a frame
+    # that loses size stats silently degrades its equi-join to an SMJ,
+    # and on a LOW-cardinality key that is the sharded-global-sort
+    # pathology with every non-equi term evaluated interpreted; a new
+    # SMJ anywhere else must be justified here). Each entry is either
+    # a high-cardinality key (doc/cust/row ids — a legitimate
+    # shuffle-join above broadcast size) or forced by join type
+    # (full outer has no broadcast form):
+    smj_ok = {
+        "join_full_outer_nation_activity",  # full outer: SMJ is the only plan
+        "pipeline_corpus_curation",  # doc_id
+        "graph_degree_distribution",  # doc_id
+        "graph_triangle_count",  # (doc_a, doc_b) closure probe
+        "quality_snapshot_diff",  # row-key full diff
+        "subq_exists_multi_order_days",  # c_custkey
+    }
     id_bearing = __import__("re").compile(r"(_pid|key|_?id($|_))")
     worst = []
     for name, fn in sorted(all_queries().items()):
@@ -345,6 +362,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         prof = explain.plan_profile(df)
         if prof["cartesians"] or prof["bnl_joins"]:
             assert name in bounded_cartesian_ok, (name, prof)
+        if prof["sort_merge_joins"]:
+            assert name in smj_ok, (name, prof)
         assert prof["exchanges"] <= ceilings.get(name, 8), (name, prof)
         # single-partition scale-killer guard: a Window whose spec has
         # no partition keys funnels the whole frame through one task
