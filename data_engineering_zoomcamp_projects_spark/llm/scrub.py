@@ -56,52 +56,44 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct bigram counts, the duplicate-bigram ratio, and the hottest
     bigram's frequency.
 
-    ZERO-shuffle plan (round-8 rewrite): all the stats are doc-local,
-    so instead of exploding the corpus x bigram stream through two
-    aggregation shuffles, each document sorts its own bigram array and
-    a single run-length fold reads off distinct count and hottest-run
-    length in one map-side pass — the statistics never leave the row.
-    Warm-session sf1 wall time only moves ~18-22 s -> ~16 s (the
-    interpreted fold trades shuffle cost for CPU locally), but the
-    plan shape is the point: at 100 TB the old form moved ~|corpus
-    tokens| rows through the exchange twice, this one is a pure scan
-    with map-side everything."""
+    ZERO-shuffle plan: all the stats are doc-local, so the statistics
+    never leave the row — a pure scan, map-side everything (the
+    round-8 rewrite eliminated the two corpus-sized aggregation
+    exchanges of the explode-groupBy form; at 100 TB those moved
+    ~|corpus tokens| rows through the exchange twice).
+
+    The doc-local pass itself is an Arrow pandas_udf (round-9 A/B):
+    the round-8 native form — per-doc array_sort + an aggregate()
+    run-length fold — runs entirely on the INTERPRETED lambda
+    evaluator (HOFs never enter whole-stage codegen), measured
+    15-16.6 s at sf1; one Counter pass per document in an Arrow batch
+    does the same integer counting in 1.5-3.3 s (~10x, the symspell
+    generator lesson again). Only exact integers cross the Python
+    boundary; the ratio arithmetic and rounding stay JVM-side so
+    oracle parity is untouched. The udf body is a nested closure
+    (cloudpickle by-value — executors don't have the repo on
+    sys.path under the driver contract)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, 2), " "),
-    )
-    zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-        F.lit(0).cast("long").alias("n_distinct"),
-    )
 
-    def step(acc, x):
-        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
-            F.lit(1).cast("long")
-        )
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-            F.when(x.eqNullSafe(acc["prev"]), acc["n_distinct"])
-            .otherwise(acc["n_distinct"] + 1)
-            .alias("n_distinct"),
+    @F.pandas_udf("struct<n_bigrams:bigint,n_distinct:bigint,max_freq:bigint>")
+    def rep_stats(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        n_b, n_d, mx = [], [], []
+        for s in texts:
+            ts = s.split(" ")
+            # mirror the oracle's edge rule: a 1-token doc contributes
+            # one "bigram" (the token itself) via the greatest(.., 1)
+            m = max(len(ts) - 1, 1)
+            c = Counter(" ".join(ts[i : i + 2]) for i in range(m))
+            n_b.append(m)
+            n_d.append(len(c))
+            mx.append(max(c.values()))
+        return pd.DataFrame(
+            {"n_bigrams": n_b, "n_distinct": n_d, "max_freq": mx}
         )
 
-    # staged projections: bgs and the fold result are each referenced
-    # twice downstream, and CollapseProject refuses to inline a
-    # non-cheap producer into multiple consumers — so each stage's
-    # expensive expression is provably evaluated ONCE (the plan shows
-    # a single aggregate(array_sort(..)); asserted by pytest)
-    staged = d.select("doc_id", bigrams.alias("bgs")).select(
-        "doc_id",
-        F.size("bgs").cast("long").alias("n_bigrams"),
-        F.aggregate(F.array_sort("bgs"), zero, step).alias("stats"),
-    )
+    staged = d.select("doc_id", rep_stats("text").alias("stats"))
     dup_ratio = F.round(
         1
         - F.col("n_distinct_bigrams").cast("double")
@@ -111,9 +103,9 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         staged.select(
             "doc_id",
-            "n_bigrams",
+            F.col("stats")["n_bigrams"].alias("n_bigrams"),
             F.col("stats")["n_distinct"].alias("n_distinct_bigrams"),
-            F.col("stats")["best"].alias("max_bigram_freq"),
+            F.col("stats")["max_freq"].alias("max_bigram_freq"),
         )
         .withColumn("dup_ratio", dup_ratio)
         .withColumn("is_repetitive", (F.col("dup_ratio") > 0.5).cast("int"))

@@ -84,6 +84,10 @@ _FRONT = [
     #     instances to (doc, token) types — exact decimal-multiple
     #     equality, 4x on the scoring stage at sf1):
     "text_langid_profile",
+    #     + text_repetition_scores (doc-local pass moved from the
+    #     interpreted sorted-run HOF fold to one Arrow batch — 10x at
+    #     sf1, still zero-exchange; integers-only cross Python):
+    "text_repetition_scores",
     # (c) 48 re-certification slots, oldest round first.
     #     The 8 r1-era joins (operators/joins.py — last official rows
     #     are round 1):
@@ -127,12 +131,12 @@ _FRONT = [
     "q6_forecast_revenue",
     "q8_market_share",
     "stream_tumbling_hourly",
-    #     8 of the 17 r4-era rows (alphabetical; the remaining nine —
-    #     sample_stratified_by_lang, sim_label_centroids,
-    #     subq_in_european_suppliers, subq_orders_above_customer_avg,
-    #     subq_scalar_above_avg_price, topk_global, topk_per_group,
-    #     window_first_last, window_range_frame — are the oldest
-    #     candidates for round 10):
+    #     7 of the 17 r4-era rows (alphabetical; the remaining ten —
+    #     sample_hash_reproducible, sample_stratified_by_lang,
+    #     sim_label_centroids, subq_in_european_suppliers,
+    #     subq_orders_above_customer_avg, subq_scalar_above_avg_price,
+    #     topk_global, topk_per_group, window_first_last,
+    #     window_range_frame — are the oldest candidates for round 10):
     "events_value_histogram",
     "filter_predicate_suite",
     "multimodal_binary_features",
@@ -140,7 +144,6 @@ _FRONT = [
     "multimodal_join_docs_embeddings",
     "prep_vocab_topk",
     "projection_expressions",
-    "sample_hash_reproducible",
 ]
 
 

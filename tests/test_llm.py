@@ -409,19 +409,18 @@ def test_quantize_int8_single_eval_plan(spark, sf_dir):
 
 
 def test_repetition_scores_zero_shuffle_single_eval(spark, sf_dir):
-    """The round-8 repetition rewrite must stay (a) oracle-equal, (b)
-    a pure scan — zero exchanges (all stats are doc-local), and (c)
-    single-evaluation: exactly one sorted-run fold and one bigram
-    build in the physical plan (CollapseProject must not inline the
-    staged producers into their multiple consumers — the regression
-    that made shingles() O(len^2))."""
+    """The repetition scorer must stay (a) oracle-equal, (b) a pure
+    scan — zero exchanges (all stats are doc-local), and (c) a single
+    Arrow batch pass: one ArrowEvalPython stage computing the integer
+    stats (the round-9 pandas rewrite — 10x over the interpreted
+    sorted-run HOF fold at sf1), with the ratio arithmetic left
+    JVM-side for oracle parity."""
     from .oracle import compare, run_oracle
     from data_engineering_zoomcamp_projects_spark.llm import scrub
 
     df = scrub.text_repetition_scores(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("aggregate(array_sort") == 1
-    assert plan.count("transform(sequence") == 1
+    assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
     for d in {sf_dir, "/root/testdata/sf0.01"}:
         problems = compare(
