@@ -48,7 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g on the 128 GiB bench box: the round-9 sf10 (100x) probe
+        # showed 8g starves AQE broadcast builds once a long session
+        # accumulates persisted pair memos + per-round flood state
+        # ("Not enough memory to build and broadcast" in
+        # dedup_cluster_components after 11 prior sf10 queries; clean
+        # at 24g). Deploy clusters size the driver independently.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
