@@ -1364,34 +1364,26 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot_dec, dot_double_fixed, norm
     from ..ml import (
         KMEANS_SCALE,
-        kmeans_cells_expr,
+        kmeans_assign_frame,
         kmeans_trained_centroids,
     )
 
     # single-scan corpus frame: v, vnorm AND the k-means cell all
     # derived in one projection chain over the parquet scan, with the
-    # trained centroids inlined as plan literals (kmeans_cells_expr).
-    # This shape is load-bearing for the join strategy below, twice
-    # over: (1) a localCheckpointed frame is a stats-less ExistingRDD
-    # scan, and (2) even an un-checkpointed vec_id join back onto the
-    # assignment frame makes the self-join side's size estimate the
-    # PRODUCT of the join children — either way Catalyst loses the
-    # real ~scan-sized estimate and falls back to a sort-merge join on
-    # the 8-value cell key: 8 tasks doing all the work AND the
-    # 128-term unrolled dot evaluated as an INTERPRETED SMJ condition
-    # (measured 150/139 s at sf1; 13 s as a pure projection with the
-    # dot inside the codegen'd broadcast-hash-join stream).
+    # trained centroids inlined as plan literals (the shared
+    # ml.kmeans_assign_frame with v/vnorm carried through). This shape
+    # is load-bearing for the join strategy below, twice over: (1) a
+    # localCheckpointed frame is a stats-less ExistingRDD scan, and
+    # (2) even an un-checkpointed vec_id join back onto the assignment
+    # frame makes the self-join side's size estimate the PRODUCT of
+    # the join children — either way Catalyst loses the real
+    # ~scan-sized estimate and falls back to a sort-merge join on the
+    # 8-value cell key: 8 tasks doing all the work AND the 128-term
+    # unrolled dot evaluated as an INTERPRETED SMJ condition (measured
+    # 150/139 s at sf1; 13 s as a pure projection with the dot inside
+    # the codegen'd broadcast-hash-join stream).
     cents = kmeans_trained_centroids(spark, sf_dir)
-    dist = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("vq"), c["cq"], lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored_cells = F.transform(
-        kmeans_cells_expr(cents),
-        lambda c: F.struct(dist(c).alias("dist"), c["cent_id"].alias("cent_id")),
-    )
-    ec = (
+    base = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
         .select(
@@ -1402,8 +1394,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "v", lambda x: F.floor(x * KMEANS_SCALE).cast("long")
             ).alias("vq"),
         )
-        .select("vec_id", "v", "vnorm", F.array_min(scored_cells).alias("_best"))
-        .select("vec_id", "v", "vnorm", F.col("_best")["cent_id"].alias("cell"))
+    )
+    ec = kmeans_assign_frame(base, cents, carry=("v", "vnorm")).select(
+        "vec_id", "v", "vnorm", "cell"
     )
     # probe side re-spread first: same rationale as _emb_pairs_direct —
     # under a broadcast-hash join there is no exchange to undo the

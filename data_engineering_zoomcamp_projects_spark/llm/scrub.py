@@ -81,6 +81,15 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         n_b, n_d, mx = [], [], []
         for s in texts:
+            if s is None:
+                # NULL text propagates NULL stats (the native
+                # expression plan's null semantics; current corpora
+                # have no nulls — this keeps a data issue per-row
+                # instead of failing the whole query)
+                n_b.append(None)
+                n_d.append(None)
+                mx.append(None)
+                continue
             ts = s.split(" ")
             # mirror the oracle's edge rule: a 1-token doc contributes
             # one "bigram" (the token itself) via the greatest(.., 1)

@@ -110,7 +110,18 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2.3x fewer rows and the argmax aggregation reads a type-grain
     stream (r9 rewrite: 16.4 s -> 4.0 s at sf1 on the scoring stage).
     The oracle states the per-instance form; equality is exact, not
-    approximate."""
+    approximate.
+
+    Decimal discipline for that exactness: the product is computed as
+    decimal(20,10) x decimal(17,0) -> decimal(38,10) with NO precision
+    adjustment. A naive decimal(38,10) * bigint overflows precision 38
+    and Spark silently ADJUSTS the result type to decimal(38,6),
+    rounding every term at 1e-6 (round-9 self-review finding: scores
+    diverged from the oracle's per-instance sum on ~all rows, max
+    ~5e-6 — enough to flip a near-tied argmax and break
+    certification); the tightened operand types keep the multiply
+    exact, pinned bit-equal to the per-instance fold by
+    tests/test_llm.py::test_langid_type_grain_score_bit_equal."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
     counts = tok.groupBy(F.col("lang").alias("p_lang"), "token").agg(
@@ -134,9 +145,10 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "p_lang")
         .agg(
             F.sum(
-                (F.col("p").cast("decimal(38,10)") * F.col("n")).cast(
-                    "decimal(38,10)"
-                )
+                (
+                    F.col("p").cast("decimal(20,10)")
+                    * F.col("n").cast("decimal(17,0)")
+                ).cast("decimal(38,10)")
             )
             .cast("double")
             .alias("score")

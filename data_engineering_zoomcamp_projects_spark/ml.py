@@ -302,13 +302,17 @@ def kmeans_cells_expr(cents: list) -> "F.Column":
     )
 
 
-def kmeans_assign_frame(e: DataFrame, cents: list) -> DataFrame:
-    """Nearest-centroid assignment over a (vec_id, vq) frame: adds
-    (cell, dist) via array_min over struct(dist, cent_id) — exact
-    integer distances, deterministic argmin. The argmin array is
-    STAGED as its own projection so the 8 x 64 HOF distance folds
-    evaluate once per row, not once per consumer (the CollapseProject
-    discipline)."""
+def kmeans_assign_frame(
+    e: DataFrame, cents: list, carry: tuple = ()
+) -> DataFrame:
+    """Nearest-centroid assignment over a (vec_id, vq, *carry) frame:
+    adds (cell, dist) via array_min over struct(dist, cent_id) — exact
+    integer distances, deterministic argmin. `carry` columns ride
+    through untouched (dedup_semantic_semdedup carries v/vnorm so its
+    corpus frame stays ONE projection chain — the stats-preserving
+    shape its self-join needs). The argmin array is STAGED as its own
+    projection so the 8 x 64 HOF distance folds evaluate once per row,
+    not once per consumer (the CollapseProject discipline)."""
     dist = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(F.col("vq"), c["cq"], lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -319,10 +323,11 @@ def kmeans_assign_frame(e: DataFrame, cents: list) -> DataFrame:
         lambda c: F.struct(dist(c).alias("dist"), c["cent_id"].alias("cent_id")),
     )
     best = F.array_min(scored)  # (dist asc, cent_id asc) head
-    staged = e.select("vec_id", "vq", best.alias("_best"))
+    staged = e.select("vec_id", "vq", *carry, best.alias("_best"))
     return staged.select(
         "vec_id",
         "vq",
+        *carry,
         F.col("_best")["cent_id"].alias("cell"),
         F.col("_best")["dist"].alias("dist"),
     )

@@ -70,7 +70,7 @@ _FRONT = [
     #     llm/curation.py):
     "dedup_semantic_semdedup",
     "pipeline_ccnet_buckets",
-    # (b) 3 changed-plan slots: plans this round rewrites per the r8
+    # (b) 5 changed-plan slots: plans this round rewrites per the r8
     #     verdict (symspell variant-generator A/B, item 5; distributed
     #     Bloom bitset build, item 6) need fresh rows over the NEW
     #     plan; ml_kmeans_embeddings joins them because the shared
@@ -88,7 +88,9 @@ _FRONT = [
     #     interpreted sorted-run HOF fold to one Arrow batch — 10x at
     #     sf1, still zero-exchange; integers-only cross Python):
     "text_repetition_scores",
-    # (c) 48 re-certification slots, oldest round first.
+    # (c) 43 re-certification slots, oldest round first (2 + 5 + 43 =
+    #     the 50-slot window; (c) started at 48 and yielded five slots
+    #     to the round's plan rewrites as they landed).
     #     The 8 r1-era joins (operators/joins.py — last official rows
     #     are round 1):
     "join_anti_inactive_customers",

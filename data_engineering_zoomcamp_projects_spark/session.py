@@ -16,6 +16,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Half of physical RAM in whole GiB, clamped to [4g, 24g] —
+    see the spark.driver.memory comment below for the sf10 rationale.
+    Falls back to 8g where /proc/meminfo is unavailable."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(4, min(24, int(total_gib // 2)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "data_engineering_zoomcamp_projects_spark",
     master: str | None = None,
@@ -48,13 +63,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 24g on the 128 GiB bench box: the round-9 sf10 (100x) probe
-        # showed 8g starves AQE broadcast builds once a long session
-        # accumulates persisted pair memos + per-round flood state
-        # ("Not enough memory to build and broadcast" in
-        # dedup_cluster_components after 11 prior sf10 queries; clean
-        # at 24g). Deploy clusters size the driver independently.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # RAM-derived default (capped 24g, floored 4g): the round-9
+        # sf10 (100x) probe showed 8g starves AQE broadcast builds
+        # once a long session accumulates persisted pair memos +
+        # per-round flood state ("Not enough memory to build and
+        # broadcast" in dedup_cluster_components after 11 prior sf10
+        # queries; clean at 24g on the 128 GiB bench box). Deriving
+        # from MemTotal instead of hard-coding 24g keeps small hosts
+        # from launching a JVM the OS would OOM-kill; deploy clusters
+        # size the driver independently.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")

@@ -715,3 +715,65 @@ def test_semdedup_pair_join_stays_codegen_broadcast(spark, sf_dir):
     assert plan.count("CartesianProduct") == 0
     assert plan.count("BroadcastHashJoin") == 1
     assert plan.count("Scan ExistingRDD") == 0, "stats-blind checkpoint crept in"
+
+
+def test_langid_type_grain_score_bit_equal(spark, sf_dir):
+    """The type-grain langid scoring (n x dec(p) per token TYPE) must
+    be BIT-equal to the per-instance decimal fold the oracle states —
+    including the internal score column the argmax ranks on, not just
+    the argmax output. Regression for the round-9 self-review finding:
+    a decimal(38,10) * bigint product silently adjusts to
+    decimal(38,6), rounding every term at 1e-6 (2499/2500 scores
+    diverged at sf0.001 before the operand types were tightened to
+    decimal(20,10) x decimal(17,0) -> exact decimal(38,10))."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        doc = load_table(spark, d, "documents")
+        tok = doc.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        counts = tok.groupBy(F.col("lang").alias("p_lang"), "token").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        totals = counts.groupBy("p_lang").agg(F.sum("cnt").alias("total"))
+        profile = (
+            counts.join(F.broadcast(totals), "p_lang")
+            .withColumn(
+                "p", F.col("cnt").cast("double") / F.col("total").cast("double")
+            )
+            .select("p_lang", "token", "p")
+        )
+        instance = (
+            tok.join(F.broadcast(profile), "token")
+            .groupBy("doc_id", "lang", "p_lang")
+            .agg(
+                F.sum(F.col("p").cast("decimal(38,10)"))
+                .cast("double")
+                .alias("score")
+            )
+        )
+        tcnt = tok.groupBy("doc_id", "lang", "token").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        typed = (
+            tcnt.join(F.broadcast(profile), "token")
+            .groupBy("doc_id", "lang", "p_lang")
+            .agg(
+                F.sum(
+                    (
+                        F.col("p").cast("decimal(20,10)")
+                        * F.col("n").cast("decimal(17,0)")
+                    ).cast("decimal(38,10)")
+                )
+                .cast("double")
+                .alias("score")
+            )
+        )
+        a = {(r["doc_id"], r["p_lang"]): r["score"] for r in instance.collect()}
+        b = {(r["doc_id"], r["p_lang"]): r["score"] for r in typed.collect()}
+        assert a == b, (
+            f"{sum(1 for k in a if a[k] != b.get(k))} of {len(a)} scores differ"
+        )
