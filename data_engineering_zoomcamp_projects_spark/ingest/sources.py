@@ -304,3 +304,63 @@ def read_jdbc_partitioned(
     if predicate:
         df = df.filter(predicate)
     return df
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str, schema=None
+) -> DataFrame:
+    """XML scan via the Spark 4 NATIVE xml source (the spark-xml
+    package folded into core): one row per `row_tag` element, nested
+    elements become struct/array columns, attributes read as
+    `_attrname` fields. Distributed like any file source — the rowTag
+    splitter runs per file partition, so a directory of XML feeds
+    scales with the cluster, not the driver.
+
+    Reference parity: the reference's ingestion entry point parses an
+    S3 bucket-listing XML document driver-side with BeautifulSoup
+    (reference citibike_project/etl/ingest_data.py:59-76,
+    `xml.find_all("key")`); `list_bucket_keys` (above) covers that
+    exact listing contract with stdlib ElementTree, while this reader
+    is the DISTRIBUTED path for XML *data* feeds — the piece the
+    reference would have needed the moment the listed files were
+    themselves XML. Pass an explicit `schema` in production; inference
+    costs a pass."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the external spark-avro module is on the classpath.
+    Avro is an EXTERNAL data source module (unlike ORC/parquet/xml):
+    the sandbox bundles only the core avro-* serialization jars, not
+    org.apache.spark:spark-avro — provably unobtainable offline
+    (COVERAGE.md 'Unobtainable dependencies'), so the Avro read/write
+    paths are jar-guarded exactly like ingest/lakehouse.py's Iceberg
+    surface: detection here, a skipping test in
+    tests/test_ingest.py, and the same code runs unchanged on a
+    deploy image that ships the module. The probe asks Spark's own
+    DataSource registry (a bare Class.forName false-positives here:
+    the bundled avro-* SERIALIZATION jars resolve some avro classes
+    while the data source itself is absent)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (jar-guarded; see avro_available). Row-oriented
+    interchange format of Kafka/schema-registry pipelines — the
+    classic landing format an LLM-data ingest edge consumes before
+    columnarizing to parquet."""
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink (jar-guarded; see avro_available)."""
+    df.write.format("avro").mode(mode).save(path)

@@ -658,3 +658,65 @@ def test_dynamic_partition_overwrite_preserves_other_partitions(spark, sf_dir, t
     # contrast: static overwrite truncates everything else
     fixed_f.write.mode("overwrite").partitionBy("status").parquet(out)
     assert spark.read.parquet(out).count() == n_f
+
+
+def test_read_xml_native_source(spark, tmp_path):
+    """Spark 4 native XML source: rowTag splitting, nested elements as
+    structs, attributes as _attr columns — round-tripped against a
+    hand-built document so the schema mapping is pinned, plus an
+    explicit-schema read (the production form; inference costs a
+    pass)."""
+    from pyspark.sql import types as T
+
+    from data_engineering_zoomcamp_projects_spark.ingest.sources import read_xml
+
+    doc = tmp_path / "feed.xml"
+    doc.write_text(
+        "<feed>"
+        "<entry id=\"1\"><name>alpha</name><score>2.5</score>"
+        "<tags><tag>x</tag><tag>y</tag></tags></entry>"
+        "<entry id=\"2\"><name>beta</name><score>4.0</score>"
+        "<tags><tag>z</tag></tags></entry>"
+        "</feed>"
+    )
+    df = read_xml(spark, str(doc), row_tag="entry")
+    rows = {r["_id"]: r for r in df.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["name"] == "alpha"
+    assert rows[2]["score"] == 4.0
+    assert rows[1]["tags"]["tag"] == ["x", "y"]
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    pinned = read_xml(spark, str(doc), row_tag="entry", schema=schema)
+    assert pinned.schema == schema
+    assert {r["name"] for r in pinned.collect()} == {"alpha", "beta"}
+
+
+def test_avro_roundtrip_or_documented_skip(spark, tmp_path):
+    """Avro read/write is jar-guarded (external spark-avro module;
+    provably unobtainable in-sandbox — COVERAGE.md). Where the module
+    exists the roundtrip must work; here the guard must return False
+    and the test records the skip, the ingest/lakehouse.py Iceberg
+    pattern."""
+    import pytest
+
+    from data_engineering_zoomcamp_projects_spark.ingest.sources import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.range(5).selectExpr("id", "string(id) AS s")
+    if not avro_available(spark):
+        pytest.skip(
+            "spark-avro module not on classpath (external module; "
+            "unobtainable offline — see COVERAGE.md)"
+        )
+    out = str(tmp_path / "av")
+    write_avro(df, out)
+    assert read_avro(spark, out).count() == 5
