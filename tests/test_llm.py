@@ -777,3 +777,64 @@ def test_langid_type_grain_score_bit_equal(spark, sf_dir):
         assert a == b, (
             f"{sum(1 for k in a if a[k] != b.get(k))} of {len(a)} scores differ"
         )
+
+
+def test_lm_perplexity_rounding_boundary_margin(spark, sf_dir):
+    """Sentinel for the one platform-sensitive step in
+    text_lm_perplexity: lp_u = floor(round(-ln p, 6) * 1e6 + 0.5)
+    assumes JVM and DuckDB libm agree on -ln(p) to better than the
+    distance from the nearest 0.5e-6 rounding boundary. A last-ulp
+    libm divergence only flips lp_u for a bigram whose -ln(p) sits
+    essentially ON a boundary; this asserts every bigram type at both
+    small SFs keeps a margin of > 1e-9 (a ~1e-16-relative libm
+    disagreement on values < 20 nats is ~2e-15 absolute — six orders
+    below the margin), so if the corpus ever generates a
+    boundary-straddling probability this fails loudly BEFORE the
+    driver hash mysteriously flakes (r8 advisor note: widen to the
+    decimal-safe formulation if it ever does). Threshold calibration:
+    a <=1-ulp libm disagreement on values < 20 nats is ~4e-15 nats
+    absolute; the gate demands 1e-11 nats — 1000x that bound — and the
+    measured corpus worst is ~7.8e-10 nats (sf0.001), a further 100x
+    above the gate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        doc = load_table(spark, d, "documents")
+        toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+        t = doc.select("doc_id", toks.alias("ts"))
+        n_pairs = F.greatest(F.size("ts") - 1, F.lit(0))
+        bg = (
+            t.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("ts", 1, n_pairs),
+                        F.slice("ts", 2, n_pairs),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c_ab"))
+        )
+        c_a = bg.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+        v = t.select(F.explode("ts").alias("tok")).agg(
+            F.count_distinct("tok").alias("v")
+        ).collect()[0]["v"]
+        rows = bg.join(c_a, "a").collect()
+        worst = 1.0
+        for r in rows:
+            p = (r["c_ab"] + 0.5) / (r["c_a"] + 0.5 * v)
+            x = -math.log(p) * 1e6  # boundary grid: integers + 0.5
+            frac = abs(x - math.floor(x) - 0.5)
+            worst = min(worst, frac)
+        # margin in nats at the 1e-6 grid: frac grid units = frac*1e-6
+        # nats; demand > 1e-11 nats <=> frac > 1e-5
+        assert worst > 1e-5, (
+            f"a bigram log-prob sits {worst / 1e6:.2e} nats from a rounding "
+            "boundary (gate: 1e-11 nats, ~1000x the worst credible libm "
+            "disagreement) — switch lp_u to the decimal-safe formulation"
+        )
