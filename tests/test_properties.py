@@ -172,3 +172,86 @@ def test_timeline_prefilter_bounds_state(spark, rows):
         vals = sorted(v for kk, v in rows if kk == r["k"])
         got = sorted(int(x) for x in r["tl"].split("|"))
         assert got == vals[:expect]
+
+
+def _ed(a: str, b: str) -> int:
+    """Plain Levenshtein (test oracle)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _del_neighborhood(s: str) -> set:
+    """<=2-deletion variant set — mirrors the generator nested inside
+    llm/scrub._deletion_variants_udf (which must stay a closure for
+    executor pickling; the shipped output is pinned value-equal to the
+    quadratic path by test_symspell_equals_quadratic_fuzzy_match, so
+    this spec-level twin suffices here)."""
+    out = {s}
+    length = len(s)
+    for i in range(length):
+        out.add(s[:i] + s[i + 1 :])
+    for i in range(length):
+        for j in range(i + 1, length):
+            out.add(s[:i] + s[i + 1 : j] + s[j + 1 :])
+    return out
+
+
+@given(
+    a=st.text(alphabet="abc0123", min_size=0, max_size=9),
+    b=st.text(alphabet="abc0123", min_size=0, max_size=9),
+)
+@settings(max_examples=300, deadline=None)
+def test_deletion_neighborhood_candidate_rule(a, b):
+    """The SymSpell/FastSS candidate rule the fuzzy-ER join depends
+    on, as a property over arbitrary strings: ed(a,b) <= 2 IMPLIES the
+    <=2-deletion neighborhoods intersect (losslessness — no true pair
+    can be missed by the variant join), and any intersection IMPLIES
+    ed(a,b) <= 4 (so the post-join levenshtein verify faces a bounded
+    false-candidate class; the round-9 dead end in BASELINE §18 showed
+    the tempting depth-sum<=2 tightening drops substitution pairs, so
+    the per-side rule here IS the tight one)."""
+    shared = bool(_del_neighborhood(a) & _del_neighborhood(b))
+    if _ed(a, b) <= 2:
+        assert shared
+    if shared:
+        assert _ed(a, b) <= 4
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    k=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=60, deadline=None)
+def test_ntile_from_rank_matches_window_size_rule(n, k):
+    """distrank.ntile_from_rank must reproduce the SQL-standard NTILE
+    size rule (first n%k buckets take ceil(n/k) rows) for every rank —
+    checked arithmetically against the definition for arbitrary
+    partition sizes and bucket counts (the CCNet tercile and the
+    rank_family ntile both ride on this identity)."""
+    q, rem = divmod(n, k)
+    expected = []
+    for bucket in range(1, k + 1):
+        expected.extend([bucket] * (q + (1 if bucket <= rem else 0)))
+    # evaluate the Column expression once for the whole partition
+    from data_engineering_zoomcamp_projects_spark.operators.distrank import (
+        ntile_from_rank,
+    )
+    import tests.conftest  # noqa: F401  (session fixture owns the SparkSession)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("rn"),
+        ntile_from_rank(F.col("id"), F.lit(n).cast("long"), k).alias("bucket"),
+    )
+    got = [r["bucket"] for r in df.orderBy("rn").collect()]
+    assert got == expected
