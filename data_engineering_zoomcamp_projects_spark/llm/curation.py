@@ -123,7 +123,12 @@ def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import text_langid_profile, text_lm_perplexity
 
     lang = text_langid_profile(spark, sf_dir).select("doc_id", "predicted_lang")
-    ppl = text_lm_perplexity(spark, sf_dir)
+    # project before the tercile: ranked() range-shards and
+    # localCheckpoints its input, so unused columns (n_bigrams) would
+    # ride the exchange and the checkpoint storage for nothing
+    ppl = text_lm_perplexity(spark, sf_dir).select(
+        "doc_id", "cross_entropy", "perplexity"
+    )
     j = lang.join(ppl, "doc_id")
     r = ranked(
         j,

@@ -610,14 +610,16 @@ def embedding_lsh_candidates(
     )
 
 
-def _emb_score(pairs: DataFrame) -> DataFrame:
-    """Exact two-phase cosine scoring of a pair frame carrying columns
-    (vec_a, vec_b, label, va, na, vb, nb). Every pair is first scored
-    with the cheap IEEE-double cosine and discarded below
-    (threshold - 1e-6); only survivors pay the order-independent
-    decimal cosine the oracle comparison needs. The 1e-6 margin is ~7
-    orders of magnitude above double summation error for 64-dim
-    unit-scale vectors, so no true >= threshold pair can be lost."""
+def _two_phase_cosine(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact two-phase cosine scoring of any pair frame carrying
+    columns (va, na, vb, nb): every pair is first scored with the
+    cheap IEEE-double cosine and discarded below (threshold - 1e-6);
+    only survivors pay the order-independent decimal cosine the oracle
+    comparison needs, appended as `cos_sim` and filtered at the
+    threshold. The 1e-6 margin is ~7 orders of magnitude above double
+    summation error for 64-dim unit-scale vectors, so no true
+    >= threshold pair can be lost. Shared by the label-blocked
+    embedding near-dup family and the SemDeDup cell pruner."""
     from ..functions.vector import dot_dec, dot_double_fixed
 
     denom = F.col("na") * F.col("nb")
@@ -626,15 +628,20 @@ def _emb_score(pairs: DataFrame) -> DataFrame:
     cos_fast = dot_double_fixed(F.col("va"), F.col("vb"), 64) / denom
     cos_exact = dot_dec(F.col("va"), F.col("vb")).cast("double") / denom
     return (
-        pairs.filter(cos_fast >= EMB_THRESHOLD - 1e-6)
+        pairs.filter(cos_fast >= threshold - 1e-6)
         .withColumn("cos_sim", cos_exact)
-        .filter(F.col("cos_sim") >= EMB_THRESHOLD)
-        .select(
-            "vec_a",
-            "vec_b",
-            "label",
-            F.round("cos_sim", 6).alias("cos_sim"),
-        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _emb_score(pairs: DataFrame) -> DataFrame:
+    """_two_phase_cosine at the embedding near-dup threshold, rendered
+    to the family's (vec_a, vec_b, label, cos_sim) output shape."""
+    return _two_phase_cosine(pairs, EMB_THRESHOLD).select(
+        "vec_a",
+        "vec_b",
+        "label",
+        F.round("cos_sim", 6).alias("cos_sim"),
     )
 
 
@@ -1343,7 +1350,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what lets a clustering-dependent dedup be oracle-checked
     at all. Stage 2 pairs vectors within each cell via a cell-keyed
     equi-join (AQE splits skewed cells at scale) and scores with the
-    two-phase cosine of `_emb_score`: cheap IEEE-double prefilter at
+    shared `_two_phase_cosine`: cheap IEEE-double prefilter at
     (tau - 1e-6) in whole-stage codegen — the unrolled fixed-dim dot,
     ~4x over the interpreted HOF fold on this codegen-able stage —
     then the exact order-independent decimal cosine on survivors only.
@@ -1361,7 +1368,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     none (the reference has no embedding surface) — driver-contract
     Part C, the last dedup-family member (exact / Jaccard / MinHash /
     SimHash / embedding-cosine / span / semantic)."""
-    from ..functions.vector import dot_dec, dot_double_fixed, norm
+    from ..functions.vector import norm
     from ..ml import (
         KMEANS_SCALE,
         kmeans_assign_frame,
@@ -1409,7 +1416,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vnorm").alias("na"),
     )
     b = ec.select(
-        F.col("vec_id").alias("vec_id"),
+        "vec_id",
         F.col("cell").alias("cell_b"),
         F.col("v").alias("vb"),
         F.col("vnorm").alias("nb"),
@@ -1419,23 +1426,15 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cell") == F.col("cell_b"))
         & (F.col("keeper_cand") < F.col("vec_id")),
     )
-    denom = F.col("na") * F.col("nb")
-    cos_fast = dot_double_fixed(F.col("va"), F.col("vb"), 64) / denom
-    cos_exact = dot_dec(F.col("va"), F.col("vb")).cast("double") / denom
-    scored = (
-        pairs.filter(cos_fast >= SEMDEDUP_TAU - 1e-6)
-        .withColumn("cos_sim", cos_exact)
-        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
-    )
     return (
-        scored.groupBy("vec_id")
+        _two_phase_cosine(pairs, SEMDEDUP_TAU)
+        .groupBy("vec_id")
         .agg(
             F.first("cell").alias("cluster_id"),
             F.min("keeper_cand").alias("keeper_id"),
             F.count(F.lit(1)).cast("long").alias("n_dups"),
             F.round(F.max("cos_sim"), 6).alias("max_cos"),
         )
-        .select("vec_id", "cluster_id", "keeper_id", "n_dups", "max_cos")
     )
 
 

@@ -430,7 +430,13 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql_chain() -> str:
+def kmeans_chain_sql() -> str:
+    """The shared DuckDB WITH chain of the fixed-point Lloyd model
+    (quant, c0, per-round a{i}/m{i}/c{i}) ending with the terminal
+    assignment CTE a{KMEANS_ITERS} (vec_id, vq, cell, dist) — the
+    oracle twin of `kmeans_final_assignments`. Used by both the
+    ml_kmeans_embeddings oracle (aggregates it) and the
+    dedup_semantic_semdedup oracle (pairs within its cells)."""
     q = (
         "list_transform(embedding::DOUBLE[], "
         f"x -> CAST(FLOOR(x * {KMEANS_SCALE}) AS BIGINT))"
@@ -478,16 +484,6 @@ def _kmeans_sql_chain() -> str:
         parts.append(update_cte(f"m{i}", f"c{i}", f"a{i}", f"c{i - 1}"))
     parts.append(assign_cte(f"a{KMEANS_ITERS}", f"c{KMEANS_ITERS - 1}"))
     return f"WITH {', '.join(parts)}"
-
-
-def kmeans_chain_sql() -> str:
-    """The shared DuckDB WITH chain of the fixed-point Lloyd model
-    (quant, c0, per-round a{i}/m{i}/c{i}) ending with the terminal
-    assignment CTE a{KMEANS_ITERS} (vec_id, vq, cell, dist) — the
-    oracle twin of `kmeans_final_assignments`. Used by both the
-    ml_kmeans_embeddings oracle (aggregates it) and the
-    dedup_semantic_semdedup oracle (pairs within its cells)."""
-    return _kmeans_sql_chain()
 
 
 def _kmeans_sql() -> str:
