@@ -218,8 +218,102 @@ FROM clip, (SELECT unnest(generate_series(0, {AUDIO_N_WIN - 1})) AS w) g
 """
 
 
+#: image-resize geometry: 16x16 = 256-byte grayscale raster, 2x2
+#: box-filter downsample -> 8x8; pixel = floor(mean of the 4 sources),
+#: exact integer arithmetic on both engines
+IMG_W = 16
+IMG_OUT = IMG_W // 2
+
+
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (downsample) pipeline shape: binary raster in, binary
+    raster out, 1 row -> 1 row, zero shuffle — the thumbnailing /
+    resolution-normalization step of a multimodal training pipeline.
+    The resize itself is a 2x2 box filter (each output pixel is the
+    floored mean of its 2x2 source block), run entirely in native
+    expressions: one hex split materializes the byte array per row
+    (the audio-windows lesson — HOF lambdas don't share subexpressions,
+    so index the materialized array, never the md5 chain), then one
+    transform over the 64 output pixels reads its 4 source bytes with
+    element_at. Integer sum >> 2 keeps every pixel exact, so DuckDB
+    recomputes the resized raster byte-for-byte.
+
+    The 256-byte "image" is synthesized (16 chained md5 blocks — the
+    documents table ships no real rasters; same convention as the other
+    multimodal payloads). A real corpus swaps in its parquet `binary`
+    column and a real codec inside the same projection (or decode_image
+    via mapInPandas for compressed formats); the resize expressions and
+    the 1:1 batch shape don't change. Reference parity: none (no
+    multimodal surface in the reference) — driver-contract Part C."""
+    d = load_table(spark, sf_dir, "documents")
+    hexes = F.concat(
+        *[
+            F.md5(F.concat(F.col("text"), F.lit(str(i) if i else "")))
+            for i in range(IMG_W * IMG_W // 16)
+        ]
+    )
+    img = d.select("doc_id", F.unhex(hexes).alias("payload"))
+    pairs = F.split(F.lower(F.hex("payload")), r"(?<=\G..)")
+    bytes_arr = F.filter(
+        F.transform(pairs, lambda h: F.conv(h, 16, 10).cast("long")),
+        lambda b: b.isNotNull(),
+    )
+    with_bytes = img.select("doc_id", bytes_arr.alias("bytes"))
+
+    def _src(p, off):
+        # output pixel p = (r, c) with r = p >> 3, c = p & 7; its 2x2
+        # source block starts at r*2*IMG_W + c*2 (0-based, +1 element_at)
+        base = F.shiftright(p, 3) * (2 * IMG_W) + p.bitwiseAND(F.lit(7)) * 2
+        return F.element_at(F.col("bytes"), (base + off + 1).cast("int"))
+
+    resized = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(IMG_OUT * IMG_OUT - 1)),
+        lambda p: F.shiftright(
+            _src(p, 0) + _src(p, 1) + _src(p, IMG_W) + _src(p, IMG_W + 1), 2
+        ),
+    )
+    return with_bytes.select(
+        "doc_id",
+        F.lit(IMG_OUT).cast("int").alias("out_w"),
+        F.lit(IMG_OUT).cast("int").alias("out_h"),
+        # raster rendered to a string: raw array columns don't cross the
+        # comparator (repo convention, see fn_array_suite)
+        F.array_join(
+            F.transform(resized, lambda x: x.cast("string")), " "
+        ).alias("resized_pixels"),
+        F.aggregate(
+            resized, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("pixel_sum"),
+    )
+
+
+_IMG_HX = " || ".join(
+    "md5(text)" if i == 0 else f"md5(text || '{i}')"
+    for i in range(IMG_W * IMG_W // 16)
+)
+_IMG_BYTE = "CAST(('0x' || substr(hx, ({pos}) * 2 + 1, 2)) AS BIGINT)"
+_IMG_PIX = " + ".join(
+    _IMG_BYTE.format(pos=f"(p // 8) * {2 * IMG_W} + (p % 8) * 2 + {off}")
+    for off in (0, 1, IMG_W, IMG_W + 1)
+)
+
+IMAGE_RESIZE_SQL = f"""
+WITH img AS (SELECT doc_id, {_IMG_HX} AS hx FROM documents)
+SELECT doc_id,
+       CAST({IMG_OUT} AS INTEGER) AS out_w,
+       CAST({IMG_OUT} AS INTEGER) AS out_h,
+       array_to_string(list_transform(range(0, {IMG_OUT * IMG_OUT}),
+                      p -> CAST(({_IMG_PIX}) // 4 AS VARCHAR)), ' ')
+           AS resized_pixels,
+       CAST(list_sum(list_transform(range(0, {IMG_OUT * IMG_OUT}),
+                      p -> ({_IMG_PIX}) // 4)) AS BIGINT) AS pixel_sum
+FROM img
+"""
+
+
 QUERIES = {
     "multimodal_binary_features": multimodal_binary_features,
+    "multimodal_image_resize": multimodal_image_resize,
     "multimodal_audio_windows": multimodal_audio_windows,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_join_docs_embeddings": multimodal_join_docs_embeddings,
@@ -260,6 +354,7 @@ FROM documents, (SELECT unnest(generate_series(0, 3)) AS k) f
 
 ORACLES = {
     "multimodal_binary_features": BINARY_FEATURES_SQL,
+    "multimodal_image_resize": IMAGE_RESIZE_SQL,
     # promoted round 6 (held out of the full round-5 window; pinned by
     # tests/test_llm.py::test_audio_windows_matches_oracle at both SFs)
     "multimodal_audio_windows": AUDIO_WINDOWS_SQL,

@@ -133,19 +133,22 @@ _FRONT = [
     "q6_forecast_revenue",
     "q8_market_share",
     "stream_tumbling_hourly",
-    #     7 of the 17 r4-era rows (alphabetical; the remaining ten —
-    #     sample_hash_reproducible, sample_stratified_by_lang,
-    #     sim_label_centroids, subq_in_european_suppliers,
-    #     subq_orders_above_customer_avg, subq_scalar_above_avg_price,
-    #     topk_global, topk_per_group, window_first_last,
-    #     window_range_frame — are the oldest candidates for round 10):
+    #     6 of the 17 r4-era rows (alphabetical; the remaining eleven —
+    #     projection_expressions, sample_hash_reproducible,
+    #     sample_stratified_by_lang, sim_label_centroids,
+    #     subq_in_european_suppliers, subq_orders_above_customer_avg,
+    #     subq_scalar_above_avg_price, topk_global, topk_per_group,
+    #     window_first_last, window_range_frame — are the oldest
+    #     candidates for round 10):
     "events_value_histogram",
     "filter_predicate_suite",
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "multimodal_join_docs_embeddings",
     "prep_vocab_topk",
-    "projection_expressions",
+    #     + the round-9 late addition (new op, needs its first row;
+    #     displaced projection_expressions to round 10):
+    "multimodal_image_resize",
 ]
 
 

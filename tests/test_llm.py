@@ -545,6 +545,61 @@ def test_audio_windows_matches_oracle(spark, sf_dir):
     assert not problems, "\n".join(problems)
 
 
+def test_image_resize_matches_oracle_and_reference(spark, sf_dir):
+    """Driver-twin differential for multimodal_image_resize at BOTH
+    small SFs, plus a hashlib third implementation: the 2x2 box filter
+    recomputed in plain Python from the same md5 chain must reproduce
+    every Spark pixel — an engine-independent check that the geometry
+    (row-major raster, block addressing, floored mean) is what the
+    docstring claims, not merely the same expression twice."""
+    import hashlib
+
+    from data_engineering_zoomcamp_projects_spark.llm.multimodal import (
+        IMAGE_RESIZE_SQL,
+        IMG_OUT,
+        IMG_W,
+        multimodal_image_resize,
+    )
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = multimodal_image_resize(spark, d)
+        problems = compare(df, run_oracle(IMAGE_RESIZE_SQL, d), "image_resize")
+        assert not problems, "\n".join(problems)
+
+    rows = multimodal_image_resize(spark, sf_dir).limit(5).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        raw = b"".join(
+            hashlib.md5(
+                (texts[r["doc_id"]] + (str(i) if i else "")).encode()
+            ).digest()
+            for i in range(IMG_W * IMG_W // 16)
+        )
+        expect = [
+            (
+                raw[2 * rr * IMG_W + 2 * cc]
+                + raw[2 * rr * IMG_W + 2 * cc + 1]
+                + raw[(2 * rr + 1) * IMG_W + 2 * cc]
+                + raw[(2 * rr + 1) * IMG_W + 2 * cc + 1]
+            )
+            // 4
+            for rr in range(IMG_OUT)
+            for cc in range(IMG_OUT)
+        ]
+        got = [int(x) for x in r["resized_pixels"].split(" ")]
+        assert got == expect, r["doc_id"]
+        assert r["out_w"] == r["out_h"] == IMG_OUT
+        assert r["pixel_sum"] == sum(expect)
+        assert all(0 <= p <= 255 for p in got)
+
+
 def test_pretokenize_matches_oracle(spark, sf_dir):
     """Driver-twin differential for text_pretokenize_bpe_style (oracle
     held out of the round-5 driver dict — window full)."""
