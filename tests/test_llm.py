@@ -563,10 +563,19 @@ def test_image_resize_matches_oracle_and_reference(spark, sf_dir):
 
     from .oracle import compare, run_oracle
 
+    from data_engineering_zoomcamp_projects_spark.llm.multimodal import (
+        image_resize_native,
+    )
+
     for d in {sf_dir, "/root/testdata/sf0.01"}:
         df = multimodal_image_resize(spark, d)
         problems = compare(df, run_oracle(IMAGE_RESIZE_SQL, d), "image_resize")
         assert not problems, "\n".join(problems)
+        # the registered Arrow path and the zero-Python native-HOF twin
+        # must be row-identical (the A/B that picked Arrow, pinned)
+        native = sorted(map(tuple, image_resize_native(spark, d).collect()))
+        arrow = sorted(map(tuple, df.collect()))
+        assert native == arrow
 
     rows = multimodal_image_resize(spark, sf_dir).limit(5).collect()
     texts = {
