@@ -140,15 +140,16 @@ _FRONT = [
     #     subq_scalar_above_avg_price, topk_global, topk_per_group,
     #     window_first_last, window_range_frame — are the oldest
     #     candidates for round 10):
-    "events_value_histogram",
     "filter_predicate_suite",
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "multimodal_join_docs_embeddings",
     "prep_vocab_topk",
-    #     + the round-9 late addition (new op, needs its first row;
-    #     displaced projection_expressions to round 10):
+    #     + the round-9 late additions (new ops, need their first rows;
+    #     displaced projection_expressions and events_value_histogram
+    #     to round 10):
     "multimodal_image_resize",
+    "stream_live_ingest_neardup",
 ]
 
 

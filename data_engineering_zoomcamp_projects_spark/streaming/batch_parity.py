@@ -195,6 +195,18 @@ def _stream_live_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_live_dedup_summary(spark, sf_dir)
 
 
+def _stream_live_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .jobs import stream_live_ingest_neardup
+
+    return stream_live_ingest_neardup(spark, sf_dir)
+
+
+def _stream_live_ingest_neardup_sql() -> str:
+    from .jobs import _ingest_neardup_oracle_sql
+
+    return _ingest_neardup_oracle_sql()
+
+
 def _stream_live_join_sql() -> str:
     from .jobs import STREAM_LIVE_JOIN_SQL
 
@@ -215,6 +227,7 @@ QUERIES = {
     "stream_live_sliding_15m": _stream_live_sliding_15m,
     "stream_live_dedup_summary": _stream_live_dedup_summary,
     "stream_live_join_purchase_views": _stream_live_join_purchase_views,
+    "stream_live_ingest_neardup": _stream_live_ingest_neardup,
     "stream_sliding_15m": stream_sliding_15m,
     "stream_session_30m": stream_session_30m,
     "stream_dedup_summary": stream_dedup_summary,
@@ -228,6 +241,7 @@ ORACLES = {
     "stream_live_sliding_15m": STREAM_SLIDING_SQL,
     "stream_live_dedup_summary": _stream_live_dedup_sql(),
     "stream_live_join_purchase_views": _stream_live_join_sql(),
+    "stream_live_ingest_neardup": _stream_live_ingest_neardup_sql(),
     "stream_sliding_15m": STREAM_SLIDING_SQL,
     "stream_session_30m": STREAM_SESSION_SQL,
     "stream_dedup_summary": STREAM_DEDUP_SQL,

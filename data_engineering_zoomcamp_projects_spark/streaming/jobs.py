@@ -421,6 +421,185 @@ FROM events p JOIN events v
 """
 
 
+#: arrival batches for the continuous-ingest near-dup pipeline: the
+#: documents corpus replayed as this many files (doc_id % N), processed
+#: one per micro-batch — the "daily crawl drop" simulation
+INGEST_N_BATCHES = 3
+
+
+def stream_live_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE `readStream` continuous-ingest near-dup filter — the
+    daily-crawl shape of a training-data pipeline: documents arrive in
+    batches (three arrival files, split by doc_id % 3, replayed
+    oldest-modification-time-first with maxFilesPerTrigger=1), and each
+    micro-batch is near-dup-filtered inside foreachBatch against the
+    SURVIVOR CORPUS accumulated from earlier batches, then its own
+    survivors are appended to that corpus.
+
+    Keep policy — deterministic so DuckDB can replay it: a document is
+    DROPPED iff it has a near-dup pair (exact Jaccard >= 0.8, produced
+    by the shared exact-verified MinHash banding — `minhash_lsh_pairs`
+    within the batch, `minhash_lsh_pairs_between` against the corpus)
+    with a smaller-id document of its OWN batch, or with ANY survivor
+    of an earlier batch. The oracle unrolls the same three stages over
+    the exact shingle pair table (banding == exact at these parameters;
+    pinned by test_minhash_equals_exact_jaccard), so the driver
+    hash-checks the actual multi-batch streaming execution — arrival
+    ordering, foreachBatch state accumulation, and the LSH joins.
+
+    Scale: state is the survivor corpus as an append-only parquet table
+    (the lakehouse table at deploy — this is `dedup_incremental_batch`
+    run continuously); per-batch work is batch x corpus, never
+    corpus x corpus, and the band join stays linear in candidates. The
+    arrival/sink/checkpoint dirs are per-run temp dirs here and the
+    production pointers at deploy. Reference parity: none (no streaming
+    surface in the reference) — driver-contract C-streaming depth row.
+    """
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..catalog import load_table
+    from ..llm.dedup import minhash_lsh_pairs, minhash_lsh_pairs_between
+
+    root = tempfile.mkdtemp(prefix="sg_ingest_neardup_")
+    in_dir = os.path.join(root, "arrivals")
+    os.makedirs(in_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # three arrival files with strictly increasing mtimes: the file
+    # source picks files oldest-first, making batch order deterministic
+    base = _time.time() - 3600
+    for k in range(INGEST_N_BATCHES):
+        stage = os.path.join(root, f"stage{k}")
+        d.filter(F.col("doc_id") % INGEST_N_BATCHES == k).coalesce(1).write.parquet(
+            stage
+        )
+        dst = os.path.join(in_dir, f"batch{k}.parquet")
+        shutil.copyfile(globmod.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (base + 60 * k, base + 60 * k))
+    surv_dir = os.path.join(root, "survivors")
+    res_dir = os.path.join(root, "status")
+
+    def _dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        within_dup = (
+            minhash_lsh_pairs(batch_df)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        dup_ids = within_dup
+        if os.path.exists(surv_dir):
+            surv = spark.read.parquet(surv_dir)
+            cross_dup = (
+                minhash_lsh_pairs_between(batch_df, surv)
+                .select(F.col("new_doc").alias("doc_id"))
+                .distinct()
+            )
+            dup_ids = dup_ids.unionByName(cross_dup).distinct()
+        status = batch_df.join(
+            dup_ids.withColumn("_dup", F.lit(1)), "doc_id", "left"
+        ).select(
+            "doc_id",
+            "text",
+            (F.col("doc_id") % INGEST_N_BATCHES).cast("int").alias("batch_idx"),
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("kept"),
+        )
+        # materialize the dedup decision ONCE, eagerly, BEFORE either
+        # write: appending to surv_dir below invalidates any plan
+        # cached over that path, and a lazy status plan re-executed by
+        # the second write would re-list the survivor dir WITH this
+        # batch's own survivors in it — every kept doc then
+        # self-matches at Jaccard 1.0 (observed; the eager checkpoint
+        # pins exactly-one evaluation of the decision per micro-batch)
+        status = status.localCheckpoint()
+        (
+            status.filter(F.col("kept") == 1)
+            .select("doc_id", "text")
+            .write.mode("append")
+            .parquet(surv_dir)
+        )
+        status.select("doc_id", "batch_idx", "kept").write.mode("append").parquet(
+            res_dir
+        )
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(res_dir)
+
+
+def _ingest_neardup_oracle_sql() -> str:
+    """Batch replay of stream_live_ingest_neardup's three-stage keep
+    policy over the EXACT Jaccard pair table (the same exact-verify
+    semantics the LSH plan produces). sym/good are MATERIALIZED: k0–k2
+    reference them five times and DuckDB would otherwise re-run the
+    shingle self-join per reference."""
+    from ..functions.text import sql_shingle_cte
+    from ..llm.dedup import JACCARD_THRESHOLD
+
+    n = INGEST_N_BATCHES
+    return f"""
+WITH {sql_shingle_cte(5)},
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pair AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+good AS MATERIALIZED (
+  SELECT da, db FROM pair
+  JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+  WHERE CAST(common AS DOUBLE)
+        / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+sym AS MATERIALIZED (
+  SELECT da AS x, db AS y FROM good UNION ALL SELECT db AS x, da AS y FROM good
+),
+k0 AS MATERIALIZED (
+  SELECT d.doc_id FROM documents d WHERE d.doc_id % {n} = 0
+    AND NOT EXISTS (SELECT 1 FROM sym
+                    WHERE sym.y = d.doc_id AND sym.x < d.doc_id
+                      AND sym.x % {n} = 0)
+),
+k1 AS MATERIALIZED (
+  SELECT d.doc_id FROM documents d WHERE d.doc_id % {n} = 1
+    AND NOT EXISTS (SELECT 1 FROM sym
+                    WHERE sym.y = d.doc_id AND sym.x < d.doc_id
+                      AND sym.x % {n} = 1)
+    AND NOT EXISTS (SELECT 1 FROM sym JOIN k0 ON sym.x = k0.doc_id
+                    WHERE sym.y = d.doc_id)
+),
+k2 AS MATERIALIZED (
+  SELECT d.doc_id FROM documents d WHERE d.doc_id % {n} = 2
+    AND NOT EXISTS (SELECT 1 FROM sym
+                    WHERE sym.y = d.doc_id AND sym.x < d.doc_id
+                      AND sym.x % {n} = 2)
+    AND NOT EXISTS (SELECT 1 FROM sym
+                    JOIN (SELECT doc_id FROM k0
+                          UNION ALL SELECT doc_id FROM k1) ks
+                      ON sym.x = ks.doc_id
+                    WHERE sym.y = d.doc_id)
+)
+SELECT d.doc_id,
+       CAST(d.doc_id % {n} AS INTEGER) AS batch_idx,
+       CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM k0)
+                   OR d.doc_id IN (SELECT doc_id FROM k1)
+                   OR d.doc_id IN (SELECT doc_id FROM k2)
+                 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM documents d
+"""
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame to completion synchronously into an
     in-memory table (test/dev harness)."""

@@ -366,3 +366,56 @@ def test_max_files_per_trigger_paces_microbatches(spark, tmp_path):
     non_empty = [b for b in batches if b > 0]
     assert len(non_empty) == 4, batches
     assert all(b == 5 for b in non_empty), batches
+
+
+def test_ingest_neardup_matches_oracle_and_batch_replay(spark, sf_dir):
+    """Driver-twin differential for stream_live_ingest_neardup at BOTH
+    small SFs, plus a pure-batch replay of the same three-stage keep
+    policy (sequential minhash_lsh_pairs/_between over static frames) —
+    pinning that the streaming execution (arrival order, foreachBatch
+    survivor accumulation, the eager decision checkpoint) changes
+    nothing vs running the batches by hand."""
+    from data_engineering_zoomcamp_projects_spark.llm.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_between,
+    )
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.streaming.jobs import (
+        INGEST_N_BATCHES,
+        _ingest_neardup_oracle_sql,
+        stream_live_ingest_neardup,
+    )
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = stream_live_ingest_neardup(spark, d)
+        problems = compare(df, run_oracle(_ingest_neardup_oracle_sql(), d), "ingest")
+        assert not problems, "\n".join(problems)
+
+    got = {
+        r["doc_id"]: (r["batch_idx"], r["kept"])
+        for r in stream_live_ingest_neardup(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    surv = None
+    expect = {}
+    for k in range(INGEST_N_BATCHES):
+        bdf = docs.filter(F.col("doc_id") % INGEST_N_BATCHES == k)
+        dup = minhash_lsh_pairs(bdf).select(F.col("doc_b").alias("doc_id"))
+        if surv is not None:
+            dup = dup.unionByName(
+                minhash_lsh_pairs_between(bdf, surv).select(
+                    F.col("new_doc").alias("doc_id")
+                )
+            )
+        dup_ids = {r["doc_id"] for r in dup.collect()}
+        kept = bdf.join(
+            spark.createDataFrame([(i,) for i in dup_ids] or [(-1,)], "doc_id long"),
+            "doc_id",
+            "left_anti",
+        )
+        for r in bdf.select("doc_id").collect():
+            expect[r["doc_id"]] = (k, 0 if r["doc_id"] in dup_ids else 1)
+        surv = kept if surv is None else surv.unionByName(kept)
+    assert got == expect
