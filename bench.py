@@ -106,6 +106,14 @@ HEADLINE = [
     # + distributed per-language terciles — the composite over two
     # existing headliners, tracked for the distrank tercile overhead)
     "pipeline_ccnet_buckets",
+    # round-9 late: image resize (Arrow block-mean batch — tracks the
+    # multimodal Arrow path's per-row cost from first certification).
+    # stream_live_ingest_neardup is deliberately NOT a headline: its
+    # wall time is dominated by fixed streaming-machinery cost (three
+    # sequential micro-batches + checkpoint/sink roundtrips), which
+    # would read as operator noise here; its cost is tracked in the
+    # sf1 sweeps instead.
+    "multimodal_image_resize",
 ]
 
 
