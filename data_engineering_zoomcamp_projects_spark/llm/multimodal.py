@@ -37,6 +37,35 @@ def with_binary_payload(df: DataFrame) -> DataFrame:
     return df.withColumn("payload", F.unhex(F.md5("text")))
 
 
+def chained_md5_hex(n_blocks: int) -> "F.Column":
+    """Hex rendering of an n_blocks x 16-byte synthetic payload: chained
+    md5 blocks over the text column (block 0 = md5(text), block i =
+    md5(text || str(i))) — the shared payload convention of the audio
+    and image pipelines, mirrored symbolically by their oracles."""
+    return F.concat(
+        *[
+            F.md5(F.concat(F.col("text"), F.lit(str(i) if i else "")))
+            for i in range(n_blocks)
+        ]
+    )
+
+
+def hex_bytes_array(payload: "F.Column") -> "F.Column":
+    """Decode a binary column's hex rendering to a BYTE ARRAY exactly
+    once per row. HOF lambdas are evaluated interpreted and don't share
+    subexpressions, so indexing the hex string per byte inside downstream
+    lambdas re-derives the payload expression hundreds of times per row
+    (measured 5.0 s vs 0.6 s at sf0.1 on the audio windows); one regex
+    split + one transform materializes the array, and all byte math runs
+    on slices/element_at of it. The trailing-empty-string artifact of the
+    '(?<=\\G..)' split is dropped by the null filter."""
+    pairs = F.split(F.lower(F.hex(payload)), r"(?<=\G..)")
+    return F.filter(
+        F.transform(pairs, lambda h: F.conv(h, 16, 10).cast("long")),
+        lambda b: b.isNotNull(),
+    )
+
+
 def decode_image(payload: bytes):  # pragma: no cover - deliberate stub
     """STUB: real image decode (PIL/libjpeg) is unavailable in this
     environment. Deployment swaps this for the actual decoder; the
@@ -154,24 +183,16 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked. A real corpus swaps the synthesized payload for its
     parquet `binary` column; the windowing expressions don't change."""
     d = load_table(spark, sf_dir, "documents")
-    hexes = F.concat(
-        *[F.md5(F.concat(F.col("text"), F.lit(str(i) if i else ""))) for i in range(8)]
-    )
     # keep the binary column in the plan (the storage contract), then
-    # decode its hex rendering to a BYTE ARRAY exactly once per row:
-    # HOF lambdas are evaluated interpreted and don't share
-    # subexpressions, so indexing the hex string per byte inside the
-    # window lambdas re-derived the md5 chain hundreds of times per row
-    # (measured 5.0 s at sf0.1); one regex split + one transform
-    # materializes the array, and the window math runs on slices
-    # (measured 0.6 s, same results)
-    clip = d.select("doc_id", F.unhex(hexes).alias("payload"))
-    pairs = F.split(F.lower(F.hex("payload")), r"(?<=\G..)")
-    bytes_arr = F.filter(
-        F.transform(pairs, lambda h: F.conv(h, 16, 10).cast("long")),
-        lambda b: b.isNotNull(),
+    # materialize its byte array once per row (hex_bytes_array: the
+    # one-shot decode that keeps the md5 chain out of the window
+    # lambdas — 5.0 s -> 0.6 s at sf0.1, same results)
+    clip = d.select(
+        "doc_id", F.unhex(chained_md5_hex(AUDIO_BYTES // 16)).alias("payload")
     )
-    with_bytes = clip.select("doc_id", bytes_arr.alias("bytes"))
+    with_bytes = clip.select(
+        "doc_id", hex_bytes_array(F.col("payload")).alias("bytes")
+    )
     win = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(AUDIO_N_WIN - 1)),
@@ -236,13 +257,9 @@ def _resize_payload_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     same convention as the other multimodal payloads. A real corpus
     reads this column straight from parquet `binary`."""
     d = load_table(spark, sf_dir, "documents")
-    hexes = F.concat(
-        *[
-            F.md5(F.concat(F.col("text"), F.lit(str(i) if i else "")))
-            for i in range(IMG_W * IMG_W // 16)
-        ]
+    return d.select(
+        "doc_id", F.unhex(chained_md5_hex(IMG_W * IMG_W // 16)).alias("payload")
     )
-    return d.select("doc_id", F.unhex(hexes).alias("payload"))
 
 
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,12 +322,9 @@ def image_resize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1 (interpreted per-pixel lambdas), which is why it is not the
     registered plan."""
     img = _resize_payload_frame(spark, sf_dir)
-    pairs = F.split(F.lower(F.hex("payload")), r"(?<=\G..)")
-    bytes_arr = F.filter(
-        F.transform(pairs, lambda h: F.conv(h, 16, 10).cast("long")),
-        lambda b: b.isNotNull(),
+    with_bytes = img.select(
+        "doc_id", hex_bytes_array(F.col("payload")).alias("bytes")
     )
-    with_bytes = img.select("doc_id", bytes_arr.alias("bytes"))
 
     def _src(p, off):
         # output pixel p = (r, c) with r = p >> 3, c = p & 7; its 2x2

@@ -133,13 +133,13 @@ _FRONT = [
     "q6_forecast_revenue",
     "q8_market_share",
     "stream_tumbling_hourly",
-    #     6 of the 17 r4-era rows (alphabetical; the remaining eleven —
-    #     projection_expressions, sample_hash_reproducible,
-    #     sample_stratified_by_lang, sim_label_centroids,
-    #     subq_in_european_suppliers, subq_orders_above_customer_avg,
-    #     subq_scalar_above_avg_price, topk_global, topk_per_group,
-    #     window_first_last, window_range_frame — are the oldest
-    #     candidates for round 10):
+    #     5 of the 17 r4-era rows (alphabetical; the remaining twelve —
+    #     events_value_histogram, projection_expressions,
+    #     sample_hash_reproducible, sample_stratified_by_lang,
+    #     sim_label_centroids, subq_in_european_suppliers,
+    #     subq_orders_above_customer_avg, subq_scalar_above_avg_price,
+    #     topk_global, topk_per_group, window_first_last,
+    #     window_range_frame — are the oldest candidates for round 10):
     "filter_predicate_suite",
     "multimodal_binary_features",
     "multimodal_frame_sample",

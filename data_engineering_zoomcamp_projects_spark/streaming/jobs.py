@@ -455,6 +455,7 @@ def stream_live_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pointers at deploy. Reference parity: none (no streaming
     surface in the reference) — driver-contract C-streaming depth row.
     """
+    import atexit
     import glob as globmod
     import os
     import shutil
@@ -465,6 +466,10 @@ def stream_live_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import minhash_lsh_pairs, minhash_lsh_pairs_between
 
     root = tempfile.mkdtemp(prefix="sg_ingest_neardup_")
+    # the returned DataFrame lazily reads res_dir, so the tree must
+    # outlive this function — reclaim it at interpreter exit instead of
+    # accumulating one corpus copy per invocation in /tmp
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     in_dir = os.path.join(root, "arrivals")
     os.makedirs(in_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -478,6 +483,7 @@ def stream_live_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dst = os.path.join(in_dir, f"batch{k}.parquet")
         shutil.copyfile(globmod.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        shutil.rmtree(stage)
         os.utime(dst, (base + 60 * k, base + 60 * k))
     surv_dir = os.path.join(root, "survivors")
     res_dir = os.path.join(root, "status")
@@ -497,8 +503,13 @@ def stream_live_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
             )
             dup_ids = dup_ids.unionByName(cross_dup).distinct()
+        # dup_ids is join/distinct-derived and therefore stats-less;
+        # hint it broadcast (it is near-dup-density-sized — the minority
+        # side by construction) so the batch-side join never degrades to
+        # a sort-merge on the stats-blind input (the repo's recorded
+        # SMJ pathology on checkpointed/join-derived frames)
         status = batch_df.join(
-            dup_ids.withColumn("_dup", F.lit(1)), "doc_id", "left"
+            F.broadcast(dup_ids.withColumn("_dup", F.lit(1))), "doc_id", "left"
         ).select(
             "doc_id",
             "text",
@@ -538,16 +549,44 @@ def stream_live_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(res_dir)
 
 
-def _ingest_neardup_oracle_sql() -> str:
-    """Batch replay of stream_live_ingest_neardup's three-stage keep
-    policy over the EXACT Jaccard pair table (the same exact-verify
-    semantics the LSH plan produces). sym/good are MATERIALIZED: k0–k2
-    reference them five times and DuckDB would otherwise re-run the
-    shingle self-join per reference."""
+def _ingest_neardup_oracle_sql(n: int = INGEST_N_BATCHES) -> str:
+    """Batch replay of stream_live_ingest_neardup's keep policy over
+    the EXACT Jaccard pair table (the same exact-verify semantics the
+    LSH plan produces), one generated k-stage per arrival batch — so
+    the oracle tracks INGEST_N_BATCHES instead of hardcoding three
+    stages. sym/good are MATERIALIZED: the k-stages reference them
+    2n - 1 times and DuckDB would otherwise re-run the shingle
+    self-join per reference."""
     from ..functions.text import sql_shingle_cte
     from ..llm.dedup import JACCARD_THRESHOLD
 
-    n = INGEST_N_BATCHES
+    stages = []
+    for k in range(n):
+        conds = [
+            f"""NOT EXISTS (SELECT 1 FROM sym
+                    WHERE sym.y = d.doc_id AND sym.x < d.doc_id
+                      AND sym.x % {n} = {k})"""
+        ]
+        if k:
+            earlier = " UNION ALL ".join(
+                f"SELECT doc_id FROM k{j}" for j in range(k)
+            )
+            conds.append(
+                f"""NOT EXISTS (SELECT 1 FROM sym
+                    JOIN ({earlier}) ks ON sym.x = ks.doc_id
+                    WHERE sym.y = d.doc_id)"""
+            )
+        joined_conds = "\n    AND ".join(conds)
+        stages.append(
+            f"""k{k} AS MATERIALIZED (
+  SELECT d.doc_id FROM documents d WHERE d.doc_id % {n} = {k}
+    AND {joined_conds}
+)"""
+        )
+    stages_sql = ",\n".join(stages)
+    kept_any = "\n                   OR ".join(
+        f"d.doc_id IN (SELECT doc_id FROM k{k})" for k in range(n)
+    )
     return f"""
 WITH {sql_shingle_cte(5)},
 cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -565,36 +604,10 @@ good AS MATERIALIZED (
 sym AS MATERIALIZED (
   SELECT da AS x, db AS y FROM good UNION ALL SELECT db AS x, da AS y FROM good
 ),
-k0 AS MATERIALIZED (
-  SELECT d.doc_id FROM documents d WHERE d.doc_id % {n} = 0
-    AND NOT EXISTS (SELECT 1 FROM sym
-                    WHERE sym.y = d.doc_id AND sym.x < d.doc_id
-                      AND sym.x % {n} = 0)
-),
-k1 AS MATERIALIZED (
-  SELECT d.doc_id FROM documents d WHERE d.doc_id % {n} = 1
-    AND NOT EXISTS (SELECT 1 FROM sym
-                    WHERE sym.y = d.doc_id AND sym.x < d.doc_id
-                      AND sym.x % {n} = 1)
-    AND NOT EXISTS (SELECT 1 FROM sym JOIN k0 ON sym.x = k0.doc_id
-                    WHERE sym.y = d.doc_id)
-),
-k2 AS MATERIALIZED (
-  SELECT d.doc_id FROM documents d WHERE d.doc_id % {n} = 2
-    AND NOT EXISTS (SELECT 1 FROM sym
-                    WHERE sym.y = d.doc_id AND sym.x < d.doc_id
-                      AND sym.x % {n} = 2)
-    AND NOT EXISTS (SELECT 1 FROM sym
-                    JOIN (SELECT doc_id FROM k0
-                          UNION ALL SELECT doc_id FROM k1) ks
-                      ON sym.x = ks.doc_id
-                    WHERE sym.y = d.doc_id)
-)
+{stages_sql}
 SELECT d.doc_id,
        CAST(d.doc_id % {n} AS INTEGER) AS batch_idx,
-       CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM k0)
-                   OR d.doc_id IN (SELECT doc_id FROM k1)
-                   OR d.doc_id IN (SELECT doc_id FROM k2)
+       CAST(CASE WHEN {kept_any}
                  THEN 1 ELSE 0 END AS INTEGER) AS kept
 FROM documents d
 """

@@ -388,14 +388,16 @@ def test_ingest_neardup_matches_oracle_and_batch_replay(spark, sf_dir):
 
     from .oracle import compare, run_oracle
 
+    sf_df = None
     for d in {sf_dir, "/root/testdata/sf0.01"}:
         df = stream_live_ingest_neardup(spark, d)
         problems = compare(df, run_oracle(_ingest_neardup_oracle_sql(), d), "ingest")
         assert not problems, "\n".join(problems)
+        if d == sf_dir:
+            sf_df = df  # reuse below — the pipeline is the suite's priciest
 
     got = {
-        r["doc_id"]: (r["batch_idx"], r["kept"])
-        for r in stream_live_ingest_neardup(spark, sf_dir).collect()
+        r["doc_id"]: (r["batch_idx"], r["kept"]) for r in sf_df.collect()
     }
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     surv = None
