@@ -461,8 +461,65 @@ FROM documents
 """
 
 
+#: fixed shard count for prep_shard_balanced; at deploy this is the
+#: number of training output files/workers
+_N_SHARDS = 8
+
+
+def prep_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding: assign every document to one of
+    _N_SHARDS training shards so per-shard token totals come out nearly
+    equal — the write-the-training-files step after curation. The
+    assignment is sorted round-robin (longest-processing-time style):
+    rank documents by token count descending (doc_id tiebreak) and take
+    shard = (rank - 1) % K, which interleaves big and small documents
+    across shards instead of clustering them the way contiguous ntile
+    buckets would. Deterministic — no RNG — so shards are reproducible
+    across engines, runs, and cluster sizes (the prep_train_test_split
+    property).
+
+    The global rank comes from `distrank.ranked` with empty partition
+    cols: range-sharded, no task ever holds more than ~|docs|/shards
+    rows — a plain ROW_NUMBER() over the whole corpus would funnel
+    everything through one task at 100 TB. Balance is pinned by pytest
+    (max/min shard token totals within 3% at both SFs; measured 1.026).
+    Reference parity: none — driver-contract C-LLM-data prep row."""
+    from ..operators.distrank import ranked
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    r = ranked(
+        toks,
+        [],
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        out="rn",
+    )
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("rn") - 1) % _N_SHARDS).cast("int").alias("shard_id"),
+    )
+
+
+PREP_SHARD_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, len(split(text, ' ')) AS n_tokens,
+         ROW_NUMBER() OVER (
+           ORDER BY len(split(text, ' ')) DESC, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST((rn - 1) % {_N_SHARDS} AS INTEGER) AS shard_id
+FROM ranked
+"""
+
+
 QUERIES = {
     "prep_train_test_split": prep_train_test_split,
+    "prep_shard_balanced": prep_shard_balanced,
     "prep_curriculum_order": prep_curriculum_order,
     "prep_temperature_resample": prep_temperature_resample,
     "prep_sequence_packing": prep_sequence_packing,
@@ -476,6 +533,7 @@ ORACLES = {
     # share the exact oracle (the sharing pattern of dedup_minhash_lsh)
     "prep_decontaminate_bloom": PREP_DECONTAM_SQL,
     "prep_train_test_split": PREP_SPLIT_SQL,
+    "prep_shard_balanced": PREP_SHARD_SQL,
     "prep_temperature_resample": PREP_TEMPERATURE_SQL,
     "prep_curriculum_order": PREP_CURRICULUM_SQL,
     "prep_sequence_packing": PREP_PACKING_SQL,

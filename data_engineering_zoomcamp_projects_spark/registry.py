@@ -133,23 +133,24 @@ _FRONT = [
     "q6_forecast_revenue",
     "q8_market_share",
     "stream_tumbling_hourly",
-    #     5 of the 17 r4-era rows (alphabetical; the remaining twelve —
-    #     events_value_histogram, projection_expressions,
-    #     sample_hash_reproducible, sample_stratified_by_lang,
-    #     sim_label_centroids, subq_in_european_suppliers,
-    #     subq_orders_above_customer_avg, subq_scalar_above_avg_price,
-    #     topk_global, topk_per_group, window_first_last,
-    #     window_range_frame — are the oldest candidates for round 10):
-    "filter_predicate_suite",
+    #     4 of the 17 r4-era rows (alphabetical; the remaining thirteen
+    #     — events_value_histogram, filter_predicate_suite,
+    #     projection_expressions, sample_hash_reproducible,
+    #     sample_stratified_by_lang, sim_label_centroids,
+    #     subq_in_european_suppliers, subq_orders_above_customer_avg,
+    #     subq_scalar_above_avg_price, topk_global, topk_per_group,
+    #     window_first_last, window_range_frame — are the oldest
+    #     candidates for round 10):
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "multimodal_join_docs_embeddings",
     "prep_vocab_topk",
     #     + the round-9 late additions (new ops, need their first rows;
-    #     displaced projection_expressions and events_value_histogram
-    #     to round 10):
+    #     displaced projection_expressions, events_value_histogram and
+    #     filter_predicate_suite to round 10):
     "multimodal_image_resize",
     "stream_live_ingest_neardup",
+    "prep_shard_balanced",
 ]
 
 

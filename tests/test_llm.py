@@ -902,3 +902,32 @@ def test_lm_perplexity_rounding_boundary_margin(spark, sf_dir):
             "boundary (gate: 1e-11 nats, ~1000x the worst credible libm "
             "disagreement) — switch lp_u to the decimal-safe formulation"
         )
+
+
+def test_shard_balanced_oracle_and_balance(spark, sf_dir):
+    """Driver-twin differential for prep_shard_balanced at BOTH small
+    SFs, plus the op's reason to exist: sorted round-robin must land
+    per-shard token totals within 3% of each other (contiguous ntile
+    buckets over the same ordering measure ~2x imbalanced here), and
+    every shard must receive either ceil or floor of n/K documents."""
+    from data_engineering_zoomcamp_projects_spark.llm.preparation import (
+        _N_SHARDS,
+        PREP_SHARD_SQL,
+        prep_shard_balanced,
+    )
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = prep_shard_balanced(spark, d)
+        problems = compare(df, run_oracle(PREP_SHARD_SQL, d), "shard")
+        assert not problems, "\n".join(problems)
+        rows = df.collect()
+        tok, cnt = {}, {}
+        for r in rows:
+            tok[r["shard_id"]] = tok.get(r["shard_id"], 0) + r["n_tokens"]
+            cnt[r["shard_id"]] = cnt.get(r["shard_id"], 0) + 1
+        assert len(tok) == _N_SHARDS
+        assert max(tok.values()) / min(tok.values()) < 1.03, tok
+        n = len(rows)
+        assert set(cnt.values()) <= {n // _N_SHARDS, n // _N_SHARDS + 1}, cnt

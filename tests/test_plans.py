@@ -228,10 +228,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # ref-day cross join) or the 5x25 dim cross join — verified bounded;
     # this is an EXACT set, so a new unbounded product anywhere fails
     bounded_cartesian_ok = {
-        # median/percentiles: distrank.ranked's 1-row broadcast
-        # shard-count frame (rank offsets + partition totals)
+        # median/percentiles/balanced-shards: distrank.ranked's 1-row
+        # broadcast shard-count frame (rank offsets + partition totals)
         "agg_median_mode_by_segment",
         "agg_exact_percentiles",
+        "prep_shard_balanced",
         "events_user_rfm", "join_cross_region_nation", "prep_vocab_topk",
         "prep_source_mixing", "prep_sequence_packing", "q11_part_value_share",
         "q22_idle_rich_customers", "sim_topk_bruteforce",
