@@ -255,3 +255,96 @@ def test_ntile_from_rank_matches_window_size_rule(n, k):
     )
     got = [r["bucket"] for r in df.orderBy("rn").collect()]
     assert got == expected
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=256, max_size=256), min_size=1, max_size=6, unique=True
+    )
+)
+@_SETTINGS
+def test_image_resize_arrow_equals_native_on_arbitrary_bytes(spark, payloads):
+    """The Arrow block-mean resize and the native-HOF twin must agree on
+    ANY 256-byte payload, not just the md5-synthesized rasters the
+    registered query feeds them — hypothesis drives raw binary through
+    both pixel pipelines (payload injection bypasses the shared
+    _resize_payload_frame synthesis)."""
+    from data_engineering_zoomcamp_projects_spark.llm import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+    )
+
+    # native pixel pipeline on the injected frame
+    wb = df.select("doc_id", mm.hex_bytes_array(F.col("payload")).alias("bytes"))
+
+    def _src(p, off):
+        base = F.shiftright(p, 3) * (2 * mm.IMG_W) + p.bitwiseAND(F.lit(7)) * 2
+        return F.element_at(F.col("bytes"), (base + off + 1).cast("int"))
+
+    resized = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(mm.IMG_OUT * mm.IMG_OUT - 1)),
+        lambda p: F.shiftright(
+            _src(p, 0) + _src(p, 1) + _src(p, mm.IMG_W) + _src(p, mm.IMG_W + 1), 2
+        ),
+    )
+    native = {
+        r["doc_id"]: r["px"]
+        for r in wb.select(
+            "doc_id",
+            F.array_join(F.transform(resized, lambda x: x.cast("string")), " ").alias(
+                "px"
+            ),
+        ).collect()
+    }
+
+    # reference block means in plain python
+    for i, payload in enumerate(payloads):
+        expect = " ".join(
+            str(
+                (
+                    payload[2 * r * mm.IMG_W + 2 * c]
+                    + payload[2 * r * mm.IMG_W + 2 * c + 1]
+                    + payload[(2 * r + 1) * mm.IMG_W + 2 * c]
+                    + payload[(2 * r + 1) * mm.IMG_W + 2 * c + 1]
+                )
+                // 4
+            )
+            for r in range(mm.IMG_OUT)
+            for c in range(mm.IMG_OUT)
+        )
+        assert native[i] == expect, i
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=2000), min_size=8, max_size=60),
+    k=st.integers(min_value=2, max_value=8),
+)
+@_SETTINGS
+def test_sorted_round_robin_balance_bound(spark, tokens, k):
+    """The LPT property behind prep_shard_balanced, on ANY token
+    distribution: after sorted round-robin over K shards, the max-min
+    spread of per-shard token totals is at most the largest single
+    item (each round of K consecutive ranks hands the bigger doc to the
+    shard that is currently behind — the classic bound), and doc counts
+    per shard differ by at most one."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens int"
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    )
+    out = df.select(
+        "n_tokens", ((rn - 1) % k).alias("shard")
+    ).groupBy("shard").agg(
+        F.sum("n_tokens").alias("tok"), F.count("*").alias("n")
+    ).collect()
+    toks = {r["shard"]: r["tok"] for r in out}
+    ns = [r["n"] for r in out]
+    assert max(ns) - min(ns) <= 1
+    if len(toks) == k:
+        # telescoping bound: round r hands shard 0 its largest and
+        # shard k-1 its smallest item; the spread sums to <= max item
+        assert max(toks.values()) - min(toks.values()) <= max(tokens)
