@@ -283,7 +283,14 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same mapInPandas; the batch shape doesn't change. Reference
     parity: none (no multimodal surface in the reference) —
     driver-contract Part C."""
-    img = _resize_payload_frame(spark, sf_dir)
+    return image_resize_arrow_on(_resize_payload_frame(spark, sf_dir))
+
+
+def image_resize_arrow_on(img: DataFrame) -> DataFrame:
+    """The Arrow block-mean pipeline over ANY (doc_id, payload binary)
+    frame with IMG_W x IMG_W payloads — the injectable core the
+    registered query applies to the synthesized rasters and the
+    property test drives with arbitrary bytes."""
 
     def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # closure, not a module function: executors don't have /root/repo
@@ -321,7 +328,12 @@ def image_resize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     output-equal to the registered Arrow path by pytest; 6x slower at
     sf1 (interpreted per-pixel lambdas), which is why it is not the
     registered plan."""
-    img = _resize_payload_frame(spark, sf_dir)
+    return image_resize_native_on(_resize_payload_frame(spark, sf_dir))
+
+
+def image_resize_native_on(img: DataFrame) -> DataFrame:
+    """The native-HOF pixel pipeline over ANY (doc_id, payload binary)
+    frame — the injectable twin of image_resize_arrow_on."""
     with_bytes = img.select(
         "doc_id", hex_bytes_array(F.col("payload")).alias("bytes")
     )

@@ -22,6 +22,17 @@ _SPLIT_MULT = 2654435761
 _SPLIT_MOD = 97
 CONTEXT_TOKENS = 2048
 
+#: the module's ONE corpus token-count definition (whitespace tokens),
+#: with its DuckDB twin — packing, sharding and any future token
+#: accounting must share these so the Spark and SQL sides can never
+#: drift independently
+N_TOKENS_SQL = "len(split(text, ' '))"
+
+
+def n_tokens_expr():
+    """Spark twin of N_TOKENS_SQL."""
+    return F.size(F.split("text", " "))
+
 
 def prep_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based split (78/10/12-ish over 97 buckets):
@@ -72,7 +83,7 @@ def prep_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     range shuffle so both consumers (rows + shard totals) read the
     same RDD — identical range bounds by construction."""
     d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split("text", " "))
+    n_tokens = n_tokens_expr()
     shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (
         d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
@@ -117,8 +128,8 @@ def prep_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREP_PACKING_SQL = f"""
 SELECT doc_id, lang,
-  len(split(text, ' ')) AS n_tokens,
-  CAST(FLOOR((SUM(len(split(text, ' '))) OVER w - len(split(text, ' ')))
+  {N_TOKENS_SQL} AS n_tokens,
+  CAST(FLOOR((SUM({N_TOKENS_SQL}) OVER w - {N_TOKENS_SQL})
        / {CONTEXT_TOKENS}) AS BIGINT) AS bin_id
 FROM documents
 WINDOW w AS (PARTITION BY lang ORDER BY doc_id
@@ -487,9 +498,7 @@ def prep_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.distrank import ranked
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
-    )
+    toks = d.select("doc_id", n_tokens_expr().alias("n_tokens"))
     r = ranked(
         toks,
         [],
@@ -505,9 +514,9 @@ def prep_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREP_SHARD_SQL = f"""
 WITH ranked AS (
-  SELECT doc_id, len(split(text, ' ')) AS n_tokens,
+  SELECT doc_id, {N_TOKENS_SQL} AS n_tokens,
          ROW_NUMBER() OVER (
-           ORDER BY len(split(text, ' ')) DESC, doc_id
+           ORDER BY {N_TOKENS_SQL} DESC, doc_id
          ) AS rn
   FROM documents
 )

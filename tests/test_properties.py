@@ -264,55 +264,41 @@ def test_ntile_from_rank_matches_window_size_rule(n, k):
 )
 @_SETTINGS
 def test_image_resize_arrow_equals_native_on_arbitrary_bytes(spark, payloads):
-    """The Arrow block-mean resize and the native-HOF twin must agree on
-    ANY 256-byte payload, not just the md5-synthesized rasters the
-    registered query feeds them — hypothesis drives raw binary through
-    both pixel pipelines (payload injection bypasses the shared
-    _resize_payload_frame synthesis)."""
+    """The SHIPPED Arrow block-mean pipeline (image_resize_arrow_on,
+    which the registered query applies to the md5 rasters) and the
+    SHIPPED native-HOF twin (image_resize_native_on) must both match a
+    plain-Python block-mean reference on ANY 256-byte payload —
+    hypothesis injects raw binary frames into the real injectable
+    cores, bypassing only the payload synthesis."""
     from data_engineering_zoomcamp_projects_spark.llm import multimodal as mm
 
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
     )
-
-    # native pixel pipeline on the injected frame
-    wb = df.select("doc_id", mm.hex_bytes_array(F.col("payload")).alias("bytes"))
-
-    def _src(p, off):
-        base = F.shiftright(p, 3) * (2 * mm.IMG_W) + p.bitwiseAND(F.lit(7)) * 2
-        return F.element_at(F.col("bytes"), (base + off + 1).cast("int"))
-
-    resized = F.transform(
-        F.sequence(F.lit(0).cast("long"), F.lit(mm.IMG_OUT * mm.IMG_OUT - 1)),
-        lambda p: F.shiftright(
-            _src(p, 0) + _src(p, 1) + _src(p, mm.IMG_W) + _src(p, mm.IMG_W + 1), 2
-        ),
-    )
+    arrow = {
+        r["doc_id"]: (r["resized_pixels"], r["pixel_sum"])
+        for r in mm.image_resize_arrow_on(df).collect()
+    }
     native = {
-        r["doc_id"]: r["px"]
-        for r in wb.select(
-            "doc_id",
-            F.array_join(F.transform(resized, lambda x: x.cast("string")), " ").alias(
-                "px"
-            ),
-        ).collect()
+        r["doc_id"]: (r["resized_pixels"], r["pixel_sum"])
+        for r in mm.image_resize_native_on(df).collect()
     }
 
     # reference block means in plain python
     for i, payload in enumerate(payloads):
-        expect = " ".join(
-            str(
-                (
-                    payload[2 * r * mm.IMG_W + 2 * c]
-                    + payload[2 * r * mm.IMG_W + 2 * c + 1]
-                    + payload[(2 * r + 1) * mm.IMG_W + 2 * c]
-                    + payload[(2 * r + 1) * mm.IMG_W + 2 * c + 1]
-                )
-                // 4
+        pixels = [
+            (
+                payload[2 * r * mm.IMG_W + 2 * c]
+                + payload[2 * r * mm.IMG_W + 2 * c + 1]
+                + payload[(2 * r + 1) * mm.IMG_W + 2 * c]
+                + payload[(2 * r + 1) * mm.IMG_W + 2 * c + 1]
             )
+            // 4
             for r in range(mm.IMG_OUT)
             for c in range(mm.IMG_OUT)
-        )
+        ]
+        expect = (" ".join(map(str, pixels)), sum(pixels))
+        assert arrow[i] == expect, i
         assert native[i] == expect, i
 
 
@@ -344,7 +330,9 @@ def test_sorted_round_robin_balance_bound(spark, tokens, k):
     toks = {r["shard"]: r["tok"] for r in out}
     ns = [r["n"] for r in out]
     assert max(ns) - min(ns) <= 1
-    if len(toks) == k:
-        # telescoping bound: round r hands shard 0 its largest and
-        # shard k-1 its smallest item; the spread sums to <= max item
-        assert max(toks.values()) - min(toks.values()) <= max(tokens)
+    # n >= 8 >= k guarantees every shard is populated; assert rather
+    # than guard so a strategy change can never silently skip the bound
+    assert len(toks) == k
+    # telescoping bound: round r hands shard 0 its largest and
+    # shard k-1 its smallest item; the spread sums to <= max item
+    assert max(toks.values()) - min(toks.values()) <= max(tokens)
