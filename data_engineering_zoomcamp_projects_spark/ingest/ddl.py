@@ -76,6 +76,64 @@ def postgres_ddl(df: DataFrame, table: str) -> str:
     return f'CREATE TABLE "{table}" ({", ".join(cols)})'
 
 
+def boto3_available() -> bool:
+    """Import-guard for the object-store bucket DDL (same discipline as
+    the Iceberg jar probe in lakehouse.py: only the specific
+    module-absent failure maps to False; anything else propagates)."""
+    try:
+        import boto3  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def ensure_bucket(
+    endpoint_url: str,
+    name: str,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    client=None,
+) -> bool:
+    """Conditional object-store bucket DDL (reference A19:
+    citibike_project/ingest-citibike.ipynb raw lines 54-63 — a boto3
+    client against MinIO + unconditional ``create_bucket``, which throws
+    on re-run). Driver-side infra bootstrap, not a data path: runs once
+    before any s3a:// sink (ingest/sinks.py A18) writes.
+
+    Returns True if the bucket was created now, False if it already
+    existed. Probe-then-create (the A14/A15 existence-probe discipline
+    the reference applied to databases but not buckets): only a
+    404/NoSuchBucket head response routes to create; any other failure
+    (auth, endpoint down, 403 owned-by-someone-else) propagates rather
+    than masquerading as "absent".
+
+    ``client`` is injectable so tests exercise the probe/create logic
+    without boto3 or a network endpoint.
+    """
+    if client is None:
+        import boto3
+
+        client = boto3.client(
+            "s3",
+            endpoint_url=endpoint_url,
+            aws_access_key_id=access_key,
+            aws_secret_access_key=secret_key,
+        )
+    try:
+        client.head_bucket(Bucket=name)
+        return False
+    except Exception as exc:
+        code = str(
+            getattr(exc, "response", None)
+            and exc.response.get("Error", {}).get("Code", "")
+            or ""
+        )
+        if code not in ("404", "NoSuchBucket"):
+            raise
+    client.create_bucket(Bucket=name)
+    return True
+
+
 def create_table_from_frame(
     spark: SparkSession, df: DataFrame, table: str, path: str | None = None
 ) -> None:

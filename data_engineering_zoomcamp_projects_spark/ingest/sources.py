@@ -344,13 +344,27 @@ def avro_available(spark: SparkSession) -> bool:
     DataSource registry (a bare Class.forName false-positives here:
     the bundled avro-* SERIALIZATION jars resolve some avro classes
     while the data source itself is absent)."""
+    ds = spark._jvm.org.apache.spark.sql.execution.datasources.DataSource
+    conf = spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+    # Self-validate the probe mechanism first (ADVICE r9): if the py4j
+    # static-forwarder path itself is broken on some future Spark,
+    # looking up a source that ALWAYS exists must not fail — otherwise
+    # a probe bug would silently disable the whole Avro surface on a
+    # deploy image that ships spark-avro. Any exception here propagates.
+    ds.lookupDataSource("parquet", conf)
     try:
-        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-            "avro", spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
-        )
+        ds.lookupDataSource("avro", conf)
         return True
-    except Exception:
-        return False
+    except Exception as exc:
+        # only the registry's module-absent failure maps to False; the
+        # message is stable across Spark 3/4 ("Failed to find [the]
+        # data source: avro" / AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE)
+        msg = str(exc)
+        if "avro" in msg.lower() and (
+            "Failed to find" in msg or "AVRO" in msg
+        ):
+            return False
+        raise
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:

@@ -3,13 +3,16 @@
 Treats image/audio/video payloads as opaque `binary` columns with typed
 metadata, exactly as a 100 TB multimodal corpus stores them. The Spark
 plumbing — schemas, Arrow-batched mapInPandas decode operators, batch
-shapes, partitioning — is real and tested; the actual media decoding is
-STUBBED (no image/audio libraries in this environment):
+shapes, partitioning — is real and tested, and since round 10 so is the
+image decode:
 
-- `decode_image` raises NotImplementedError (clearly-marked stub slot
-  for PIL/ffmpeg in deployment);
-- `fake_decode_features`/`fake_frame_sample` are deterministic fakes
-  that exercise the identical Arrow path with verifiable outputs.
+- `decode_image` is a real codec: PIL when importable (any format),
+  else a stdlib zlib PNG codec for the 8-bit grayscale profile
+  (`png_encode_gray`/`png_decode_gray`) — exercised end-to-end and
+  oracle-certified by `multimodal_image_decode_resize`;
+- audio/video decoding stays faked (`fake_decode_features`/
+  `fake_frame_sample` are deterministic fakes over the identical Arrow
+  path — no ffmpeg in this environment).
 
 The testdata has no binary column, so the payload is synthesized as
 unhex(md5(text)) — 16 deterministic bytes per row."""
@@ -66,15 +69,137 @@ def hex_bytes_array(payload: "F.Column") -> "F.Column":
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - deliberate stub
-    """STUB: real image decode (PIL/libjpeg) is unavailable in this
-    environment. Deployment swaps this for the actual decoder; the
-    Spark-side plumbing (mapInPandas over binary columns) is identical.
-    """
-    raise NotImplementedError(
-        "image decoding requires PIL/libvips — not installed; "
-        "use fake_decode_features for the plumbing path"
-    )
+def _png_codec():
+    """Minimal PNG codec for the 8-bit grayscale non-interlaced profile,
+    pure stdlib (struct + zlib). Factory-local definitions on purpose:
+    a `<locals>` qualname makes cloudpickle serialize these BY VALUE, so
+    mapInPandas closures can call them on executors that don't have this
+    package on sys.path (the repo-wide closure-serialization rule)."""
+    import struct
+    import zlib
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def encode(raster: bytes, width: int, height: int) -> bytes:
+        """Encode a gray-8 raster as a real, spec-valid PNG (filter 0
+        rows, fixed zlib level -> deterministic bytes)."""
+        if len(raster) != width * height:
+            raise ValueError(
+                f"raster is {len(raster)} bytes, expected {width * height}"
+            )
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            body = tag + data
+            return (
+                struct.pack(">I", len(data))
+                + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + raster[y * width : (y + 1) * width] for y in range(height)
+        )
+        return (
+            SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
+
+    def decode(payload: bytes) -> tuple[int, int, bytes]:
+        """Decode a gray-8 non-interlaced PNG to (width, height, raster).
+        All five spec filters (None/Sub/Up/Average/Paeth) are
+        reconstructed, so PNGs from other encoders (PIL writes Paeth
+        rows) decode too — this is a complete decoder for the profile,
+        not just an inverse of `encode`."""
+        if payload[:8] != SIG:
+            raise ValueError("not a PNG payload")
+        width = height = None
+        idat = b""
+        pos = 8
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                width, height, depth, color, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if (depth, color, interlace) != (8, 0, 0):
+                    raise ValueError(
+                        "only 8-bit grayscale non-interlaced PNGs "
+                        f"(got depth={depth} color={color} interlace={interlace})"
+                    )
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if width is None or not idat:
+            raise ValueError("truncated PNG (no IHDR/IDAT)")
+        raw = zlib.decompress(idat)
+        if len(raw) != height * (width + 1):
+            raise ValueError("PNG scanline data has the wrong length")
+        out = bytearray()
+        prev = bytes(width)
+        for y in range(height):
+            ftype = raw[y * (width + 1)]
+            row = bytearray(raw[y * (width + 1) + 1 : (y + 1) * (width + 1)])
+            if ftype > 4:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            for x in range(width):
+                a = row[x - 1] if x else 0  # reconstructed left neighbour
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                if ftype == 1:
+                    row[x] = (row[x] + a) & 0xFF
+                elif ftype == 2:
+                    row[x] = (row[x] + b) & 0xFF
+                elif ftype == 3:
+                    row[x] = (row[x] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    row[x] = (row[x] + pred) & 0xFF
+            out += row
+            prev = row
+        return width, height, bytes(out)
+
+    return encode, decode
+
+
+png_encode_gray, png_decode_gray = _png_codec()
+
+
+def pil_available() -> bool:
+    """Import-guard for the PIL decode path (avro/iceberg discipline:
+    only module-absent maps to False; a broken PIL propagates)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Real image decode to (width, height, gray-8 raster bytes) — the
+    deploy slot that was a NotImplementedError stub through round 9.
+    PIL when importable (any format, converted to 8-bit grayscale);
+    otherwise the stdlib zlib PNG decoder covering the gray-8
+    non-interlaced profile `png_encode_gray` emits. Only ImportError
+    routes to the fallback (ADVICE r9: a broken probe must not
+    masquerade as 'module absent')."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return png_decode_gray(payload)
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        gray = img.convert("L")
+        return gray.width, gray.height, gray.tobytes()
 
 
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,6 +423,16 @@ def image_resize_arrow_on(img: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in it:
+            # fail loudly per-row: the concat+reshape below only errors
+            # if the batch TOTAL isn't a multiple of 256, so one
+            # wrong-length payload would otherwise silently mis-frame
+            # every later row in the batch (ADVICE r9)
+            lens = pdf["payload"].map(len)
+            if not lens.eq(IMG_W * IMG_W).all():
+                bad = pdf["doc_id"][lens != IMG_W * IMG_W].iloc[0]
+                raise ValueError(
+                    f"payload for doc_id={bad} is not {IMG_W * IMG_W} bytes"
+                )
             raw = (
                 np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
                 .reshape(-1, IMG_W, IMG_W)
@@ -316,6 +451,63 @@ def image_resize_arrow_on(img: DataFrame) -> DataFrame:
             )
 
     return img.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+def multimodal_image_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG encode -> decode_image -> block-mean resize, end to end in
+    ONE Arrow batch pass (1 row -> 1 row, zero shuffle): the synthetic
+    16x16 raster is encoded as a real spec-valid grayscale PNG, decoded
+    back through the decode_image slot (PIL where importable, the
+    stdlib zlib PNG decoder otherwise), then 2x2 box-filter downsampled
+    exactly as multimodal_image_resize. The codec roundtrip is lossless,
+    so the oracle is the resize SQL verbatim — hash equality proves the
+    decoder returned the raster byte-for-byte, making the decode path a
+    driver-certified operator instead of a stub. A real corpus swaps
+    the synthesized PNG for its parquet `binary` column; the batch
+    shape and decoder call are identical. Reference parity: none (no
+    multimodal surface in the reference) — driver-contract Part C."""
+
+    def decode_resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # closure, not a module function (executors lack this package);
+        # png_* are factory-locals so cloudpickle ships them by value
+        import numpy as np
+
+        def _decode(png: bytes) -> bytes:
+            try:
+                from PIL import Image
+            except ImportError:
+                return png_decode_gray(png)[2]
+            import io
+
+            with Image.open(io.BytesIO(png)) as img:
+                return img.convert("L").tobytes()
+
+        for pdf in it:
+            rasters = [
+                _decode(png_encode_gray(p, IMG_W, IMG_W)) for p in pdf["payload"]
+            ]
+            if not all(len(r) == IMG_W * IMG_W for r in rasters):
+                raise ValueError("decoded raster has the wrong length")
+            raw = (
+                np.frombuffer(b"".join(rasters), dtype=np.uint8)
+                .reshape(-1, IMG_W, IMG_W)
+                .astype(np.int64)
+            )
+            blocks = raw.reshape(-1, IMG_OUT, 2, IMG_OUT, 2).sum(axis=(2, 4)) // 4
+            flat = blocks.reshape(-1, IMG_OUT * IMG_OUT)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "out_w": np.int32(IMG_OUT),
+                    "out_h": np.int32(IMG_OUT),
+                    "resized_pixels": [" ".join(map(str, row)) for row in flat],
+                    "pixel_sum": flat.sum(axis=1),
+                }
+            )
+
+    return _resize_payload_frame(spark, sf_dir).mapInPandas(
+        decode_resize, schema=RESIZE_SCHEMA
+    )
 
 
 def image_resize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,6 +584,7 @@ FROM img
 QUERIES = {
     "multimodal_binary_features": multimodal_binary_features,
     "multimodal_image_resize": multimodal_image_resize,
+    "multimodal_image_decode_resize": multimodal_image_decode_resize,
     "multimodal_audio_windows": multimodal_audio_windows,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_join_docs_embeddings": multimodal_join_docs_embeddings,
@@ -433,6 +626,9 @@ FROM documents, (SELECT unnest(generate_series(0, 3)) AS k) f
 ORACLES = {
     "multimodal_binary_features": BINARY_FEATURES_SQL,
     "multimodal_image_resize": IMAGE_RESIZE_SQL,
+    # the codec roundtrip is lossless, so decode+resize shares the
+    # resize oracle verbatim — hash equality certifies the decoder
+    "multimodal_image_decode_resize": IMAGE_RESIZE_SQL,
     # promoted round 6 (held out of the full round-5 window; pinned by
     # tests/test_llm.py::test_audio_windows_matches_oracle at both SFs)
     "multimodal_audio_windows": AUDIO_WINDOWS_SQL,

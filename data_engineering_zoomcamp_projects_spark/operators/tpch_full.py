@@ -67,8 +67,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        davg(F.col("l_extendedprice") / F.col("l_quantity"), "avg_unit", 6)
+    # Semi-join-prefilter the fact scan on the (selective, broadcast)
+    # part predicate BEFORE the (l_partkey, l_suppkey) aggregate — the
+    # q20 pattern. Without it the unit-price agg consumes the whole
+    # lineitem table and the part filter discards ~98% of the groups
+    # only afterwards (measured 3.0x at sf0.1, output byte-identical).
+    # Fresh scan for the key set: reusing `part` would put the same
+    # attribute IDs on both sides of the later p_partkey == l_partkey
+    # join (self-lineage ambiguity).
+    part_keys = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    unit = (
+        li.join(part_keys, li.l_partkey == part_keys.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(davg(F.col("l_extendedprice") / F.col("l_quantity"), "avg_unit", 6))
     )
     w = Window.partitionBy("p_partkey").orderBy(
         F.col("avg_unit").asc(), F.col("l_suppkey").asc()

@@ -130,6 +130,155 @@ def window_partition_keys(df: DataFrame) -> list[list[str]]:
     return specs
 
 
+def _simple_plan_tree(df: DataFrame) -> list[tuple[int, int, str]]:
+    """Parse the simple executed-plan rendering into (idx, depth, text)
+    nodes. The simple mode (unlike 'formatted') inlines each scan's
+    PushedFilters on the scan line itself, which is what the structural
+    audits below need. Depth comes from the tree markers: a node at
+    depth d has its ':-'/'+-' marker at column 3*(d-1)."""
+    text = df._jdf.queryExecution().executedPlan().toString()
+    nodes: list[tuple[int, int, str]] = []
+    for line in text.splitlines():
+        m = re.search(r"[:+]- ", line)
+        if m is None:
+            if line.strip() and not nodes:
+                nodes.append((0, 0, line.strip()))
+            continue
+        depth = m.start() // 3 + 1
+        nodes.append((len(nodes), depth, line[m.end() :].strip()))
+    return nodes
+
+
+def _subtree(nodes: list[tuple[int, int, str]], idx: int) -> list[str]:
+    """Texts of the subtree rooted at nodes[idx] (inclusive)."""
+    root_depth = nodes[idx][1]
+    out = [nodes[idx][2]]
+    for _, d, t in nodes[idx + 1 :]:
+        if d <= root_depth:
+            break
+        out.append(t)
+    return out
+
+
+def _scan_is_selective(scan_line: str) -> bool:
+    """A scan line carries a REAL pushed predicate (anything beyond
+    IsNotNull). The simple-plan rendering TRUNCATES long filter lists
+    ('IsNo..., ReadSchema:'), eating the closing bracket — so the list
+    ends at ']' or at the next ', <Key>:' metadata field, whichever
+    comes first."""
+    m = re.search(r"PushedFilters: \[([^\]]*?)(?:\]|, \w+:)", scan_line)
+    if not m or not m.group(1).strip():
+        return False
+    return any(
+        f.strip() and not f.strip().startswith("IsNotNull")
+        for f in _split_top_level(m.group(1))
+    )
+
+
+def unfiltered_fact_agg_under_selective_bhj(
+    df: DataFrame, fact_prefixes: tuple[str, ...] = ("l_", "o_")
+) -> list[str]:
+    """The q2 pathology detector (round-9 verdict item 1, promoted to a
+    standing guard in round 10): a HashAggregate that consumes a FACT
+    scan with only IsNotNull pushed (no selective predicate, no
+    semi-join prefilter anywhere below the aggregate) while an ancestor
+    BroadcastHashJoin's OTHER side carries a real pushed predicate.
+    Such a plan aggregates 100% of the fact table and lets the
+    selective broadcast dim discard most groups only afterwards — the
+    fix is always a left_semi prefilter against the broadcast key set
+    below the groupBy (q20's structure, q2's round-10 rewrite; measured
+    3.0x at sf0.1 / ~2% of the fact table aggregated at 100x).
+
+    Returns human-readable violation strings (empty = clean). Fact-ness
+    is recognized from the scan's column prefixes (l_/o_ — the TPC-H
+    fact tables); dims pass freely."""
+    nodes = _simple_plan_tree(df)
+    parents: dict[int, int] = {}
+    stack: list[tuple[int, int]] = []  # (depth, idx)
+    for idx, depth, _ in nodes:
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            parents[idx] = stack[-1][1]
+        stack.append((depth, idx))
+
+    violations: list[str] = []
+    for idx, depth, text in nodes:
+        if not text.startswith("HashAggregate"):
+            continue
+        sub = _subtree(nodes, idx)
+        # only the top-most HashAggregate of a partial/final pair
+        pidx = parents.get(idx)
+        chain = pidx
+        is_top = True
+        while chain is not None:
+            if nodes[chain][2].startswith("HashAggregate"):
+                is_top = False
+                break
+            if "Join" in nodes[chain][2]:
+                break
+            chain = parents.get(chain)
+        if not is_top:
+            continue
+        fact_scans = [
+            t
+            for t in sub
+            if t.startswith(("FileScan", "Scan parquet"))
+            and any(
+                re.search(rf"\[{p}\w+#\d+", t) or f" {p}" in t.split("]")[0]
+                for p in fact_prefixes
+            )
+        ]
+        if not fact_scans:
+            continue
+        if any(_scan_is_selective(t) for t in fact_scans):
+            continue
+        if any("Join" in t for t in sub if not t.startswith("HashAggregate")):
+            continue  # a semi/hash prefilter already guards the agg
+        # ancestor BroadcastHashJoins: does any OTHER side filter hard?
+        anc = parents.get(idx)
+        child = idx
+        while anc is not None:
+            if nodes[anc][2].startswith("BroadcastHashJoin"):
+                anc_depth = nodes[anc][1]
+                for oidx, od, _ in nodes[anc + 1 :]:
+                    if od <= anc_depth:
+                        break
+                    if od == anc_depth + 1 and oidx != _branch_root(
+                        nodes, parents, child, anc
+                    ):
+                        other = _subtree(nodes, oidx)
+                        if any(
+                            _scan_is_selective(t)
+                            for t in other
+                            if t.startswith(("FileScan", "Scan parquet"))
+                        ):
+                            violations.append(
+                                f"HashAggregate({text[:60]}...) aggregates an "
+                                "unfiltered fact scan below a selective "
+                                f"broadcast join ({nodes[anc][2][:60]}...) — "
+                                "semi-join-prefilter the fact side before "
+                                "the groupBy (the q20/q2 pattern)"
+                            )
+                            break
+            child = anc
+            anc = parents.get(anc)
+    return violations
+
+
+def _branch_root(
+    nodes: list[tuple[int, int, str]],
+    parents: dict[int, int],
+    descendant: int,
+    ancestor: int,
+) -> int:
+    """The ancestor's direct child on the path down to `descendant`."""
+    cur = descendant
+    while parents.get(cur) is not None and parents[cur] != ancestor:
+        cur = parents[cur]
+    return cur
+
+
 def plan_profile(df: DataFrame) -> dict[str, int]:
     """Compact per-plan hygiene profile: shuffle / broadcast /
     sort-merge-join / cartesian counts. Used by the registry-wide audit

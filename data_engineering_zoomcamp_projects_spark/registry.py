@@ -57,100 +57,76 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # WINDOW TRIAGE round 9 (50 slots). Round 8 closed with zero stale
-    # certifications, so this window is almost entirely group (c)
-    # re-certification, oldest official row first (computed
-    # mechanically: latest green row per name over CORRECTNESS_r01–r08).
+    # WINDOW TRIAGE round 10 (50 slots). Round 9 closed 48/50 full
+    # green + 2 rows-only-by-design; the window is one changed plan +
+    # oldest-official-row re-certification (computed mechanically:
+    # latest green row per name over CORRECTNESS_r01–r09).
     #
-    # (a) 2 new-op slots: SemDeDup semantic dedup (r8 verdict item 4 —
-    #     k-means cells + within-cell cosine pruning, llm/dedup.py),
-    #     oracle-backed via the shared fixed-point Lloyd chain; and the
-    #     CCNet quality-bucketing composite (langid + corpus-LM
-    #     perplexity + distributed per-language terciles,
-    #     llm/curation.py):
-    "dedup_semantic_semdedup",
-    "pipeline_ccnet_buckets",
-    # (b) 5 changed-plan slots: plans this round rewrites per the r8
-    #     verdict (symspell variant-generator A/B, item 5; distributed
-    #     Bloom bitset build, item 6) need fresh rows over the NEW
-    #     plan; ml_kmeans_embeddings joins them because the shared
-    #     Lloyd assignment moved from a one-row-frame crossJoin to
-    #     literal centroids (kmeans_cells_expr — the stats-preserving
-    #     form the SemDeDup self-join needs):
-    "dedup_fuzzy_names_symspell",
-    "prep_decontaminate_bloom",
-    "ml_kmeans_embeddings",
-    #     + text_langid_profile (scoring re-grained from token
-    #     instances to (doc, token) types — exact decimal-multiple
-    #     equality, 4x on the scoring stage at sf1):
-    "text_langid_profile",
-    #     + text_repetition_scores (doc-local pass moved from the
-    #     interpreted sorted-run HOF fold to one Arrow batch — 10x at
-    #     sf1, still zero-exchange; integers-only cross Python):
-    "text_repetition_scores",
-    # (c) 43 re-certification slots, oldest round first (2 + 5 + 43 =
-    #     the 50-slot window; (c) started at 48 and yielded five slots
-    #     to the round's plan rewrites as they landed).
-    #     The 8 r1-era joins (operators/joins.py — last official rows
-    #     are round 1):
-    "join_anti_inactive_customers",
-    "join_cross_region_nation",
-    "join_full_outer_nation_activity",
-    "join_inner_customer_orders",
-    "join_left_outer_orders",
-    "join_right_outer_lineitem",
-    "join_semi_active_customers",
-    "join_theta_supplier_pairs",
-    #     The 13 r2-era rows (agg/mart/tpch/unpivot; ml_segment_zscores
-    #     is rows-only by design — it re-certifies as a rows-only row):
-    "agg_boolean",
-    "agg_collect_sets",
-    "agg_percentiles",
-    "mart_customer_activity",
-    "mart_daily_revenue",
-    "ml_segment_zscores",
-    "posexplode_tokens",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q22_idle_rich_customers",
-    "q7_volume_shipping",
-    "unpivot_quantities",
-    #     The 15 r3-era rows (the tpch_full batch + the tumbling-window
-    #     batch-parity entry; q1_native_double is rows-only by design):
-    "q10_returned_items",
-    "q11_part_value_share",
-    "q12_ship_delay_buckets",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q19_bracketed_revenue",
-    "q1_native_double",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
+    # (a) 1 changed-plan slot: q2 rewritten per the r9 verdict item 1 —
+    #     the (l_partkey, l_suppkey) unit-price aggregate now semi-joins
+    #     lineitem against the broadcast filtered part keys BEFORE the
+    #     groupBy (the q20 pattern; measured 3.0x at sf0.1, output
+    #     byte-identical, oracle unchanged):
     "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "stream_tumbling_hourly",
-    #     4 of the 17 r4-era rows (alphabetical; the remaining thirteen
-    #     — events_value_histogram, filter_predicate_suite,
-    #     projection_expressions, sample_hash_reproducible,
-    #     sample_stratified_by_lang, sim_label_centroids,
-    #     subq_in_european_suppliers, subq_orders_above_customer_avg,
-    #     subq_scalar_above_avg_price, topk_global, topk_per_group,
-    #     window_first_last, window_range_frame — are the oldest
-    #     candidates for round 10):
-    "multimodal_binary_features",
-    "multimodal_frame_sample",
-    "multimodal_join_docs_embeddings",
-    "prep_vocab_topk",
-    #     + the round-9 late additions (new ops, need their first rows;
-    #     displaced projection_expressions, events_value_histogram and
-    #     filter_predicate_suite to round 10):
-    "multimodal_image_resize",
-    "stream_live_ingest_neardup",
-    "prep_shard_balanced",
+    # (a') 1 new-op slot: the PNG encode->decode->resize pipeline that
+    #     certifies the decode_image codec (r9 verdict item 4; the
+    #     lossless roundtrip shares the resize oracle verbatim):
+    "multimodal_image_decode_resize",
+    # (b) the 13 r4-era rows the r9 window explicitly deferred (oldest
+    #     official rows in the registry):
+    "events_value_histogram",
+    "filter_predicate_suite",
+    "projection_expressions",
+    "sample_hash_reproducible",
+    "sample_stratified_by_lang",
+    "sim_label_centroids",
+    "subq_in_european_suppliers",
+    "subq_orders_above_customer_avg",
+    "subq_scalar_above_avg_price",
+    "topk_global",
+    "topk_per_group",
+    "window_first_last",
+    "window_range_frame",
+    # (c) 35 of the 41 r5-era rows, alphabetical (1 + 1 + 13 + 35 = 50;
+    #     the last six alphabetically — text_collocations,
+    #     text_heavy_hitters_cms, text_normalize_unicode,
+    #     timeseries_interpolate, timeseries_wow_change,
+    #     window_nth_value — are the oldest candidates for round 11):
+    "agg_approx_count_distinct",
+    "agg_corr_covar",
+    "agg_exact_percentiles",
+    "agg_median_mode_by_segment",
+    "agg_percentile_approx",
+    "events_attribution_first_last",
+    "events_funnel_windowed",
+    "events_pivot_daily_types",
+    "events_user_timeline",
+    "fn_sql_udf_suite",
+    "fn_try_suite",
+    "fn_variant_suite",
+    "join_asof_tolerance",
+    "join_salted_skew",
+    "layout_zorder_buckets",
+    "mart_incremental_refresh",
+    "ml_linreg_normal_eq",
+    "ml_logreg_gd",
+    "orders_scd2_priority",
+    "part_unpivot_metrics",
+    "prep_curriculum_order",
+    "prep_temperature_resample",
+    "profile_orders_columns",
+    "quality_constraint_checks",
+    "quality_daily_volume_anomaly",
+    "quality_referential_orphans",
+    "quality_snapshot_diff",
+    "sample_fraction",
+    "sim_topk_lsh",
+    "stream_live_dedup_summary",
+    "stream_live_join_purchase_views",
+    "stream_live_session_30m",
+    "stream_live_sliding_15m",
+    "stream_live_tumbling_hourly",
+    "subq_lateral_topn",
 ]
 
 

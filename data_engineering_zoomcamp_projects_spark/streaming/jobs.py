@@ -465,10 +465,16 @@ def stream_live_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
     from ..llm.dedup import minhash_lsh_pairs, minhash_lsh_pairs_between
 
+    # the returned DataFrame lazily reads status/ under this root, so
+    # the root must outlive this function (tests legitimately hold one
+    # invocation's result across a later invocation) — reclaimed at
+    # interpreter exit. The TEXT-BEARING dirs (arrivals + survivors +
+    # checkpoint, ~3x the corpus) are instead deleted eagerly once the
+    # query terminates below, so a long session that re-runs this query
+    # (driver verify + sweeps + tests across SFs) accumulates only the
+    # 3-int-per-doc status table per invocation, not corpus copies
+    # (ADVICE r9).
     root = tempfile.mkdtemp(prefix="sg_ingest_neardup_")
-    # the returned DataFrame lazily reads res_dir, so the tree must
-    # outlive this function — reclaim it at interpreter exit instead of
-    # accumulating one corpus copy per invocation in /tmp
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     in_dir = os.path.join(root, "arrivals")
     os.makedirs(in_dir)
@@ -546,6 +552,12 @@ def stream_live_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # only status/ is read after termination — drop the corpus-sized
+    # arrival/survivor/checkpoint trees immediately rather than holding
+    # them until interpreter exit (ADVICE r9)
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(surv_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
     return spark.read.parquet(res_dir)
 
 

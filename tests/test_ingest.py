@@ -720,3 +720,47 @@ def test_avro_roundtrip_or_documented_skip(spark, tmp_path):
     out = str(tmp_path / "av")
     write_avro(df, out)
     assert read_avro(spark, out).count() == 5
+
+
+def test_ensure_bucket_probe_then_create():
+    """A19 bucket DDL (reference ingest-citibike.ipynb raw lines 54-63
+    ran an unconditional create_bucket that throws on re-run). Our
+    ensure_bucket probes first and returns whether it created; the
+    injectable client exercises all three paths without boto3/network:
+    absent -> create, present -> no-op, and any non-404 probe failure
+    propagates instead of masquerading as 'absent' (the avro-guard
+    lesson from ADVICE r9)."""
+
+    class FakeErr(Exception):
+        def __init__(self, code):
+            self.response = {"Error": {"Code": code}}
+
+    class FakeClient:
+        def __init__(self, existing=(), probe_err=None):
+            self.buckets = set(existing)
+            self.probe_err = probe_err
+            self.created = []
+
+        def head_bucket(self, Bucket):
+            if self.probe_err is not None:
+                raise self.probe_err
+            if Bucket not in self.buckets:
+                raise FakeErr("404")
+
+        def create_bucket(self, Bucket):
+            self.buckets.add(Bucket)
+            self.created.append(Bucket)
+
+    c = FakeClient()
+    assert ddl.ensure_bucket("http://example.test:9000", "data", client=c) is True
+    assert c.created == ["data"]
+    # idempotent re-run: probe says present, no second create
+    assert ddl.ensure_bucket("http://example.test:9000", "data", client=c) is False
+    assert c.created == ["data"]
+    # a non-404 failure (403 owned-elsewhere, endpoint down) propagates
+    bad = FakeClient(probe_err=FakeErr("403"))
+    with pytest.raises(FakeErr):
+        ddl.ensure_bucket("http://example.test:9000", "data", client=bad)
+    assert bad.created == []
+    # the import guard itself answers a plain boolean either way
+    assert ddl.boto3_available() in (True, False)

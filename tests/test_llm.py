@@ -193,10 +193,13 @@ def test_frame_sample_shape(spark, sf_dir):
     assert sorted(r["frame_idx"] for r in idx) == [0, 1, 2, 3]
 
 
-def test_decode_image_is_explicit_stub():
+def test_decode_image_rejects_undecodable_payload():
+    """decode_image is a REAL codec since round 10 (PIL where
+    importable, stdlib gray-8 PNG otherwise) — undecodable bytes must
+    fail loudly with a codec error, never return garbage."""
     import pytest
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception, match="PNG|image"):
         multimodal.decode_image(b"\x00")
 
 
@@ -931,3 +934,157 @@ def test_shard_balanced_oracle_and_balance(spark, sf_dir):
         assert max(tok.values()) / min(tok.values()) < 1.03, tok
         n = len(rows)
         assert set(cnt.values()) <= {n // _N_SHARDS, n // _N_SHARDS + 1}, cnt
+
+
+def test_png_codec_roundtrip_filters_and_guards():
+    """The stdlib PNG codec behind decode_image (round 10: the stub is
+    now a real decoder). Roundtrip on several geometries; the decoder
+    reconstructs ALL five spec filters (other encoders — PIL — emit
+    Sub/Up/Average/Paeth rows, ours emits None), checked by hand-built
+    PNGs with per-row filters; malformed profiles fail loudly. When PIL
+    is importable the PIL path must agree with the stdlib path
+    byte-for-byte (skip-documented otherwise — PIL absent in-sandbox)."""
+    import random
+    import struct
+    import zlib
+
+    import pytest
+
+    from data_engineering_zoomcamp_projects_spark.llm.multimodal import (
+        decode_image,
+        pil_available,
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    rng = random.Random(20260815)
+    for w, h in [(16, 16), (1, 1), (3, 5), (40, 2)]:
+        raster = bytes(rng.randrange(256) for _ in range(w * h))
+        png = png_encode_gray(raster, w, h)
+        assert png_decode_gray(png) == (w, h, raster)
+        assert decode_image(png) == (w, h, raster)
+
+    # hand-built PNG exercising every filter type, one per row
+    w, h = 7, 5
+    raster = bytes(rng.randrange(256) for _ in range(w * h))
+
+    def chunk(tag, data):
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    rows = [raster[y * w : (y + 1) * w] for y in range(h)]
+    raw = b""
+    prev = bytes(w)
+    for y, row in enumerate(rows):
+        f = y % 5
+        filt = bytearray([f])
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt.append((row[x] - pred) & 0xFF)
+        raw += bytes(filt)
+        prev = row
+    png_all_filters = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode_gray(png_all_filters) == (w, h, raster)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode_gray(b"JFIF....")
+    rgb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="grayscale"):
+        png_decode_gray(rgb)
+
+
+def test_png_decode_agrees_with_pil_when_present():
+    """PIL cross-check of the two decode_image paths (deploy gate: PIL
+    absent in-sandbox, so this records a documented skip; where PIL
+    ships, both decoders must return identical rasters and decode_image
+    must prefer PIL)."""
+    import io
+    import random
+
+    import pytest
+
+    from data_engineering_zoomcamp_projects_spark.llm.multimodal import (
+        decode_image,
+        pil_available,
+        png_encode_gray,
+    )
+
+    if not pil_available():
+        pytest.skip(
+            "PIL not installed in-sandbox (documented deploy gate) — "
+            "stdlib PNG path fully exercised by "
+            "test_png_codec_roundtrip_filters_and_guards"
+        )
+    from PIL import Image
+
+    rng = random.Random(1)
+    raster = bytes(rng.randrange(256) for _ in range(7 * 5))
+    png = png_encode_gray(raster, 7, 5)
+    with Image.open(io.BytesIO(png)) as img:
+        assert img.convert("L").tobytes() == raster
+    assert decode_image(png) == (7, 5, raster)
+
+
+def test_image_decode_resize_matches_oracle_and_plain_resize(spark, sf_dir):
+    """multimodal_image_decode_resize (PNG encode -> decode_image ->
+    block-mean) must hash-match the resize oracle at both small SFs and
+    be row-identical to multimodal_image_resize — the lossless-codec
+    equivalence that certifies the decoder under the driver."""
+    from data_engineering_zoomcamp_projects_spark.llm.multimodal import (
+        IMAGE_RESIZE_SQL,
+        multimodal_image_decode_resize,
+        multimodal_image_resize,
+    )
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = multimodal_image_decode_resize(spark, d)
+        problems = compare(df, run_oracle(IMAGE_RESIZE_SQL, d), "decode_resize")
+        assert not problems, "\n".join(problems)
+        plain = sorted(map(tuple, multimodal_image_resize(spark, d).collect()))
+        assert sorted(map(tuple, df.collect())) == plain
+
+
+def test_image_resize_rejects_wrong_length_payload(spark):
+    """ADVICE r9: one wrong-length payload must fail the batch loudly
+    (naming the row) instead of silently mis-framing every later row of
+    the Arrow batch through the concat+reshape."""
+    import pytest
+
+    from data_engineering_zoomcamp_projects_spark.llm import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(0, bytes(256)), (1, bytes(255)), (2, bytes(256))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="doc_id=1 is not 256 bytes"):
+        mm.image_resize_arrow_on(df).collect()

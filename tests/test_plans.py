@@ -435,3 +435,50 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_no_unfiltered_fact_agg_under_selective_broadcast(spark, sf_dir):
+    """The q2-pathology guard (r9 verdict item 1, promoted r10 item 5):
+    no registered TPC-H plan may aggregate an unfiltered fact scan while
+    a selective broadcast dim is joined above it — the dim predicate
+    must reach below the aggregate as a semi-join prefilter (q20/q2
+    structure). Runs the structural detector over every q* query; a
+    reverted q2 would fail here, not in the next round's bench."""
+    import re
+
+    from data_engineering_zoomcamp_projects_spark.registry import all_queries
+
+    for name, fn in sorted(all_queries().items()):
+        if not re.match(r"q\d+_", name):
+            continue
+        v = explain.unfiltered_fact_agg_under_selective_bhj(fn(spark, sf_dir))
+        assert not v, (name, v)
+
+
+def test_fact_agg_guard_catches_reverted_q2(spark, sf_dir):
+    """The guard must FIRE on the exact r9 q2 shape (aggregate first,
+    part filter after) — proves the detector detects, so the clean run
+    above is evidence and not a no-op."""
+    from pyspark.sql import Window
+
+    from data_engineering_zoomcamp_projects_spark.operators.parity import davg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+        )
+    )
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        davg(F.col("l_extendedprice") / F.col("l_quantity"), "avg_unit", 6)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("avg_unit").asc(), F.col("l_suppkey").asc()
+    )
+    reverted = (
+        part.join(unit, part.p_partkey == unit.l_partkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    v = explain.unfiltered_fact_agg_under_selective_bhj(reverted)
+    assert len(v) == 1 and "semi-join-prefilter" in v[0], v
