@@ -123,6 +123,12 @@ HEADLINE = [
     # decode_image codec — tracked from first certification (per-row
     # Python codec cost rides the same Arrow batch as the resize)
     "multimodal_image_decode_resize",
+    # round-10: BM25 lexical retrieval (one filtered token pass +
+    # micro-quantized idf, TakeOrdered top-20) and the RefinedWeb
+    # per-domain cap (partial WindowGroupLimit) — tracked from first
+    # certification
+    "sim_bm25_topk",
+    "curation_domain_cap",
 ]
 
 

@@ -170,3 +170,51 @@ FROM j
 
 QUERIES["pipeline_ccnet_buckets"] = pipeline_ccnet_buckets
 ORACLES["pipeline_ccnet_buckets"] = _ccnet_sql()
+
+
+#: per-source cap: keep at most this many documents per source/domain
+DOMAIN_CAP = 8
+
+
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb / C4 recipe: bound any
+    single domain's share of the corpus so boilerplate-heavy hosts
+    can't dominate pretraining data): within each source keep the top
+    DOMAIN_CAP documents by size (n_chars DESC, doc_id ASC tie-break)
+    and return them with their in-source rank.
+
+    Scale design: rank<=N over Window.partitionBy(source) compiles to
+    a PARTIAL WindowGroupLimit below the exchange (Spark 3.5+), so
+    each map task forwards at most N rows per source it sees — the
+    shuffle carries O(N x |sources| x tasks) rows, never a full
+    domain's documents, and domain skew (one host = 10% of the crawl)
+    is absorbed map-side. The whitelisted low-card window is therefore
+    bounded by the cap, not by corpus size (see
+    tests/test_plans.py::test_registry_wide_plan_hygiene justification).
+    Reference parity: none — driver-contract Part C curation family."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("source", "rk", "doc_id", "lang", "n_chars")
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+SELECT source, rk, doc_id, lang, n_chars FROM (
+  SELECT source, doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_CAP}
+"""
+
+
+QUERIES["curation_domain_cap"] = curation_domain_cap
+ORACLES["curation_domain_cap"] = DOMAIN_CAP_SQL

@@ -148,6 +148,10 @@ def _png_codec():
             row = bytearray(raw[y * (width + 1) + 1 : (y + 1) * (width + 1)])
             if ftype > 4:
                 raise ValueError(f"unknown PNG filter type {ftype}")
+            if ftype == 0:  # None: no per-pixel reconstruction needed —
+                out += row  # the hot path for our own encoder's output
+                prev = row
+                continue
             for x in range(width):
                 a = row[x - 1] if x else 0  # reconstructed left neighbour
                 b = prev[x]

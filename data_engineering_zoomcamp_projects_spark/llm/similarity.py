@@ -594,3 +594,154 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sim_topk_ivf"] = sim_topk_ivf
+
+
+#: BM25 retrieval parameters (Robertson/Spärck Jones defaults) and the
+#: fixed query — terms drawn from the synthetic corpus vocabulary
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "merge", "scan", "batch", "shuffle")
+BM25_TOP_N = 20
+
+
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval — the classic keyword-search twin of the
+    embedding top-k family (and the lexical side of a hybrid retriever):
+    score every document against a fixed query term set with
+    Okapi BM25 (k1=1.2, b=0.75) and return the global top 20 by score.
+
+    Scale design: the corpus-sized work is ONE pass over the token
+    stream filtered to the |Q| query terms BEFORE the (doc, term)
+    groupBy, so tf is |matching docs| x |Q| rows, df is |Q| rows
+    (broadcast), and corpus stats (N, total token count) are a one-row
+    broadcast. Per-doc length comes from F.size without an explode.
+    The only transcendental, ln in the idf, is computed once per QUERY
+    TERM, rounded at 6dp, and the per-(doc, term) contribution is
+    immediately quantized to exact micro-score longs (the
+    text_lm_perplexity convention), so the per-doc reduction and the
+    top-20 ordering are pure integer arithmetic — deterministic on
+    both engines. Top-20 is orderBy+limit = TakeOrdered (no global
+    window). Reference parity: none (no retrieval surface in the
+    reference) — driver-contract Part C similarity family."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    docs = d.select("doc_id", "lang", toks.alias("ts")).select(
+        "doc_id", "lang", "ts", F.size("ts").cast("long").alias("dl")
+    )
+    stats = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_dl"),
+        )
+    )
+    q_terms = list(BM25_QUERY)
+    tok = docs.select(
+        "doc_id", F.explode(F.filter("ts", lambda t: t.isin(q_terms))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # idf per query TERM: ln(1 + (N - df + 0.5) / (df + 0.5)), the one
+    # transcendental — rounded at 6dp before anything multiplies it
+    idf6 = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        ),
+        6,
+    )
+    term_w = F.broadcast(
+        df_.crossJoin(stats).select("token", "n_docs", "total_dl", idf6.alias("idf6"))
+    )
+    # rational tf saturation term (pure double arithmetic, identical
+    # operation order on both engines): b * dl / avgdl = b * dl * N / T
+    tf_factor = (
+        F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0)
+            - F.lit(BM25_B)
+            + F.lit(BM25_B)
+            * F.col("dl").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("total_dl").cast("double")
+        )
+    )
+    contrib_u = (
+        F.floor(F.round(F.col("idf6") * tf_factor, 6) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("u")
+    )
+    scored = (
+        tf.join(term_w, "token")
+        .join(docs.select("doc_id", "lang", "dl"), "doc_id")
+        .select("doc_id", "lang", "token", contrib_u)
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.sum("u").alias("score_u"),
+    )
+    return (
+        per_doc.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_N)
+        .select(
+            "doc_id",
+            "lang",
+            "n_terms_hit",
+            F.round(
+                (F.col("score_u").cast("double") / F.lit(1e6)).cast("decimal(38,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("bm25_score"),
+        )
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, list_filter(split(text, ' '), x -> len(x) > 0) AS ts
+  FROM documents
+), dl AS (
+  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS dl FROM docs
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
+  FROM dl
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS token FROM docs)
+  WHERE token IN ({terms}) GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), term_w AS (
+  SELECT token, n_docs, total_dl,
+         ROUND(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5)), 6) AS idf6
+  FROM df, stats
+), scored AS (
+  SELECT tf.doc_id, dl.lang,
+    CAST(FLOOR(ROUND(idf6 * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+      / (CAST(tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+         * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+         / CAST(total_dl AS DOUBLE)))), 6) * 1000000 + 0.5) AS BIGINT) AS u
+  FROM tf JOIN term_w USING (token) JOIN dl USING (doc_id)
+), per_doc AS (
+  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         CAST(SUM(u) AS BIGINT) AS score_u
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_terms_hit,
+       CAST(ROUND(CAST(CAST(score_u AS DOUBLE) / 1000000.0 AS DECIMAL(38,10)), 6)
+            AS DOUBLE) AS bm25_score
+FROM per_doc
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {BM25_TOP_N}
+"""
+
+
+QUERIES["sim_bm25_topk"] = sim_bm25_topk
+ORACLES["sim_bm25_topk"] = _bm25_sql()

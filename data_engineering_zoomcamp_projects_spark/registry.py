@@ -68,10 +68,14 @@ _FRONT = [
     #     groupBy (the q20 pattern; measured 3.0x at sf0.1, output
     #     byte-identical, oracle unchanged):
     "q2_min_cost_supplier",
-    # (a') 1 new-op slot: the PNG encode->decode->resize pipeline that
+    # (a') 3 new-op slots: the PNG encode->decode->resize pipeline that
     #     certifies the decode_image codec (r9 verdict item 4; the
-    #     lossless roundtrip shares the resize oracle verbatim):
+    #     lossless roundtrip shares the resize oracle verbatim), BM25
+    #     lexical retrieval (the keyword twin of the embedding top-k
+    #     family), and the RefinedWeb per-domain document cap:
     "multimodal_image_decode_resize",
+    "sim_bm25_topk",
+    "curation_domain_cap",
     # (b) the 13 r4-era rows the r9 window explicitly deferred (oldest
     #     official rows in the registry):
     "events_value_histogram",
@@ -87,11 +91,12 @@ _FRONT = [
     "topk_per_group",
     "window_first_last",
     "window_range_frame",
-    # (c) 35 of the 41 r5-era rows, alphabetical (1 + 1 + 13 + 35 = 50;
-    #     the last six alphabetically — text_collocations,
-    #     text_heavy_hitters_cms, text_normalize_unicode,
-    #     timeseries_interpolate, timeseries_wow_change,
-    #     window_nth_value — are the oldest candidates for round 11):
+    # (c) 33 of the 41 r5-era rows, alphabetical (1 + 3 + 13 + 33 = 50;
+    #     the last eight alphabetically — stream_live_tumbling_hourly,
+    #     subq_lateral_topn, text_collocations, text_heavy_hitters_cms,
+    #     text_normalize_unicode, timeseries_interpolate,
+    #     timeseries_wow_change, window_nth_value — are the oldest
+    #     candidates for round 11):
     "agg_approx_count_distinct",
     "agg_corr_covar",
     "agg_exact_percentiles",
@@ -125,8 +130,6 @@ _FRONT = [
     "stream_live_join_purchase_views",
     "stream_live_session_30m",
     "stream_live_sliding_15m",
-    "stream_live_tumbling_hourly",
-    "subq_lateral_topn",
 ]
 
 

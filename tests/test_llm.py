@@ -1088,3 +1088,97 @@ def test_image_resize_rejects_wrong_length_payload(spark):
     )
     with pytest.raises(Exception, match="doc_id=1 is not 256 bytes"):
         mm.image_resize_arrow_on(df).collect()
+
+
+def test_bm25_topk_matches_oracle_and_reference(spark, sf_dir):
+    """Driver-twin differential for sim_bm25_topk at BOTH small SFs,
+    plus a plain-Python third implementation of Okapi BM25 over the
+    same corpus — engine-independent proof the formula (idf, length
+    normalization, micro-score quantization, global top-20 ordering)
+    is BM25 and not merely the same expression twice."""
+    import math
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOP_N,
+        _bm25_sql,
+        sim_bm25_topk,
+    )
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = sim_bm25_topk(spark, d)
+        problems = compare(df, run_oracle(_bm25_sql(), d), "bm25")
+        assert not problems, "\n".join(problems)
+
+    # reference implementation in plain python at the smaller SF
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    docs = {r["doc_id"]: [t for t in r["text"].split(" ") if t] for r in rows}
+    n = len(docs)
+    total_dl = sum(len(ts) for ts in docs.values())
+    df_ = {
+        q: sum(1 for ts in docs.values() if q in ts) for q in BM25_QUERY
+    }
+    expect = {}
+    for doc_id, ts in docs.items():
+        dl = len(ts)
+        u = 0
+        hit = 0
+        for q in BM25_QUERY:
+            tf = ts.count(q)
+            if not tf:
+                continue
+            hit += 1
+            idf6 = round(math.log(1.0 + (n - df_[q] + 0.5) / (df_[q] + 0.5)), 6)
+            factor = (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl * n / total_dl)
+            )
+            u += math.floor(round(idf6 * factor, 6) * 1e6 + 0.5)
+        if hit:
+            expect[doc_id] = (hit, u)
+    top = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))[:BM25_TOP_N]
+    got = [
+        (r["doc_id"], r["n_terms_hit"], round(r["bm25_score"] * 1e6))
+        for r in sim_bm25_topk(spark, sf_dir).collect()
+    ]
+    assert got == [(i, h, u) for i, (h, u) in top]
+
+
+def test_domain_cap_matches_oracle_and_cap_invariant(spark, sf_dir):
+    """curation_domain_cap differential at BOTH small SFs + the cap
+    invariant: no source exceeds DOMAIN_CAP rows, ranks are 1..n
+    contiguous per source, and kept docs are each source's n_chars-top
+    set (recomputed in plain python)."""
+    from data_engineering_zoomcamp_projects_spark.llm.curation import (
+        DOMAIN_CAP,
+        DOMAIN_CAP_SQL,
+        curation_domain_cap,
+    )
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = curation_domain_cap(spark, d)
+        problems = compare(df, run_oracle(DOMAIN_CAP_SQL, d), "domain_cap")
+        assert not problems, "\n".join(problems)
+
+    rows = curation_domain_cap(spark, sf_dir).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append((r["rk"], r["doc_id"]))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append((-r["n_chars"], r["doc_id"]))
+    for src, kept in per_src.items():
+        assert len(kept) <= DOMAIN_CAP
+        assert sorted(rk for rk, _ in kept) == list(range(1, len(kept) + 1))
+        expect = [i for _, i in sorted(by_src[src])[:DOMAIN_CAP]]
+        assert sorted(i for _, i in kept) == sorted(expect), src

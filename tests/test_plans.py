@@ -265,6 +265,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # quality_join_skew_audit: the one-row broadcast totals frame
         # crossed onto the TakeOrdered 5-row head
         "quality_join_skew_audit",
+        # sim_bm25_topk: the one-row broadcast corpus-stats frame
+        # (N, total token count) crossed onto the |Q|-row term-weight
+        # frame (BM25_QUERY has 5 terms); the corpus-side joins are
+        # hash joins on token / doc_id
+        "sim_bm25_topk",
         # pipeline_ccnet_buckets: two bounded broadcasts — the one-row
         # vocab-size frame (from the perplexity stage) and
         # distrank.ranked's metadata-sized shard-count frame
@@ -333,9 +338,15 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # distrank.ranked; the one remaining segment-partitioned window is
     # the mode's tie-rank over the (segment x nation) COUNT frame —
     # |segments| x |nations| <= 125 rows, metadata grain.
+    # curation_domain_cap: rank<=N per source compiles to a PARTIAL
+    # WindowGroupLimit below the exchange, so each map task forwards at
+    # most N=8 rows per source — the window input is bounded by the cap
+    # times |sources|, not by corpus size (domain skew absorbed
+    # map-side; see the operator docstring).
     low_card_window_ok: set[str] = {
         "window_rank_functions",
         "agg_median_mode_by_segment",
+        "curation_domain_cap",
     }
     # queries whose plans legitimately contain a SortMergeJoin at test
     # scale — an EXACT set (the round-9 SemDeDup pathology: a frame
