@@ -129,6 +129,9 @@ HEADLINE = [
     # certification
     "sim_bm25_topk",
     "curation_domain_cap",
+    # round-10: character-entropy quality signal (per-type micro-nat
+    # quantization, one shuffle) — tracked from first certification
+    "text_entropy_scores",
 ]
 
 

@@ -1049,3 +1049,92 @@ SELECT doc_id, n_bigrams, cross_entropy, perplexity FROM ppl
 
 QUERIES["text_lm_perplexity"] = text_lm_perplexity
 ORACLES["text_lm_perplexity"] = TEXT_LM_PPL_SQL
+
+
+def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (the Gopher-family cheap
+    filter: binary blobs, mojibake, and boilerplate repetition all
+    show as entropy outliers): per document, the Shannon entropy of
+    its character distribution, H = -sum_c p_c ln p_c over character
+    TYPES, plus the type count. Documents with no characters are
+    absent (no distribution to score).
+
+    Scale design: one char explode -> (doc, char) type counts (one
+    shuffle on doc_id with map-side combine), per-doc totals as a
+    window-partial over the SAME doc_id partitioning (no second
+    shuffle — the text_lm_perplexity context-sum pattern; doc_id is
+    id-bearing, so the window audit passes). The transcendental runs
+    once per (doc, char TYPE) — O(docs x alphabet), not O(corpus
+    chars) — and is immediately quantized to exact micro-nat longs, so
+    the per-doc reduction is integer arithmetic on both engines.
+
+    Cross-engine parity note: Spark's split(text, '') and DuckDB's
+    split(text, '') both yield per-codepoint arrays on this corpus
+    (BMP-only; astral chars would split to UTF-16 surrogate halves on
+    the JVM) — the differential at both SFs pins the agreement.
+    Reference parity: none — driver-contract Part C quality family."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id", "lang", F.explode(F.split("text", "")).alias("c")
+    )
+    counts = ch.groupBy("doc_id", "lang", "c").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("n_c").cast("double") / F.sum("n_c").over(w).cast("double")
+    terms = counts.select(
+        "doc_id",
+        "lang",
+        F.sum("n_c").over(w).alias("n_chars_counted"),
+        F.floor(F.round(-(p * F.log(p)), 6) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("h_u"),
+    )
+    return (
+        terms.groupBy("doc_id", "lang", "n_chars_counted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_char_types"),
+            F.sum("h_u").alias("h_total_u"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars_counted").cast("long").alias("n_chars_counted"),
+            "n_char_types",
+            F.round(
+                (F.col("h_total_u").cast("double") / F.lit(1e6)).cast(
+                    "decimal(38,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("char_entropy"),
+        )
+    )
+
+
+TEXT_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, lang, unnest(split(text, '')) AS c FROM documents
+), counts AS (
+  SELECT doc_id, lang, c, COUNT(*) AS n_c FROM ch GROUP BY doc_id, lang, c
+), terms AS (
+  SELECT doc_id, lang,
+    SUM(n_c) OVER (PARTITION BY doc_id) AS n_chars_counted,
+    CAST(FLOOR(ROUND(-((CAST(n_c AS DOUBLE)
+          / CAST(SUM(n_c) OVER (PARTITION BY doc_id) AS DOUBLE))
+        * ln(CAST(n_c AS DOUBLE)
+          / CAST(SUM(n_c) OVER (PARTITION BY doc_id) AS DOUBLE))), 6)
+      * 1000000 + 0.5) AS BIGINT) AS h_u
+  FROM counts
+)
+SELECT doc_id, lang,
+       CAST(n_chars_counted AS BIGINT) AS n_chars_counted,
+       CAST(COUNT(*) AS BIGINT) AS n_char_types,
+       CAST(ROUND(CAST(CAST(SUM(h_u) AS DOUBLE) / 1000000.0
+            AS DECIMAL(38,10)), 6) AS DOUBLE) AS char_entropy
+FROM terms GROUP BY doc_id, lang, n_chars_counted
+"""
+
+QUERIES["text_entropy_scores"] = text_entropy_scores
+ORACLES["text_entropy_scores"] = TEXT_ENTROPY_SQL

@@ -1182,3 +1182,48 @@ def test_domain_cap_matches_oracle_and_cap_invariant(spark, sf_dir):
         assert sorted(rk for rk, _ in kept) == list(range(1, len(kept) + 1))
         expect = [i for _, i in sorted(by_src[src])[:DOMAIN_CAP]]
         assert sorted(i for _, i in kept) == sorted(expect), src
+
+
+def test_entropy_scores_match_oracle_and_reference(spark, sf_dir):
+    """text_entropy_scores differential at BOTH small SFs plus a
+    plain-python third implementation (collections.Counter + math.log
+    with the same micro-nat quantization) — engine-independent proof
+    the per-type quantized sum is Shannon entropy over the character
+    distribution."""
+    import collections
+    import math
+
+    from data_engineering_zoomcamp_projects_spark.llm.textstats import (
+        TEXT_ENTROPY_SQL,
+        text_entropy_scores,
+    )
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = text_entropy_scores(spark, d)
+        problems = compare(df, run_oracle(TEXT_ENTROPY_SQL, d), "entropy")
+        assert not problems, "\n".join(problems)
+
+    got = {
+        r["doc_id"]: (
+            r["n_chars_counted"],
+            r["n_char_types"],
+            round(r["char_entropy"] * 1e6),
+        )
+        for r in text_entropy_scores(spark, sf_dir).collect()
+    }
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(got) == sum(1 for r in rows if r["text"])
+    for r in rows:
+        cnt = collections.Counter(r["text"])
+        n = sum(cnt.values())
+        if not n:
+            continue
+        u = sum(
+            math.floor(round(-((c / n) * math.log(c / n)), 6) * 1e6 + 0.5)
+            for c in cnt.values()
+        )
+        assert got[r["doc_id"]] == (n, len(cnt), u), r["doc_id"]
