@@ -132,6 +132,10 @@ HEADLINE = [
     # round-10: character-entropy quality signal (per-type micro-nat
     # quantization, one shuffle) — tracked from first certification
     "text_entropy_scores",
+    # round-10: hybrid RRF retrieval (BM25 + single-query cosine lists
+    # fused; bounded 60x60 full outer join) — tracked from first
+    # certification
+    "sim_hybrid_rrf",
 ]
 
 

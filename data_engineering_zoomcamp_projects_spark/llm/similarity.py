@@ -623,6 +623,13 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines. Top-20 is orderBy+limit = TakeOrdered (no global
     window). Reference parity: none (no retrieval surface in the
     reference) — driver-contract Part C similarity family."""
+    return _bm25_rank_select(_bm25_per_doc(spark, sf_dir))
+
+
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_terms_hit, score_u) for every document matching
+    at least one BM25_QUERY term — the shared core of sim_bm25_topk and
+    the RRF hybrid retriever."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
     docs = d.select("doc_id", "lang", toks.alias("ts")).select(
@@ -679,10 +686,13 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang", "dl"), "doc_id")
         .select("doc_id", "lang", "token", contrib_u)
     )
-    per_doc = scored.groupBy("doc_id", "lang").agg(
+    return scored.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         F.sum("u").alias("score_u"),
     )
+
+
+def _bm25_rank_select(per_doc: DataFrame) -> DataFrame:
     return (
         per_doc.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP_N)
@@ -700,44 +710,51 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql() -> str:
+def _bm25_chain_sql() -> str:
+    """CTE chain (bm_-prefixed names, terminal CTE `bm_per_doc` =
+    (doc_id, lang, n_terms_hit, score_u)) — shared by the BM25 oracle
+    and the RRF hybrid oracle."""
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
-    return f"""
-WITH docs AS (
+    return f"""bm_docs AS (
   SELECT doc_id, lang, list_filter(split(text, ' '), x -> len(x) > 0) AS ts
   FROM documents
-), dl AS (
-  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS dl FROM docs
-), stats AS (
+), bm_dl AS (
+  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS dl FROM bm_docs
+), bm_stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
-  FROM dl
-), tf AS (
+  FROM bm_dl
+), bm_tf AS (
   SELECT doc_id, token, COUNT(*) AS tf
-  FROM (SELECT doc_id, unnest(ts) AS token FROM docs)
+  FROM (SELECT doc_id, unnest(ts) AS token FROM bm_docs)
   WHERE token IN ({terms}) GROUP BY doc_id, token
-), df AS (
-  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
-), term_w AS (
+), bm_df AS (
+  SELECT token, COUNT(*) AS df FROM bm_tf GROUP BY token
+), bm_term_w AS (
   SELECT token, n_docs, total_dl,
          ROUND(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
                         / (CAST(df AS DOUBLE) + 0.5)), 6) AS idf6
-  FROM df, stats
-), scored AS (
+  FROM bm_df, bm_stats
+), bm_scored AS (
   SELECT tf.doc_id, dl.lang,
     CAST(FLOOR(ROUND(idf6 * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
       / (CAST(tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
          * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
          / CAST(total_dl AS DOUBLE)))), 6) * 1000000 + 0.5) AS BIGINT) AS u
-  FROM tf JOIN term_w USING (token) JOIN dl USING (doc_id)
-), per_doc AS (
+  FROM bm_tf tf JOIN bm_term_w USING (token) JOIN bm_dl dl USING (doc_id)
+), bm_per_doc AS (
   SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
          CAST(SUM(u) AS BIGINT) AS score_u
-  FROM scored GROUP BY doc_id, lang
-)
+  FROM bm_scored GROUP BY doc_id, lang
+)"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {_bm25_chain_sql()}
 SELECT doc_id, lang, n_terms_hit,
        CAST(ROUND(CAST(CAST(score_u AS DOUBLE) / 1000000.0 AS DECIMAL(38,10)), 6)
             AS DOUBLE) AS bm25_score
-FROM per_doc
+FROM bm_per_doc
 ORDER BY score_u DESC, doc_id ASC
 LIMIT {BM25_TOP_N}
 """
@@ -745,3 +762,159 @@ LIMIT {BM25_TOP_N}
 
 QUERIES["sim_bm25_topk"] = sim_bm25_topk
 ORACLES["sim_bm25_topk"] = _bm25_sql()
+
+
+#: RRF fusion constant (the standard k=60 from Cormack et al.) and the
+#: per-retriever candidate-list depth fed into fusion
+RRF_K = 60
+RRF_LIST_N = 60
+RRF_TOP_N = 10
+#: the semantic query vector: embeddings row vec_id = 0 (deterministic
+#: model input; doc_id = vec_id is the corpus's modality-join contract)
+RRF_QUERY_VEC_ID = 0
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: fuse the BM25
+    lexical candidate list (sim_bm25_topk's per-doc scores over
+    BM25_QUERY) with a semantic candidate list (exact decimal cosine
+    against the embedding of vec_id 0, doc_id = vec_id per the
+    modality-join contract), score = sum over lists of
+    1 / (RRF_K + rank), top 10 fused.
+
+    Scale design: each retriever reduces to a top-RRF_LIST_N candidate
+    list via orderBy+limit (TakeOrdered — no global window over the
+    corpus); ranks are then row_numbered on the post-LIMIT 60-row heads
+    (metadata grain, the prep_vocab_topk precedent) and fused with a
+    60x60 full outer join on doc_id. The lexical side costs one
+    filtered token pass; the semantic side one linear decimal-cosine
+    scan (the single-query column of sim_topk_bruteforce). 1/(k+r) is
+    rational on integer ranks — micro-quantized per term, summed as
+    longs, so fusion ordering is exact integer arithmetic on both
+    engines. Reference parity: none — driver-contract Part C
+    retrieval family."""
+    lex = (
+        _bm25_per_doc(spark, sf_dir)
+        .orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+        .limit(RRF_LIST_N)
+    )
+    w_lex = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("r_lex")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    qv = F.broadcast(
+        corpus.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+            F.col("v").alias("qv")
+        )
+    )
+    # two-phase scoring (the sim_topk_bruteforce argument): the cheap
+    # IEEE-double cosine orders the corpus-wide scan, only the fast
+    # top (N + 20) pay the order-independent decimal cosine the oracle
+    # needs, then re-rank exactly. Fast and exact scores differ by
+    # ~1e-13 relative — 20 rivals inside that sliver is far beyond the
+    # corpus's score spacing (and the oracle gate would catch it).
+    # Measured 11.5 s -> ~4 s at sf1.
+    from ..functions.vector import dot_double
+
+    cos_fast = dot_double(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot_double(F.col("v"), F.col("v")))
+        * F.sqrt(dot_double(F.col("qv"), F.col("qv")))
+    )
+    cand = (
+        corpus.filter(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .crossJoin(qv)
+        .select("vec_id", "v", "qv", cos_fast.alias("cos_fast"))
+        .orderBy(F.col("cos_fast").desc(), F.col("vec_id").asc())
+        .limit(RRF_LIST_N + 20)
+    )
+    sem = (
+        cand.select("vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(RRF_LIST_N)
+    )
+    w_sem = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    sem_ranked = sem.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(w_sem).alias("r_sem")
+    )
+
+    def rrf_u(rank_col):
+        return F.when(
+            rank_col.isNull(), F.lit(0).cast("long")
+        ).otherwise(
+            F.floor(
+                F.round(F.lit(1.0) / (F.lit(float(RRF_K)) + rank_col.cast("double")), 6)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+
+    fused = (
+        lex_ranked.join(sem_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            (rrf_u(F.col("r_lex")) + rrf_u(F.col("r_sem"))).alias("rrf_u"),
+        )
+        .orderBy(F.col("rrf_u").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP_N)
+    )
+    w_f = Window.orderBy(F.col("rrf_u").desc(), F.col("doc_id").asc())
+    # absent-from-list ranks render as 0, not NULL: nullable ints decay
+    # to float64/NaN through the oracle's pandas bridge (the
+    # join_full_outer_nation_activity COALESCE convention)
+    return fused.select(
+        F.row_number().over(w_f).alias("fused_rank"),
+        "doc_id",
+        F.coalesce(F.col("r_lex"), F.lit(0)).cast("long").alias("r_lex"),
+        F.coalesce(F.col("r_sem"), F.lit(0)).cast("long").alias("r_sem"),
+        F.round((F.col("rrf_u").cast("double") / F.lit(1e6)).cast("decimal(38,10)"), 6)
+        .cast("double")
+        .alias("rrf_score"),
+    )
+
+
+def _rrf_sql() -> str:
+    rrf_term = (
+        "CAST(FLOOR(ROUND(1.0 / ({k} + CAST({r} AS DOUBLE)), 6) * 1000000 + 0.5)"
+        " AS BIGINT)"
+    )
+    lex_u = rrf_term.format(k=float(RRF_K), r="r_lex")
+    sem_u = rrf_term.format(k=float(RRF_K), r="r_sem")
+    return f"""
+WITH {_bm25_chain_sql()},
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id ASC) AS r_lex
+  FROM bm_per_doc ORDER BY score_u DESC, doc_id ASC LIMIT {RRF_LIST_N}
+), sem AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS r_sem
+  FROM (
+    SELECT c.vec_id,
+           {sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+    FROM embeddings c, (SELECT embedding FROM embeddings
+                        WHERE vec_id = {RRF_QUERY_VEC_ID}) q
+    WHERE c.vec_id <> {RRF_QUERY_VEC_ID}
+  ) ORDER BY cos_sim DESC, doc_id ASC LIMIT {RRF_LIST_N}
+), fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+         (CASE WHEN r_lex IS NULL THEN 0 ELSE {lex_u} END
+          + CASE WHEN r_sem IS NULL THEN 0 ELSE {sem_u} END) AS rrf_u
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+  ORDER BY rrf_u DESC, doc_id ASC LIMIT {RRF_TOP_N}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id ASC) AS fused_rank,
+       doc_id,
+       CAST(COALESCE(r_lex, 0) AS BIGINT) AS r_lex,
+       CAST(COALESCE(r_sem, 0) AS BIGINT) AS r_sem,
+       CAST(ROUND(CAST(CAST(rrf_u AS DOUBLE) / 1000000.0 AS DECIMAL(38,10)), 6)
+            AS DOUBLE) AS rrf_score
+FROM fused
+"""
+
+
+QUERIES["sim_hybrid_rrf"] = sim_hybrid_rrf
+ORACLES["sim_hybrid_rrf"] = _rrf_sql()

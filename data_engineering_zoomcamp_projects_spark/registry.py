@@ -77,8 +77,10 @@ _FRONT = [
     "sim_bm25_topk",
     "curation_domain_cap",
     #     + the character-entropy quality signal (Gopher-family cheap
-    #     filter; per-type micro-nat quantization):
+    #     filter; per-type micro-nat quantization) and hybrid retrieval
+    #     by reciprocal-rank fusion of the BM25 and cosine lists:
     "text_entropy_scores",
+    "sim_hybrid_rrf",
     # (b) the 13 r4-era rows the r9 window explicitly deferred (oldest
     #     official rows in the registry):
     "events_value_histogram",
@@ -94,10 +96,10 @@ _FRONT = [
     "topk_per_group",
     "window_first_last",
     "window_range_frame",
-    # (c) 32 of the 41 r5-era rows, alphabetical (1 + 4 + 13 + 32 = 50;
-    #     the last nine alphabetically — stream_live_sliding_15m,
-    #     stream_live_tumbling_hourly, subq_lateral_topn,
-    #     text_collocations, text_heavy_hitters_cms,
+    # (c) 31 of the 41 r5-era rows, alphabetical (1 + 5 + 13 + 31 = 50;
+    #     the last ten alphabetically — stream_live_session_30m,
+    #     stream_live_sliding_15m, stream_live_tumbling_hourly,
+    #     subq_lateral_topn, text_collocations, text_heavy_hitters_cms,
     #     text_normalize_unicode, timeseries_interpolate,
     #     timeseries_wow_change, window_nth_value — are the oldest
     #     candidates for round 11):
@@ -132,7 +134,6 @@ _FRONT = [
     "sim_topk_lsh",
     "stream_live_dedup_summary",
     "stream_live_join_purchase_views",
-    "stream_live_session_30m",
 ]
 
 

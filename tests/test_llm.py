@@ -1227,3 +1227,44 @@ def test_entropy_scores_match_oracle_and_reference(spark, sf_dir):
             for c in cnt.values()
         )
         assert got[r["doc_id"]] == (n, len(cnt), u), r["doc_id"]
+
+
+def test_hybrid_rrf_matches_oracle_and_fusion_reference(spark, sf_dir):
+    """sim_hybrid_rrf differential at BOTH small SFs plus a plain-python
+    reciprocal-rank-fusion reference over the two SHIPPED candidate
+    lists — proves the fused ordering is RRF(k=60) of exactly the BM25
+    and cosine rankings (and that a doc on both lists sums both
+    terms)."""
+    import math
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        RRF_K,
+        RRF_TOP_N,
+        _rrf_sql,
+        sim_hybrid_rrf,
+    )
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = sim_hybrid_rrf(spark, d)
+        problems = compare(df, run_oracle(_rrf_sql(), d), "rrf")
+        assert not problems, "\n".join(problems)
+
+    rows = sim_hybrid_rrf(spark, sf_dir).collect()
+    assert len(rows) == RRF_TOP_N
+    assert [r["fused_rank"] for r in rows or []] != []
+    # recompute each row's fused score from its own ranks (0 = absent)
+    for r in sorted(rows, key=lambda r: r["fused_rank"]):
+        u = 0
+        for rank in (r["r_lex"], r["r_sem"]):
+            if rank:
+                u += math.floor(round(1.0 / (RRF_K + rank), 6) * 1e6 + 0.5)
+        assert round(r["rrf_score"] * 1e6) == u, r
+    # ordering is by fused score desc with doc_id tie-break
+    key = [(-round(r["rrf_score"] * 1e6), r["doc_id"]) for r in
+           sorted(rows, key=lambda r: r["fused_rank"])]
+    assert key == sorted(key)
+    # at least one doc must appear on both lists at these SFs (the
+    # fusion is degenerate otherwise — guard the fixture's usefulness)
+    assert any(r["r_lex"] and r["r_sem"] for r in rows)

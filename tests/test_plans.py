@@ -270,6 +270,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # frame (BM25_QUERY has 5 terms); the corpus-side joins are
         # hash joins on token / doc_id
         "sim_bm25_topk",
+        # sim_hybrid_rrf: inherits the BM25 stats cross (above) plus
+        # the one-row broadcast query-vector frame crossed onto the
+        # embeddings scan (single-query cosine — model state)
+        "sim_hybrid_rrf",
         # pipeline_ccnet_buckets: two bounded broadcasts — the one-row
         # vocab-size frame (from the perplexity stage) and
         # distrank.ranked's metadata-sized shard-count frame
@@ -322,6 +326,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # rank window runs on the post-LIMIT 5-row head (TakeOrdered
         # selects it, same proof as prep_vocab_topk)
         "quality_join_skew_audit",
+        # all three rank windows run on post-LIMIT heads (two 60-row
+        # candidate lists + the 10-row fused head; TakeOrdered selects
+        # each, same proof as prep_vocab_topk)
+        "sim_hybrid_rrf",
     }
     # low-cardinality-window whitelist: a window whose partition clause
     # has ONLY low-card keys (no id/key/shard-bearing column) funnels
@@ -364,6 +372,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "graph_triangle_count",  # (doc_a, doc_b) closure probe
         "quality_snapshot_diff",  # row-key full diff
         "subq_exists_multi_order_days",  # c_custkey
+        # the fusion full outer join of the two post-LIMIT 60-row
+        # candidate lists (full outer has no broadcast form; both
+        # sides are bounded by RRF_LIST_N at any corpus size)
+        "sim_hybrid_rrf",
     }
     id_bearing = __import__("re").compile(r"(_pid|key|_?id($|_))")
     worst = []
