@@ -336,3 +336,31 @@ def test_sorted_round_robin_balance_bound(spark, tokens, k):
     # telescoping bound: round r hands shard 0 its largest and
     # shard k-1 its smallest item; the spread sums to <= max item
     assert max(toks.values()) - min(toks.values()) <= max(tokens)
+
+
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+)
+@_SETTINGS
+def test_png_codec_roundtrip_on_arbitrary_rasters(data, w, h):
+    """encode->decode is the identity for ANY gray-8 raster at ANY
+    geometry (the decoder also reconstructs non-trivial filters —
+    covered by the hand-built fixture in test_llm.py; this property
+    pins the shipped encoder's profile end to end)."""
+    from data_engineering_zoomcamp_projects_spark.llm.multimodal import (
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    raster = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    assert png_decode_gray(png_encode_gray(raster, w, h)) == (w, h, raster)
