@@ -531,9 +531,19 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         best_sc = F.array_max(sc_scored)  # (sim desc, sc_id asc) head
-        chosen = F.element_at(
-            F.col("cells"), (F.lit(1) - best_sc["neg_idx"]).cast("int")
+        # STAGE the winning cell: `chosen` is field-read twice (mids,
+        # mvecs), and inline it embeds the whole super-scoring
+        # transform — re-inlined per read, the ~sqrt(k) super dots ran
+        # TWICE per row (caught by the round-10 re-inlining guard;
+        # measured 12.8 -> ~9 s at sf1). A named non-cheap column is
+        # single-evaluation under CollapseProject.
+        df = df.withColumn(
+            "_chosen",
+            F.element_at(
+                F.col("cells"), (F.lit(1) - best_sc["neg_idx"]).cast("int")
+            ),
         )
+        chosen = F.col("_chosen")
         mem = F.zip_with(
             chosen["mids"],
             chosen["mvecs"],
@@ -549,7 +559,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             cell = -F.array_max(neg)["neg_id"]  # null on empty group
-            return df.withColumn(out_col, cell).drop("cells")
+            return df.withColumn(out_col, cell).drop("cells", "_chosen")
         ranked = F.array_sort(
             mem,
             lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
@@ -559,10 +569,21 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0)),
         )
         tops = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cent_id"])
-        return df.withColumn(out_col, F.explode(tops)).drop("cells")
+        return df.withColumn(out_col, F.explode(tops)).drop("cells", "_chosen")
 
-    corpus_cells = nearest_cells(corpus, "v", "cell", 1)
-    query_cells = nearest_cells(queries, "qv", "qcell", 2)  # nprobe=2
+    # COALESCE the cell ids to distinct non-null sentinels: a nullable
+    # equi-join key makes the optimizer infer isnotnull(cell), and the
+    # inferred predicate inlines the WHOLE assignment expression (the
+    # ~sqrt(k) super dots) a second time per row (caught by the
+    # round-10 re-inlining guard). Non-nullable keys generate no
+    # constraint; -1 vs -2 keeps empty-group rows from false-matching
+    # each other (nulls never matched before — same semantics).
+    corpus_cells = nearest_cells(corpus, "v", "cell", 1).withColumn(
+        "cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long"))
+    )
+    query_cells = nearest_cells(queries, "qv", "qcell", 2).withColumn(
+        "qcell", F.coalesce(F.col("qcell"), F.lit(-2).cast("long"))
+    )  # nprobe=2
 
     denom = F.col("qnorm") * F.col("vnorm")
     scored_fast = corpus_cells.join(

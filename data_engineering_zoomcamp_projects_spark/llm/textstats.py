@@ -31,17 +31,29 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    avg_len = F.col("n_chars").cast("double") / n_tokens.cast("double")
-    ttr = n_distinct.cast("double") / n_tokens.cast("double")
-    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
-    return d.select(
+    # STAGE the counts: stop_ratio feeds both the rounded output and
+    # passes_quality, and an inline size(filter(...)) is re-inlined per
+    # consumer — the stopword scan ran twice per row (caught by the
+    # round-10 re-inlining guard)
+    staged = d.select(
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct"),
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "_n_stop"
+        ),
+    )
+    n_tokens = F.col("n_tokens")
+    avg_len = F.col("n_chars").cast("double") / n_tokens.cast("double")
+    ttr = F.col("n_distinct").cast("double") / n_tokens.cast("double")
+    stop_ratio = F.col("_n_stop").cast("double") / n_tokens.cast("double")
+    return staged.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_distinct",
         F.round(ttr, 6).alias("ttr"),
         F.round(avg_len, 6).alias("avg_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

@@ -737,21 +737,28 @@ def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps.append(c if c[j] >= 0 else -c)
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
+    marr = F.array(*[F.lit(float(x)) for x in mean])
+    # STAGE the mean-centered vector once: inlining the centering
+    # zip_with into each component's dot re-evaluates it per component
+    # (the CollapseProject pathology — caught by the round-10
+    # re-inlining guard); a named column is single-evaluation because
+    # CollapseProject won't inline a non-cheap producer into multiple
+    # consumers
+    staged = e.select(
+        "vec_id",
+        "label",
+        F.zip_with(v, marr, lambda x, m: x - m).alias("_cv"),
+    )
     cols = [F.col("vec_id"), F.col("label")]
     for k, c in enumerate(comps):
         carr = F.array(*[F.lit(float(x)) for x in c])
-        marr = F.array(*[F.lit(float(x)) for x in mean])
         centered_dot = F.aggregate(
-            F.zip_with(
-                F.zip_with(v, marr, lambda x, m: x - m),
-                carr,
-                lambda x, w: x * w,
-            ),
+            F.zip_with(F.col("_cv"), carr, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
         cols.append(F.round(centered_dot, 6).alias(f"pc{k + 1}"))
-    return e.select(*cols)
+    return staged.select(*cols)
 
 
 QUERIES["ml_pca_embeddings"] = ml_pca_embeddings

@@ -479,7 +479,17 @@ def _exact_ntile(df: DataFrame, n: int, sort_cols: list, out_name: str) -> DataF
         F.lit(0).cast("long"),
         lambda acc, s: acc + s["_cnt"],
     )
-    rank = (off + F.row_number().over(w)).cast("long")
+    # STAGE the global rank as a named column before the bucket math:
+    # `bucket` references the rank THREE times, and an inline
+    # (off + row_number) expression gets re-inlined per reference —
+    # three per-row folds over the broadcast shard array instead of one
+    # (the repo's CollapseProject pathology, caught by the round-10
+    # re-inlining guard in tests/test_plans.py)
+    staged = (
+        ranged.crossJoin(F.broadcast(cnts))
+        .withColumn("_g_rank", (off + F.row_number().over(w)).cast("long"))
+    )
+    rank = F.col("_g_rank")
     ntot = F.col("_n_total")
     q = F.floor(ntot / n).cast("long")  # small-bucket size
     rem = (ntot % n).cast("long")  # number of big (q+1) buckets
@@ -488,10 +498,8 @@ def _exact_ntile(df: DataFrame, n: int, sort_cols: list, out_name: str) -> DataF
     bucket = F.when(in_big, F.floor((rank - 1) / big) + 1).otherwise(
         rem + F.floor((rank - rem * big - 1) / F.greatest(q, F.lit(1))) + 1
     )
-    return (
-        ranged.crossJoin(F.broadcast(cnts))
-        .withColumn(out_name, bucket.cast("int"))
-        .drop("_pid", "_shard_cnts")
+    return staged.withColumn(out_name, bucket.cast("int")).drop(
+        "_pid", "_shard_cnts", "_g_rank"
     )
 
 

@@ -279,6 +279,64 @@ def _branch_root(
     return cur
 
 
+_EXPENSIVE_HEADS = (
+    "transform(",
+    "aggregate(",
+    "zip_with(",
+    "md5(",
+    "array_sort(",
+    "filter(",
+)
+
+
+def _balanced_paren(s: str, open_idx: int) -> str | None:
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx : i + 1]
+    return None
+
+
+def duplicated_expensive_exprs(df: DataFrame) -> list[tuple[int, str]]:
+    """The CollapseProject-re-inlining detector (the repo's most
+    recurrent perf bug, mechanized in round 10): identical EXPENSIVE
+    subtrees (HOF transform/aggregate/zip_with/filter, md5, array_sort;
+    > 60 rendered chars) appearing 2+ times within ONE physical-plan
+    line mean the same expression is re-evaluated per consumer or per
+    lambda element — Catalyst does no common-subexpression elimination
+    across lambda boundaries or collapsed projections. The fix is a
+    staged projection (materialize the expr as a named column in its
+    own .select(); see functions/text.py::shingles for the in-lambda
+    variant). Returns (count, subtree-prefix) pairs; expression IDs
+    (#n) make genuinely identical subtrees textually identical, so
+    exact string equality is the right match."""
+    out: list[tuple[int, str]] = []
+    text = df._jdf.queryExecution().executedPlan().toString()
+    # the analyzer mints fresh LAMBDA variable ids per expression
+    # instance (lambda x_1#7 vs #8 for textually identical trees), so
+    # strip the ids but KEEP the variable names — a reused Column
+    # object carries the same names across its uses (the bug shape),
+    # while genuinely distinct lambda variables keep distinct names
+    # (stripping names too made different vars compare equal — a
+    # measured false positive on sim_topk_ivf's per-cell lambdas).
+    # Attribute refs keep their ids untouched.
+    text = re.sub(r"(lambda \w+)#\d+", r"\1", text)
+    for line in text.splitlines():
+        found: dict[str, int] = {}
+        for kw in _EXPENSIVE_HEADS:
+            for m in re.finditer(re.escape(kw), line):
+                sub = _balanced_paren(line, m.start() + len(kw) - 1)
+                if sub is not None and len(sub) > 60:
+                    key = kw + sub
+                    found[key] = found.get(key, 0) + 1
+        out.extend((c, k[:100]) for k, c in found.items() if c >= 2)
+    return out
+
+
 def plan_profile(df: DataFrame) -> dict[str, int]:
     """Compact per-plan hygiene profile: shuffle / broadcast /
     sort-merge-join / cartesian counts. Used by the registry-wide audit

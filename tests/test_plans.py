@@ -505,3 +505,56 @@ def test_fact_agg_guard_catches_reverted_q2(spark, sf_dir):
     )
     v = explain.unfiltered_fact_agg_under_selective_bhj(reverted)
     assert len(v) == 1 and "semi-join-prefilter" in v[0], v
+
+
+def test_registry_wide_no_reinlined_expensive_exprs(spark, sf_dir):
+    """The CollapseProject-re-inlining guard (the engine's most
+    recurrent perf bug — shingles round 8, quantize_int8 round 8,
+    repetition_scores round 9 all shipped fixes for it): no registered
+    plan may evaluate an identical expensive subtree (HOF/md5, > 60
+    rendered chars) twice on one plan line, except the two analyzed
+    rows below. A regressed staged projection fails here, not in the
+    next round's sweep."""
+    from data_engineering_zoomcamp_projects_spark.registry import all_queries
+
+    # EXACT allow-set, each entry analyzed and bounded:
+    allow = {
+        # predicate pushdown substitutes the rank/total aliases into
+        # the median-position filter (rank == lo OR rank == hi), so the
+        # two metadata-array folds appear twice each in the pushed
+        # predicate — bounded by the <= shards x |segments| array, and
+        # a checkpoint barrier would cost more than the re-evaluation
+        "agg_median_mode_by_segment",
+        # optimizer-inferred generate filters (size(...) > 0 AND
+        # isnotnull(...)) duplicate the vocab branch's filter(split())
+        # on ONE corpus scan — 2 extra evaluations per row on a single
+        # branch, inferred below any projection so staging cannot
+        # remove it; not the multi-consumer pathology
+        "text_lm_perplexity",
+    }
+    iterative = {
+        "dedup_cluster_components",
+        "dedup_cluster_census",
+        "ml_kmeans_embeddings",
+        "dedup_semantic_semdedup",
+        "graph_pagerank_near_dups",
+    }
+    for name, fn in sorted(all_queries().items()):
+        if name in iterative or name in allow:
+            continue
+        dups = explain.duplicated_expensive_exprs(fn(spark, sf_dir))
+        assert not dups, (name, dups)
+
+
+def test_reinline_detector_catches_unstaged_double_use(spark, sf_dir):
+    """The guard must FIRE on an unstaged double use of an expensive
+    HOF expression — proves the detector detects, so the clean registry
+    run above is evidence and not a no-op."""
+    d = load_table(spark, sf_dir, "documents")
+    expensive = F.transform(F.split("text", " "), lambda t: F.length(t) * 2)
+    df = d.select(
+        F.size(F.filter(expensive, lambda x: x > 4)).alias("a"),
+        F.element_at(expensive, 1).alias("b"),
+    )
+    dups = explain.duplicated_expensive_exprs(df)
+    assert dups and max(c for c, _ in dups) >= 2, dups
