@@ -196,7 +196,10 @@ def main() -> None:
     # writes a per-round archive copy (BENCH_local_r9.json) so each
     # round's medians survive the next round's runs (r8 verdict item 3).
     here = os.path.dirname(os.path.abspath(__file__))
-    outputs = [os.path.join(here, "BENCH_local_latest.json")]
+    # a SPARK_GRAFT_BENCH_ONLY probe run is a PARTIAL record: never let
+    # it overwrite the full headline archive (the recurring clobber the
+    # e8954fa repair and two round-10 git-restores cleaned up by hand)
+    outputs = [] if only else [os.path.join(here, "BENCH_local_latest.json")]
     tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
     if tag:
         # the tag is interpolated into a filename: reject separators /

@@ -663,10 +663,18 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q_terms = list(BM25_QUERY)
+    # lang and dl ride the token select (per-doc constants): grouping by
+    # them is free and removes both a THIRD corpus scan and a
+    # corpus-sized join-back on doc_id (round-10 review finding)
     tok = docs.select(
-        "doc_id", F.explode(F.filter("ts", lambda t: t.isin(q_terms))).alias("token")
+        "doc_id",
+        "lang",
+        "dl",
+        F.explode(F.filter("ts", lambda t: t.isin(q_terms))).alias("token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tok.groupBy("doc_id", "lang", "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # idf per query TERM: ln(1 + (N - df + 0.5) / (df + 0.5)), the one
     # transcendental — rounded at 6dp before anything multiplies it
@@ -702,11 +710,7 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("u")
     )
-    scored = (
-        tf.join(term_w, "token")
-        .join(docs.select("doc_id", "lang", "dl"), "doc_id")
-        .select("doc_id", "lang", "token", contrib_u)
-    )
+    scored = tf.join(term_w, "token").select("doc_id", "lang", "token", contrib_u)
     return scored.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         F.sum("u").alias("score_u"),

@@ -1086,7 +1086,12 @@ def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JVM) — the differential at both SFs pins the agreement.
     Reference parity: none — driver-contract Part C quality family."""
     d = load_table(spark, sf_dir, "documents")
-    ch = d.select(
+    # split('', '') yields [''] on BOTH engines (one phantom empty-string
+    # "character"), so empty documents must be excluded BEFORE the
+    # explode or they score as a 1-char distribution instead of being
+    # absent (round-10 review finding; the oracle differential can't
+    # catch it because both engines agree on the wrong answer)
+    ch = d.filter(F.length("text") > 0).select(
         "doc_id", "lang", F.explode(F.split("text", "")).alias("c")
     )
     counts = ch.groupBy("doc_id", "lang", "c").agg(
@@ -1128,6 +1133,7 @@ def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_ENTROPY_SQL = """
 WITH ch AS (
   SELECT doc_id, lang, unnest(split(text, '')) AS c FROM documents
+  WHERE length(text) > 0
 ), counts AS (
   SELECT doc_id, lang, c, COUNT(*) AS n_c FROM ch GROUP BY doc_id, lang, c
 ), terms AS (

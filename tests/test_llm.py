@@ -1268,3 +1268,34 @@ def test_hybrid_rrf_matches_oracle_and_fusion_reference(spark, sf_dir):
     # at least one doc must appear on both lists at these SFs (the
     # fusion is degenerate otherwise — guard the fixture's usefulness)
     assert any(r["r_lex"] and r["r_sem"] for r in rows)
+
+
+def test_entropy_scores_exclude_empty_documents(spark, tmp_path):
+    """split('', '') yields [''] on both engines, so an empty document
+    would otherwise score as a phantom 1-char distribution — the
+    contract is that chars-less docs are ABSENT (round-10 review
+    finding; the oracle differential can't catch it because both
+    engines agree on the wrong answer)."""
+    from data_engineering_zoomcamp_projects_spark.llm.textstats import (
+        TEXT_ENTROPY_SQL,
+        text_entropy_scores,
+    )
+
+    from .oracle import compare
+
+    import duckdb
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "aab", "en", "src0", 3), (2, "", "en", "src0", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    df = text_entropy_scores(spark, d)
+    rows = df.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    problems = compare(df, con.execute(TEXT_ENTROPY_SQL).fetchdf(), "entropy_empty")
+    assert not problems, "\n".join(problems)
