@@ -136,6 +136,9 @@ HEADLINE = [
     # fused; bounded 60x60 full outer join) — tracked from first
     # certification
     "sim_hybrid_rrf",
+    # round-10: token-budget head over the distributed prefix sum —
+    # tracked from first certification
+    "prep_token_budget_head",
 ]
 
 

@@ -549,3 +549,73 @@ ORACLES = {
     "prep_decontaminate": PREP_DECONTAM_SQL,
     "prep_quantize_int8": PREP_QUANTIZE_SQL,
 }
+
+
+#: token-budget head: keep documents, biggest first, until this
+#: fraction of the corpus's tokens is filled (exact integer arithmetic:
+#: budget = total * NUM // DEN)
+BUDGET_NUM = 3
+BUDGET_DEN = 10
+
+
+def prep_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection — the "fill the training budget in
+    priority order" primitive: order documents by a quality key
+    (n_chars DESC here; any deterministic score works), take documents
+    while the INCLUSIVE cumulative token count stays within
+    budget = 3/10 of the corpus's total tokens.
+
+    Scale design: the cumulative sum is NOT a global
+    SUM() OVER (ORDER BY ...) window (single-task funnel) but
+    operators/distrank.cum_weighted — range-shard on the priority
+    order, within-shard running sums, one broadcast metadata array of
+    shard totals. The budget scalar is a one-row broadcast; the
+    integer form (total * 3 // 10) is exact on both engines.
+    Reference parity: none — driver-contract Part C prep family."""
+    from ..operators.distrank import cum_weighted
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", n_tokens_expr().cast("long").alias("n_tokens")
+    )
+    total = d.agg(
+        F.floor(
+            F.sum("n_tokens") * F.lit(BUDGET_NUM) / F.lit(BUDGET_DEN)
+        )
+        .cast("long")
+        .alias("budget")
+    )
+    cum = cum_weighted(
+        d,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        out="cum_tokens",
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         CAST({N_TOKENS_SQL} AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT CAST(FLOOR(SUM(n_tokens) * {BUDGET_NUM} / {BUDGET_DEN}) AS BIGINT)
+         AS budget
+  FROM t
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c, b
+WHERE cum_tokens <= budget
+"""
+
+QUERIES["prep_token_budget_head"] = prep_token_budget_head
+ORACLES["prep_token_budget_head"] = TOKEN_BUDGET_SQL

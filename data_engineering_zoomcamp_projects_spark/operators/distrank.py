@@ -170,3 +170,59 @@ def rank_family(
     )
     cdist = (F.col("_rank") + F.col("_ties") - 1).cast("double") / n.cast("double")
     return out.withColumn("_prank", prank).withColumn("_cdist", cdist)
+
+
+def cum_weighted(
+    df: DataFrame,
+    order_cols: list[Column],
+    weight_col: str,
+    out: str = "_cum",
+) -> DataFrame:
+    """Distributed INCLUSIVE running SUM of ``weight_col`` over a
+    global total order — the prefix-sum generalization of
+    :func:`ranked` (the count case is weight = 1). A plain
+    ``SUM() OVER (ORDER BY ...)`` with no partition clause funnels the
+    whole frame through one task; here the frame is range-sharded on
+    the total order, each shard's weight total is collected into ONE
+    broadcast metadata array (<= shards entries), and a row's prefix is
+    its shard's within-shard running sum plus the fold of all earlier
+    shards' totals. ``order_cols`` must be a unique total order (the
+    usual deterministic-result contract).
+
+    Long-sum discipline: weights are summed as longs on both paths
+    (callers pass integer weights — token counts, byte sizes); the
+    result is exact and order-independent."""
+    shards = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(shards, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    cnts = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(weight_col).cast("long").alias("_w"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_pid", "_w"))).alias("_shard_ws")
+        )
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = F.aggregate(
+        F.filter(F.col("_shard_ws"), lambda s: s["_pid"] < F.col("_pid")),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s["_w"],
+    )
+    # STAGE the prefix as a named column: downstream predicates read it
+    # multiple times, and an inline (off + running) would re-inline the
+    # broadcast-array fold per consumer (the re-inlining guard's bug
+    # class)
+    return (
+        ranged.crossJoin(F.broadcast(cnts))
+        .withColumn(
+            out, (off + F.sum(weight_col).over(w).cast("long")).cast("long")
+        )
+        .drop("_pid", "_shard_ws")
+    )

@@ -81,6 +81,10 @@ _FRONT = [
     #     by reciprocal-rank fusion of the BM25 and cosine lists:
     "text_entropy_scores",
     "sim_hybrid_rrf",
+    #     + token-budget head selection over the distributed prefix sum
+    #     (distrank.cum_weighted — the ranked() pattern generalized to
+    #     weighted running sums):
+    "prep_token_budget_head",
     # (b) the 13 r4-era rows the r9 window explicitly deferred (oldest
     #     official rows in the registry):
     "events_value_histogram",
@@ -96,10 +100,11 @@ _FRONT = [
     "topk_per_group",
     "window_first_last",
     "window_range_frame",
-    # (c) 31 of the 41 r5-era rows, alphabetical (1 + 5 + 13 + 31 = 50;
-    #     the last ten alphabetically — stream_live_session_30m,
-    #     stream_live_sliding_15m, stream_live_tumbling_hourly,
-    #     subq_lateral_topn, text_collocations, text_heavy_hitters_cms,
+    # (c) 30 of the 41 r5-era rows, alphabetical (1 + 6 + 13 + 30 = 50;
+    #     the last eleven alphabetically — stream_live_join_purchase_
+    #     views, stream_live_session_30m, stream_live_sliding_15m,
+    #     stream_live_tumbling_hourly, subq_lateral_topn,
+    #     text_collocations, text_heavy_hitters_cms,
     #     text_normalize_unicode, timeseries_interpolate,
     #     timeseries_wow_change, window_nth_value — are the oldest
     #     candidates for round 11):
@@ -133,7 +138,6 @@ _FRONT = [
     "sample_fraction",
     "sim_topk_lsh",
     "stream_live_dedup_summary",
-    "stream_live_join_purchase_views",
 ]
 
 

@@ -1299,3 +1299,44 @@ def test_entropy_scores_exclude_empty_documents(spark, tmp_path):
     )
     problems = compare(df, con.execute(TEXT_ENTROPY_SQL).fetchdf(), "entropy_empty")
     assert not problems, "\n".join(problems)
+
+
+def test_token_budget_head_matches_oracle_and_greedy_reference(spark, sf_dir):
+    """prep_token_budget_head differential at BOTH small SFs plus a
+    plain-python greedy reference: sort docs by (n_chars DESC, doc_id),
+    take while the inclusive token sum stays within total * 3 // 10 —
+    proves the distributed prefix sum (distrank.cum_weighted) computes
+    the same cumulative order and the same cut."""
+    from data_engineering_zoomcamp_projects_spark.llm.preparation import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        TOKEN_BUDGET_SQL,
+        prep_token_budget_head,
+    )
+
+    from .oracle import compare, run_oracle
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        df = prep_token_budget_head(spark, d)
+        problems = compare(df, run_oracle(TOKEN_BUDGET_SQL, d), "budget")
+        assert not problems, "\n".join(problems)
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    docs = sorted(rows, key=lambda r: (-r["n_chars"], r["doc_id"]))
+    total = sum(len(r["text"].split(" ")) for r in rows)
+    budget = total * BUDGET_NUM // BUDGET_DEN
+    expect = {}
+    cum = 0
+    for r in docs:
+        n = len(r["text"].split(" "))
+        cum += n
+        if cum > budget:
+            break
+        expect[r["doc_id"]] = (n, cum)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in prep_token_budget_head(spark, sf_dir).collect()
+    }
+    assert got == expect

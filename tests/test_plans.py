@@ -274,6 +274,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # the one-row broadcast query-vector frame crossed onto the
         # embeddings scan (single-query cosine — model state)
         "sim_hybrid_rrf",
+        # prep_token_budget_head: the one-row broadcast budget scalar
+        # crossed onto the prefix-summed corpus (plus distrank's
+        # metadata-sized shard-totals broadcast)
+        "prep_token_budget_head",
         # pipeline_ccnet_buckets: two bounded broadcasts — the one-row
         # vocab-size frame (from the perplexity stage) and
         # distrank.ranked's metadata-sized shard-count frame
