@@ -139,6 +139,12 @@ HEADLINE = [
     # round-10: token-budget head over the distributed prefix sum —
     # tracked from first certification
     "prep_token_budget_head",
+    # round-11: trained hashed-bigram quality classifier (shared
+    # lattice-GD loop) and IVF-PQ (product-quantized candidate
+    # scoring, 20.9x less exchange than sim_topk_ivf at sf1) —
+    # tracked from first certification
+    "text_quality_classifier",
+    "sim_topk_ivfpq",
 ]
 
 
@@ -209,7 +215,11 @@ def main() -> None:
         # traversal so a malformed tag can't write outside the repo dir
         # (ADVICE r9)
         if re.fullmatch(r"[A-Za-z0-9._-]+", tag) and tag not in (".", ".."):
-            outputs.append(os.path.join(here, f"BENCH_local_{tag}.json"))
+            # same partial-record rule as the latest file: an ONLY probe
+            # must never replace a tag's full archive either (ADVICE
+            # r10) — divert it to a _partial name instead
+            suffix = "_partial" if only else ""
+            outputs.append(os.path.join(here, f"BENCH_local_{tag}{suffix}.json"))
         else:
             print(
                 f"WARNING: ignoring invalid SPARK_GRAFT_BENCH_TAG={tag!r} "

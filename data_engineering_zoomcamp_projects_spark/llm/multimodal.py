@@ -70,13 +70,20 @@ def hex_bytes_array(payload: "F.Column") -> "F.Column":
 
 
 def _png_codec():
-    """Minimal PNG codec for the 8-bit grayscale non-interlaced profile,
-    pure stdlib (struct + zlib). Factory-local definitions on purpose:
-    a `<locals>` qualname makes cloudpickle serialize these BY VALUE, so
+    """Minimal PNG codec for the 8-bit grayscale non-interlaced profile:
+    stdlib struct + zlib framing, numpy for the scanline math where
+    importable (pure-stdlib per-pixel loop otherwise — identical bytes,
+    property-pinned). Factory-local definitions on purpose: a
+    `<locals>` qualname makes cloudpickle serialize these BY VALUE, so
     mapInPandas closures can call them on executors that don't have this
     package on sys.path (the repo-wide closure-serialization rule)."""
     import struct
     import zlib
+
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy is baked in
+        _np = None
 
     SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -97,15 +104,75 @@ def _png_codec():
             )
 
         ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-        raw = b"".join(
-            b"\x00" + raster[y * width : (y + 1) * width] for y in range(height)
-        )
+        if _np is not None:
+            # one reshape + one column insert instead of a per-scanline
+            # join loop (same bytes: filter-0 rows)
+            rows = _np.zeros((height, width + 1), dtype=_np.uint8)
+            rows[:, 1:] = _np.frombuffer(raster, dtype=_np.uint8).reshape(
+                height, width
+            )
+            raw = rows.tobytes()
+        else:
+            raw = b"".join(
+                b"\x00" + raster[y * width : (y + 1) * width] for y in range(height)
+            )
         return (
             SIG
             + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 6))
             + chunk(b"IEND", b"")
         )
+
+    def unfilter_np(raw: bytes, width: int, height: int) -> bytes:
+        """Vectorized scanline reconstruction (r10 verdict item 4: the
+        per-pixel Python loop was the sf1 floor of the decode bench).
+        Filter math in numpy uint8 is exact mod-256 arithmetic:
+        None = copy, Sub = within-row wrapping cumsum, Up = wrapping
+        add of the previous reconstructed row. Average/Paeth keep the
+        per-pixel loop (the reconstructed LEFT neighbour makes them
+        inherently sequential in x) — they only appear in
+        foreign-encoder output, never in `encode`'s filter-0 rows, and
+        the all-zero batch fast path returns in one reshape."""
+        arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(height, width + 1)
+        ftypes = arr[:, 0]
+        data = arr[:, 1:]
+        if not ftypes.any():  # all filter 0 — `encode`'s own profile
+            return data.tobytes()
+        if int(ftypes.max()) > 4:
+            raise ValueError(f"unknown PNG filter type {int(ftypes.max())}")
+        out = _np.empty((height, width), dtype=_np.uint8)
+        prev = _np.zeros(width, dtype=_np.uint8)
+        for y in range(height):
+            ft = int(ftypes[y])
+            row = data[y]
+            if ft == 0:
+                cur = row
+            elif ft == 1:  # Sub: recon[x] = sum(raw[0..x]) mod 256
+                cur = _np.cumsum(row, dtype=_np.uint8)
+            elif ft == 2:  # Up: uint8 add wraps mod 256
+                cur = row + prev
+            else:  # Average/Paeth: sequential left-neighbour recurrence
+                cur = _np.empty(width, dtype=_np.uint8)
+                a = 0
+                pv = prev.tolist()
+                rw = row.tolist()
+                for x in range(width):
+                    b = pv[x]
+                    c = pv[x - 1] if x else 0
+                    if ft == 3:
+                        v = (rw[x] + (a + b) // 2) & 0xFF
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = (
+                            a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                        )
+                        v = (rw[x] + pred) & 0xFF
+                    cur[x] = v
+                    a = v
+            out[y] = cur
+            prev = out[y]
+        return out.tobytes()
 
     def decode(payload: bytes) -> tuple[int, int, bytes]:
         """Decode a gray-8 non-interlaced PNG to (width, height, raster).
@@ -141,6 +208,8 @@ def _png_codec():
         raw = zlib.decompress(idat)
         if len(raw) != height * (width + 1):
             raise ValueError("PNG scanline data has the wrong length")
+        if _np is not None:
+            return width, height, unfilter_np(raw, width, height)
         out = bytearray()
         prev = bytes(width)
         for y in range(height):
@@ -380,12 +449,26 @@ RESIZE_SCHEMA = (
 )
 
 
-def _resize_payload_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _resize_payload_frame(
+    spark: SparkSession, sf_dir: str, widen: bool = False
+) -> DataFrame:
     """(doc_id, payload) with the synthesized 256-byte raster: 16
     chained md5 blocks — the documents table ships no real rasters;
     same convention as the other multimodal payloads. A real corpus
-    reads this column straight from parquet `binary`."""
-    d = load_table(spark, sf_dir, "documents")
+    reads this column straight from parquet `binary`.
+
+    widen=True repartitions the NARROW doc_id frame to the session's
+    default parallelism BEFORE synthesizing the payload: the documents
+    parquet at bench scale opens as ~2 splits, so everything downstream
+    of the scan — the 16-md5 chain AND any per-row Python codec —
+    otherwise runs 2-wide on a 32-core session. The exchange carries
+    the chain inputs (doc_id + text, ~300 B/row — the 16-md5 chain
+    itself runs post-shuffle at full width); the codec-bearing
+    decode_resize query measured 6.3 -> 1.5 s at sf1. A real binary
+    corpus has maxPartitionBytes-sized splits and skips this."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if widen:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     return d.select(
         "doc_id", F.unhex(chained_md5_hex(IMG_W * IMG_W // 16)).alias("payload")
     )
@@ -476,15 +559,23 @@ def multimodal_image_decode_resize(spark: SparkSession, sf_dir: str) -> DataFram
         # png_* are factory-locals so cloudpickle ships them by value
         import numpy as np
 
-        def _decode(png: bytes) -> bytes:
-            try:
-                from PIL import Image
-            except ImportError:
-                return png_decode_gray(png)[2]
+        # probe PIL ONCE per task, not per row: a FAILED import is not
+        # cached in sys.modules, so a per-row try-import re-scans
+        # sys.path every call — measured 42 us/row, more than the whole
+        # PNG codec (r11; was the largest single cost of this query)
+        try:
+            from PIL import Image
+
             import io
 
-            with Image.open(io.BytesIO(png)) as img:
-                return img.convert("L").tobytes()
+            def _decode(png: bytes) -> bytes:
+                with Image.open(io.BytesIO(png)) as img:
+                    return img.convert("L").tobytes()
+
+        except ImportError:
+
+            def _decode(png: bytes) -> bytes:
+                return png_decode_gray(png)[2]
 
         for pdf in it:
             rasters = [
@@ -509,7 +600,7 @@ def multimodal_image_decode_resize(spark: SparkSession, sf_dir: str) -> DataFram
                 }
             )
 
-    return _resize_payload_frame(spark, sf_dir).mapInPandas(
+    return _resize_payload_frame(spark, sf_dir, widen=True).mapInPandas(
         decode_resize, schema=RESIZE_SCHEMA
     )
 

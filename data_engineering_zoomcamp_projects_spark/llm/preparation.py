@@ -569,8 +569,10 @@ def prep_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM() OVER (ORDER BY ...) window (single-task funnel) but
     operators/distrank.cum_weighted — range-shard on the priority
     order, within-shard running sums, one broadcast metadata array of
-    shard totals. The budget scalar is a one-row broadcast; the
-    integer form (total * 3 // 10) is exact on both engines.
+    shard totals. The budget scalar is a one-row broadcast; the budget
+    uses TRUE integer division (Spark `div`, DuckDB `//`) so the
+    arithmetic is exact at any corpus size — the earlier double-divide
+    + FLOOR form was only exact while 3*total < 2^53 (ADVICE r10).
     Reference parity: none — driver-contract Part C prep family."""
     from ..operators.distrank import cum_weighted
 
@@ -578,9 +580,7 @@ def prep_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", n_tokens_expr().cast("long").alias("n_tokens")
     )
     total = d.agg(
-        F.floor(
-            F.sum("n_tokens") * F.lit(BUDGET_NUM) / F.lit(BUDGET_DEN)
-        )
+        F.expr(f"sum(n_tokens) * {BUDGET_NUM} div {BUDGET_DEN}")
         .cast("long")
         .alias("budget")
     )
@@ -603,7 +603,7 @@ WITH t AS (
          CAST({N_TOKENS_SQL} AS BIGINT) AS n_tokens
   FROM documents
 ), b AS (
-  SELECT CAST(FLOOR(SUM(n_tokens) * {BUDGET_NUM} / {BUDGET_DEN}) AS BIGINT)
+  SELECT CAST(SUM(n_tokens) * {BUDGET_NUM} // {BUDGET_DEN} AS BIGINT)
          AS budget
   FROM t
 ), c AS (

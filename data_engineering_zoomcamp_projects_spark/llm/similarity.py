@@ -288,24 +288,17 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 """
 
 
-def _sim_ivf_sql() -> str:
-    """Full oracle for sim_topk_ivf: DuckDB rebuilds the TWO-LEVEL
-    codebook from the same deterministic derivations — sqrt-scaled
-    stride sample for centroids, every-ceil(sqrt(k))-th centroid as a
-    super-centroid, each centroid owned by its nearest super-centroid —
-    then assigns every vector hierarchically (nearest super-centroid's
-    group, nearest owned centroid) and every query to its top-2 cells
-    within its group, all with the same left-fold double arithmetic and
-    (dot DESC, id ASC) tie-breaks as the Spark plan, and finally ranks
-    same-cell candidates by the decimal-exact cosine."""
+def _ivf_index_ctes() -> str:
+    """The shared two-level-index CTE chain (stats .. corpus_cells /
+    query_cells) — DuckDB rebuilds the codebook from the same
+    deterministic derivations as `_ivf_codebook`; shared verbatim by
+    the sim_topk_ivf and sim_topk_ivfpq oracles (r11 refactor)."""
     from ..functions.vector import sql_dot_double
 
     dot_cs = sql_dot_double("c.cv", "s.scv")
     dot_es = sql_dot_double("e.embedding", "s.scv")
     dot_ec = sql_dot_double("x.embedding", "cc.cv")
-    cos = sql_cosine("q.embedding", "c.embedding")
-    return f"""
-WITH stats AS (
+    return f"""stats AS (
   SELECT GREATEST(1, CAST(CEIL(COUNT(*) / CEIL(SQRT(COUNT(*)))) AS BIGINT)) AS stride
   FROM embeddings
 ),
@@ -358,7 +351,22 @@ query_cells AS (
     FROM corpus_sc x JOIN cent_owner cc ON cc.sc_id = x.sc_id
     WHERE x.vec_id % 100 = 0
   ) WHERE rk <= 2
-)
+)"""
+
+
+def _sim_ivf_sql() -> str:
+    """Full oracle for sim_topk_ivf: DuckDB rebuilds the TWO-LEVEL
+    codebook from the same deterministic derivations — sqrt-scaled
+    stride sample for centroids, every-ceil(sqrt(k))-th centroid as a
+    super-centroid, each centroid owned by its nearest super-centroid —
+    then assigns every vector hierarchically (nearest super-centroid's
+    group, nearest owned centroid) and every query to its top-2 cells
+    within its group, all with the same left-fold double arithmetic and
+    (dot DESC, id ASC) tie-breaks as the Spark plan, and finally ranks
+    same-cell candidates by the decimal-exact cosine."""
+    cos = sql_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH {_ivf_index_ctes()}
 SELECT query_id, rank, neighbor_id, cos_sim FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          ROUND({cos}, 6) AS cos_sim,
@@ -487,6 +495,69 @@ def _ivf_codebook(spark, sf_dir, corpus):
     return cb
 
 
+def _nearest_cells(cb, df, vec_col, out_col, n_probe):
+    """Hierarchical cell assignment over the broadcast two-level
+    codebook — shared by sim_topk_ivf and sim_topk_ivfpq (r11: lifted
+    out of sim_topk_ivf unchanged)."""
+    vec = F.col(vec_col)
+    df = df.crossJoin(F.broadcast(cb))
+    # score supers as slim (sim, -index) structs; the winning
+    # cell's member arrays are fetched AFTER the argmax via
+    # element_at. The previous form carried every super's
+    # mids/mvecs arrays inside the scored structs, so array_max
+    # copied ~k1 x |members| x dim doubles per row just to compare
+    # two scalars. cells[] is ordered by sc_id (supers are a
+    # stride over id-sorted centroids), so -index ties exactly
+    # match the oracle's (sim DESC, sc_id ASC) head.
+    sc_scored = F.transform(
+        F.col("cells"),
+        lambda c, i: F.struct(
+            _dot_double(vec, c["scv"]).alias("sim"),
+            (-i).alias("neg_idx"),
+        ),
+    )
+    best_sc = F.array_max(sc_scored)  # (sim desc, sc_id asc) head
+    # STAGE the winning cell: `chosen` is field-read twice (mids,
+    # mvecs), and inline it embeds the whole super-scoring
+    # transform — re-inlined per read, the ~sqrt(k) super dots ran
+    # TWICE per row (caught by the round-10 re-inlining guard;
+    # measured 12.8 -> ~9 s at sf1). A named non-cheap column is
+    # single-evaluation under CollapseProject.
+    df = df.withColumn(
+        "_chosen",
+        F.element_at(
+            F.col("cells"), (F.lit(1) - best_sc["neg_idx"]).cast("int")
+        ),
+    )
+    chosen = F.col("_chosen")
+    mem = F.zip_with(
+        chosen["mids"],
+        chosen["mvecs"],
+        lambda cid, cv: F.struct(
+            _dot_double(vec, cv).alias("sim"), cid.alias("cent_id")
+        ),
+    )
+    if n_probe == 1:
+        neg = F.transform(
+            mem,
+            lambda s: F.struct(
+                s["sim"].alias("sim"), (-s["cent_id"]).alias("neg_id")
+            ),
+        )
+        cell = -F.array_max(neg)["neg_id"]  # null on empty group
+        return df.withColumn(out_col, cell).drop("cells", "_chosen")
+    ranked = F.array_sort(
+        mem,
+        lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
+        .when(l["sim"] < r["sim"], F.lit(1))
+        .when(l["cent_id"] < r["cent_id"], F.lit(-1))
+        .when(l["cent_id"] > r["cent_id"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    tops = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cent_id"])
+    return df.withColumn(out_col, F.explode(tops)).drop("cells", "_chosen")
+
+
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN over a two-level codebook: every vector lands in
     the nearest cell of its nearest super-centroid's group; queries
@@ -513,63 +584,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _ivf_codebook(spark, sf_dir, corpus)
 
     def nearest_cells(df, vec_col, out_col, n_probe):
-        vec = F.col(vec_col)
-        df = df.crossJoin(F.broadcast(cb))
-        # score supers as slim (sim, -index) structs; the winning
-        # cell's member arrays are fetched AFTER the argmax via
-        # element_at. The previous form carried every super's
-        # mids/mvecs arrays inside the scored structs, so array_max
-        # copied ~k1 x |members| x dim doubles per row just to compare
-        # two scalars. cells[] is ordered by sc_id (supers are a
-        # stride over id-sorted centroids), so -index ties exactly
-        # match the oracle's (sim DESC, sc_id ASC) head.
-        sc_scored = F.transform(
-            F.col("cells"),
-            lambda c, i: F.struct(
-                _dot_double(vec, c["scv"]).alias("sim"),
-                (-i).alias("neg_idx"),
-            ),
-        )
-        best_sc = F.array_max(sc_scored)  # (sim desc, sc_id asc) head
-        # STAGE the winning cell: `chosen` is field-read twice (mids,
-        # mvecs), and inline it embeds the whole super-scoring
-        # transform — re-inlined per read, the ~sqrt(k) super dots ran
-        # TWICE per row (caught by the round-10 re-inlining guard;
-        # measured 12.8 -> ~9 s at sf1). A named non-cheap column is
-        # single-evaluation under CollapseProject.
-        df = df.withColumn(
-            "_chosen",
-            F.element_at(
-                F.col("cells"), (F.lit(1) - best_sc["neg_idx"]).cast("int")
-            ),
-        )
-        chosen = F.col("_chosen")
-        mem = F.zip_with(
-            chosen["mids"],
-            chosen["mvecs"],
-            lambda cid, cv: F.struct(
-                _dot_double(vec, cv).alias("sim"), cid.alias("cent_id")
-            ),
-        )
-        if n_probe == 1:
-            neg = F.transform(
-                mem,
-                lambda s: F.struct(
-                    s["sim"].alias("sim"), (-s["cent_id"]).alias("neg_id")
-                ),
-            )
-            cell = -F.array_max(neg)["neg_id"]  # null on empty group
-            return df.withColumn(out_col, cell).drop("cells", "_chosen")
-        ranked = F.array_sort(
-            mem,
-            lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
-            .when(l["sim"] < r["sim"], F.lit(1))
-            .when(l["cent_id"] < r["cent_id"], F.lit(-1))
-            .when(l["cent_id"] > r["cent_id"], F.lit(1))
-            .otherwise(F.lit(0)),
-        )
-        tops = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cent_id"])
-        return df.withColumn(out_col, F.explode(tops)).drop("cells", "_chosen")
+        return _nearest_cells(cb, df, vec_col, out_col, n_probe)
 
     # COALESCE the cell ids to distinct non-null sentinels: a nullable
     # equi-join key makes the optimizer infer isnotnull(cell), and the
@@ -615,6 +630,373 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sim_topk_ivf"] = sim_topk_ivf
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized candidate scoring (r10 verdict item 3 —
+# the storage-side two-phase argument: at 100 TB the candidate stream's
+# VECTOR PAYLOAD dominates the per-query top-k exchange, so score
+# candidates from an 8-byte code + a broadcast codebook and fetch full
+# vectors only for the survivors)
+
+#: PQ geometry: 64-dim vectors cut into PQ_M=8 subspaces of PQ_DSUB=8
+#: dims, PQ_K=16 centroids per subspace -> 4-bit codes, 8 codes packed
+#: into ONE BIGINT per vector. PQ_K is the model-width knob (production
+#: uses 256 = byte codes; the oracle-unrolled twin 16); the codebook is
+#: bounded broadcast model state either way (8 x 256 x 8 doubles =
+#: 16 KB at production width).
+PQ_M = 8
+PQ_K = 16
+PQ_DSUB = 8
+
+#: single-entry memo, same discipline as _CODEBOOK_MEMO; holds the
+#: (broadcast frame, plain nested list) pair _pq_codebook returns
+_PQ_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _pq_codebook(spark, sf_dir, corpus):
+    """Per-subspace PQ codebook: `pq[s][p] = the p-th centroid's 8-dim
+    slice of subspace s`, returned as (one-row broadcast frame, plain
+    nested list) — the frame rides query-side LUT plans, the list ships
+    inside the Arrow code-assignment closure. Centroids are the first
+    PQ_K corpus vectors by vec_id (the ml_kmeans c0 convention — a
+    deploy run Lloyd-trains each subspace; the deterministic derivation
+    is what lets DuckDB rebuild the exact codebook). Collect is
+    O(PQ_K x 64) doubles — bounded model state, the _ivf_codebook
+    discipline."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_MEMO.get(key)
+    if hit is not None:
+        return hit
+    rows = corpus.select("vec_id", "v").orderBy("vec_id").limit(PQ_K).collect()
+    cents = [
+        [float(x) for x in r["v"]] for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+    pq = [
+        [cents[p][s * PQ_DSUB : (s + 1) * PQ_DSUB] for p in range(PQ_K)]
+        for s in range(PQ_M)
+    ]
+    cb = (spark.createDataFrame([(pq,)], "pq array<array<array<double>>>"), pq)
+    _PQ_MEMO.clear()
+    _PQ_MEMO[key] = cb
+    return cb
+
+
+def _dist_double(a: Column, b: Column) -> Column:
+    """IEEE-double squared L2 — the `_dot_double` discipline applied to
+    distance: used only where an ARGMIN decides (PQ code assignment),
+    with the DuckDB twin reproducing the exact left-fold order
+    (`_sql_dist_double`), so every comparison bit-matches. 4x cheaper
+    than dist_dec (measured: decimal code assignment was the bulk of
+    the 34 s first-cut sf1 ivfpq run; this form landed it at ~12 s,
+    and the Arrow batch twin `_pq_codes_arrow` — same fold — at 7.4 s)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sql_dist_double(a: str, b: str, dim: int = PQ_DSUB) -> str:
+    """DuckDB twin of `_dist_double` over already-sliced double lists:
+    explicit left-associated sum, term-for-term the HOF fold's IEEE
+    sequence (0.0 + t1) + t2 ... like sql_dot_double."""
+    out = "0.0"
+    for i in range(1, dim + 1):
+        out = f"({out} + (({a})[{i}] - ({b})[{i}]) * (({a})[{i}] - ({b})[{i}]))"
+    return out
+
+
+def _pq_codes(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
+    """Pack each vector's PQ code into one BIGINT (subspace 0 most
+    significant, 4 bits each): code_s = argmin_p of the squared
+    distance to subspace-s centroids (IEEE-double left fold, DuckDB
+    twin `_sql_dist_double` matches the fold order term for term —
+    the IVF argmax discipline), ties to the smallest p via array_max
+    over (negdist, -index) structs. Pure map-side HOF math over the
+    broadcast codebook; the vector column is DROPPED afterwards — the
+    code (8 bytes) + vnorm are all the candidate stream carries."""
+    df = df.crossJoin(F.broadcast(pqcb))
+    vec = F.col(vec_col)
+    packed = F.lit(0).cast("long")
+
+    def scorer(sv):
+        # bind the subspace slice OUTSIDE the lambda (PySpark reads the
+        # lambda's arity from its signature, so a default-arg capture
+        # would read as a 3-arg lambda)
+        return lambda c, i: F.struct(
+            (-_dist_double(sv, c)).alias("negd"), (-i).alias("neg_idx")
+        )
+
+    for s in range(PQ_M):
+        sub_v = F.slice(vec, s * PQ_DSUB + 1, PQ_DSUB)
+        scored = F.transform(F.element_at(F.col("pq"), s + 1), scorer(sub_v))
+        best = F.array_max(scored)  # (dist asc, p asc) head
+        packed = packed * 16 + (-best["neg_idx"]).cast("long")
+    return df.withColumn("pq_code", packed).drop("pq")
+
+
+def _pq_codes_arrow(
+    df: DataFrame, vec_col: str, pq_py, keep_cols: list[str], out_schema: str
+) -> DataFrame:
+    """Arrow-batched twin of `_pq_codes` (the registered path): one
+    numpy pass computes all PQ_M x PQ_K subspace distances for the
+    whole batch — the accumulation loops over the 8 dims IN ORDER with
+    elementwise float64 `acc + d*d`, the exact IEEE sequence of the HOF
+    fold (and of `_sql_dist_double`), so argmin indices are
+    bit-identical; np.argmin takes the FIRST minimum, matching the
+    (dist ASC, p ASC) tie-break. A/B at sf1: the interpreted-HOF twin
+    (128 zip_with+aggregate calls per row) added +4.7 s over the bare
+    cell assignment; this form adds ~+0.7 s (full-query 12.0 -> 7.4 s,
+    BASELINE §21); pytest pins the two forms equal row-for-row. Pure
+    map-side: no shuffle, 1 row -> 1 row."""
+
+    def batches(it):
+        # closure, not a module function (executor sys.path rule)
+        import numpy as np
+        import pandas as _pd
+
+        C = np.array(pq_py, dtype=np.float64)  # (PQ_M, PQ_K, PQ_DSUB)
+
+        for pdf in it:
+            if not len(pdf):
+                out = {c: pdf[c] for c in keep_cols}
+                out["pq_code"] = _pd.Series([], dtype="int64")
+                yield _pd.DataFrame(out)
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).reshape(-1, PQ_M, PQ_DSUB)
+            acc = np.zeros((len(pdf), PQ_M, PQ_K), dtype=np.float64)
+            for i in range(PQ_DSUB):
+                dif = V[:, :, None, i] - C[None, :, :, i]
+                acc = acc + dif * dif
+            codes = acc.argmin(axis=2)  # first min == smallest p on ties
+            packed = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(PQ_M):
+                packed = packed * 16 + codes[:, s]
+            out = {c: pdf[c].values for c in keep_cols}
+            out["pq_code"] = packed
+            yield _pd.DataFrame(out)
+
+    return df.select(*keep_cols, vec_col).mapInPandas(batches, schema=out_schema)
+
+
+def _pq_lut(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
+    """Asymmetric-distance lookup table per QUERY row:
+    lut[s][p] = dot_dec(query subspace s, centroid p of subspace s) —
+    PQ_M x PQ_K exact decimals (1 KB per query). Queries are the
+    bounded side, so the LUT rides the broadcast with them and the
+    candidate score is 8 array lookups + 7 exact adds per pair."""
+    from ..functions.vector import dot_dec
+
+    df = df.crossJoin(F.broadcast(pqcb))
+    vec = F.col(vec_col)
+    lut = F.transform(
+        F.col("pq"),
+        lambda subcb, s: F.transform(
+            subcb,
+            lambda c: dot_dec(
+                F.slice(vec, s * F.lit(PQ_DSUB) + F.lit(1), PQ_DSUB), c
+            ),
+        ),
+    )
+    return df.withColumn("pq_lut", lut).drop("pq")
+
+
+def _pq_score(code_col: str, lut_col: str) -> Column:
+    """Sum_s lut[s][code_s] as exact decimal (left-assoc s=0..7; each
+    term is a DECIMAL(38,10), the running sum re-cast like dot_dec's
+    merge) — the asymmetric inner-product approximation q . x~."""
+    from ..functions.vector import DEC
+
+    score = None
+    for s in range(PQ_M):
+        shift = 16 ** (PQ_M - 1 - s)
+        code_s = F.expr(f"({code_col} div {shift}) % 16").cast("int")
+        term = F.element_at(
+            F.element_at(F.col(lut_col), s + 1), code_s + F.lit(1)
+        )
+        score = term if score is None else (score + term).cast(DEC)
+    return score
+
+
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: the sim_topk_ivf index (same two-level cells, same
+    nprobe=2) with PRODUCT-QUANTIZED candidate scoring — candidates are
+    ranked by the asymmetric PQ score (8 LUT lookups against a packed
+    8-byte code; exact decimal arithmetic, so the cut is bit-stable
+    cross-engine), the top (K + 20) per query survive, and ONLY the
+    survivors fetch their full vectors back (one narrow broadcast-semi
+    join against the corpus scan) for the exact decimal cosine re-rank.
+
+    Scale design — the storage two-phase: sim_topk_ivf's per-query
+    top-k exchange carries both 64-dim double vectors through the
+    window shuffle (~1 KB/row); here the candidate stream carries
+    (query_id, vec_id, cos_pq) ONLY (~24 B/row; measured per-run
+    exchange bytes at sf1: 2,668,232 -> 127,952 = 20.9x less, at
+    wall-time parity — 7.4 s vs 6.7 s), and the full-vector payload
+    moves just for
+    the ~(K+20) x queries survivor rows. At 100 TB the candidate
+    stream is the term that grows with the corpus, so shrinking it is
+    the whole game; codebooks stay bounded broadcast model state.
+    Recall equals sim_topk_ivf's whenever the PQ top-(K+20) contains
+    the true top-K (pytest measures the overlap); the DuckDB oracle
+    replicates codebook, codes, LUT terms, and the PQ cut exactly, so
+    the entry is fully hash-checked rather than rows-only.
+    Reference parity: none — driver-contract Part C ANN family."""
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    from ..functions.vector import dot_dec
+
+    cb = _ivf_codebook(spark, sf_dir, corpus)
+    pqcb, pq_py = _pq_codebook(spark, sf_dir, corpus)
+
+    # corpus side: cell + packed PQ code + vnorm — the vector itself
+    # is dropped before the candidate join (the point of PQ). Arrow
+    # code assignment (see _pq_codes_arrow for the 8x A/B vs the HOF
+    # twin, which pytest pins output-equal)
+    corpus_coded = _pq_codes_arrow(
+        _nearest_cells(cb, corpus, "v", "cell", 1).withColumn(
+            "cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long"))
+        ),
+        "v",
+        pq_py,
+        ["vec_id", "cell", "vnorm"],
+        "vec_id long, cell long, vnorm double, pq_code long",
+    )
+    # query side: probe cells + LUT (rides the broadcast)
+    query_side = _pq_lut(
+        _nearest_cells(cb, queries, "qv", "qcell", 2).withColumn(
+            "qcell", F.coalesce(F.col("qcell"), F.lit(-2).cast("long"))
+        ),
+        "qv",
+        pqcb,
+    ).select("query_id", "qcell", "qnorm", "pq_lut")
+
+    cand = corpus_coded.join(
+        F.broadcast(query_side),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "cos_pq",
+        _pq_score("pq_code", "pq_lut").cast("double")
+        / (F.col("qnorm") * F.col("vnorm")),
+    )
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_pq").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        cand.select("query_id", "vec_id", "cos_pq")  # narrow the exchange
+        .withColumn("rk_pq", F.row_number().over(w_pq))
+        .filter(F.col("rk_pq") <= TOP_K + 20)
+        .select("query_id", "vec_id")
+    )
+    # survivors are ~(K+20) x queries rows: broadcast them onto the
+    # corpus scan to re-fetch full vectors, then attach the query
+    # vectors (both joins map-side). vnorm is computed AFTER the join —
+    # selecting corpus's precomputed vnorm column would evaluate the
+    # 64-dim decimal norm for EVERY corpus row below the join (the
+    # projection can't sink past it); post-join it runs on ~(K+20) x
+    # queries rows only
+    from ..functions.vector import norm as _vnorm
+
+    refetched = (
+        corpus.select("vec_id", "v")
+        .join(F.broadcast(survivors), "vec_id")
+        .withColumn("vnorm", _vnorm(F.col("v")))
+    )
+    exact = refetched.join(
+        F.broadcast(queries), "query_id"
+    ).withColumn(
+        "cos_sim",
+        dot_dec(F.col("qv"), F.col("v")).cast("double")
+        / (F.col("qnorm") * F.col("vnorm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+def _sim_ivfpq_sql() -> str:
+    """Full oracle for sim_topk_ivfpq: the shared index chain plus an
+    exact replica of the PQ path — first-PQ_K-by-vec_id codebook,
+    per-subspace argmin codes (fold-order-matched double dist ASC,
+    p ASC), per-pair
+    asymmetric score as the SUM over subspaces of
+    dot_dec(query slice, coded centroid slice) (decimal, so
+    order-independent — no fold-order coupling), the top-(K+20) PQ cut
+    with the same (cos_pq DESC, vec_id ASC) tie-break, then the exact
+    decimal cosine re-rank. The oracle keeps (vec_id, s, code) rows
+    instead of packing — packing round-trips integers exactly, so both
+    forms score identically."""
+    from ..functions.vector import sql_dot_dec, sql_norm
+
+    sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
+    sub_c = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
+    sub_q = "list_slice(q.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
+    sub_p = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
+    cos = sql_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH {_ivf_index_ctes()},
+pqc AS (
+  SELECT rp - 1 AS p, cv FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rp, embedding AS cv
+    FROM embeddings
+  ) WHERE rp <= {PQ_K}
+),
+subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+codes AS (
+  SELECT vec_id, s, p AS code FROM (
+    SELECT e.vec_id, g.s, p.p,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, g.s
+             ORDER BY {_sql_dist_double(sub_e, sub_c)} ASC, p.p ASC
+           ) AS rk
+    FROM corpus_cells e, subsp g, pqc p
+  ) WHERE rk = 1
+),
+pq_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         CAST(SUM({sql_dot_dec(sub_q, sub_p)}) AS DOUBLE)
+           / ({sql_norm('q.embedding')} * {sql_norm('c.embedding')}) AS cos_pq
+  FROM query_cells q
+  JOIN corpus_cells c ON c.cell = q.qcell AND c.vec_id <> q.vec_id
+  JOIN codes k ON k.vec_id = c.vec_id
+  JOIN subsp g ON g.s = k.s
+  JOIN pqc p ON p.p = k.code
+  GROUP BY q.vec_id, c.vec_id, q.embedding, c.embedding
+),
+survivors AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_pq DESC, vec_id ASC
+           ) AS rk_pq
+    FROM pq_scored
+  ) WHERE rk_pq <= {TOP_K + 20}
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT s.query_id, c.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.query_id ORDER BY {cos} DESC, c.vec_id ASC
+         ) AS rank
+  FROM survivors s
+  JOIN embeddings c ON c.vec_id = s.vec_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+) WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES["sim_topk_ivfpq"] = sim_topk_ivfpq
+ORACLES["sim_topk_ivfpq"] = _sim_ivfpq_sql()
 
 
 #: BM25 retrieval parameters (Robertson/Spärck Jones defaults) and the

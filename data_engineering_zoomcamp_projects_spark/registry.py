@@ -57,87 +57,81 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # WINDOW TRIAGE round 10 (50 slots). Round 9 closed 48/50 full
-    # green + 2 rows-only-by-design; the window is one changed plan +
-    # oldest-official-row re-certification (computed mechanically:
-    # latest green row per name over CORRECTNESS_r01–r09).
+    # WINDOW TRIAGE round 11 (50 slots). Round 10 closed 50/50 green;
+    # this window is: new ops + every plan round 11 changed + the four
+    # plans round 10 changed AFTER their last driver row (r10 verdict
+    # item 1) + the eleven deferred r5-era rows + the oldest r7-era
+    # rows (computed mechanically: latest green row per name over
+    # CORRECTNESS_r01–r10).
     #
-    # (a) 1 changed-plan slot: q2 rewritten per the r9 verdict item 1 —
-    #     the (l_partkey, l_suppkey) unit-price aggregate now semi-joins
-    #     lineitem against the broadcast filtered part keys BEFORE the
-    #     groupBy (the q20 pattern; measured 3.0x at sf0.1, output
-    #     byte-identical, oracle unchanged):
-    "q2_min_cost_supplier",
-    # (a') 3 new-op slots: the PNG encode->decode->resize pipeline that
-    #     certifies the decode_image codec (r9 verdict item 4; the
-    #     lossless roundtrip shares the resize oracle verbatim), BM25
-    #     lexical retrieval (the keyword twin of the embedding top-k
-    #     family), and the RefinedWeb per-domain document cap:
-    "multimodal_image_decode_resize",
-    "sim_bm25_topk",
-    "curation_domain_cap",
-    #     + the character-entropy quality signal (Gopher-family cheap
-    #     filter; per-type micro-nat quantization) and hybrid retrieval
-    #     by reciprocal-rank fusion of the BM25 and cosine lists:
-    "text_entropy_scores",
-    "sim_hybrid_rrf",
-    #     + token-budget head selection over the distributed prefix sum
-    #     (distrank.cum_weighted — the ranked() pattern generalized to
-    #     weighted running sums):
+    # (a) 2 new-op slots: the trained hashed-bigram quality classifier
+    #     (fastText/DCLM distillation shape on the shared lattice-GD
+    #     loop) and IVF-PQ (product-quantized candidate scoring — the
+    #     storage two-phase; 20.9x less exchange data than sim_topk_ivf
+    #     at sf1):
+    "text_quality_classifier",
+    "sim_topk_ivfpq",
+    # (b) 4 plans round 11 changed: token budget now true integer
+    #     division (ADVICE r10), entropy counts via one Arrow Counter
+    #     pass (A/B winner over the explode twin), decode-resize's
+    #     codec vectorized + per-row PIL probe hoisted, logreg-GD loop
+    #     refactored into the shared _lg_train_score/_lg_chain_sql:
     "prep_token_budget_head",
-    # (b) the 13 r4-era rows the r9 window explicitly deferred (oldest
-    #     official rows in the registry):
-    "events_value_histogram",
-    "filter_predicate_suite",
-    "projection_expressions",
-    "sample_hash_reproducible",
-    "sample_stratified_by_lang",
-    "sim_label_centroids",
-    "subq_in_european_suppliers",
-    "subq_orders_above_customer_avg",
-    "subq_scalar_above_avg_price",
-    "topk_global",
-    "topk_per_group",
-    "window_first_last",
-    "window_range_frame",
-    # (c) 30 of the 41 r5-era rows, alphabetical (1 + 6 + 13 + 30 = 50;
-    #     the last eleven alphabetically — stream_live_join_purchase_
-    #     views, stream_live_session_30m, stream_live_sliding_15m,
-    #     stream_live_tumbling_hourly, subq_lateral_topn,
-    #     text_collocations, text_heavy_hitters_cms,
-    #     text_normalize_unicode, timeseries_interpolate,
-    #     timeseries_wow_change, window_nth_value — are the oldest
-    #     candidates for round 11):
-    "agg_approx_count_distinct",
-    "agg_corr_covar",
-    "agg_exact_percentiles",
-    "agg_median_mode_by_segment",
-    "agg_percentile_approx",
-    "events_attribution_first_last",
-    "events_funnel_windowed",
-    "events_pivot_daily_types",
-    "events_user_timeline",
-    "fn_sql_udf_suite",
-    "fn_try_suite",
-    "fn_variant_suite",
-    "join_asof_tolerance",
-    "join_salted_skew",
-    "layout_zorder_buckets",
-    "mart_incremental_refresh",
-    "ml_linreg_normal_eq",
+    "text_entropy_scores",
+    "multimodal_image_decode_resize",
     "ml_logreg_gd",
-    "orders_scd2_priority",
-    "part_unpivot_metrics",
-    "prep_curriculum_order",
-    "prep_temperature_resample",
-    "profile_orders_columns",
-    "quality_constraint_checks",
-    "quality_daily_volume_anomaly",
-    "quality_referential_orphans",
-    "quality_snapshot_diff",
-    "sample_fraction",
-    "sim_topk_lsh",
-    "stream_live_dedup_summary",
+    # (c) the 4 plans round 10 changed after their last driver row
+    #     (staged-projection fixes + PCA mean-centering; sim_topk_ivf
+    #     also re-enters via the r11 _nearest_cells refactor):
+    "events_user_rfm",
+    "text_quality_scores",
+    "ml_pca_embeddings",
+    "sim_topk_ivf",
+    # (d) the 11 r5-era rows round 10 deferred:
+    "stream_live_join_purchase_views",
+    "stream_live_session_30m",
+    "stream_live_sliding_15m",
+    "stream_live_tumbling_hourly",
+    "subq_lateral_topn",
+    "text_collocations",
+    "text_heavy_hitters_cms",
+    "text_normalize_unicode",
+    "timeseries_interpolate",
+    "timeseries_wow_change",
+    "window_nth_value",
+    # (e) the 29 alphabetically-first r7-era rows (the oldest official
+    #     rows left; the tail — text_lexicon_score,
+    #     text_pretokenize_bpe_style, text_redact_sensitive,
+    #     text_tfidf_top_terms and the rest of r7 — queues for r12):
+    "agg_grouping_sets",
+    "agg_rollup_flag_status",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_fuzzy_names",
+    "events_cohort_retention",
+    "events_daily_actives",
+    "events_funnel_stages",
+    "events_rolling_distinct_hll",
+    "events_sessionize",
+    "fn_date_suite",
+    "join_asof_purchase_prior_view",
+    "join_range_trailing_shipments",
+    "multimodal_audio_windows",
+    "prep_chunk_documents",
+    "prep_sequence_packing",
+    "prep_source_mixing",
+    "prep_train_test_split",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "quality_distribution_drift",
+    "sample_importance_weighted",
+    "setop_intersect",
+    "sim_topk_bruteforce",
+    "subq_exists_multi_order_days",
+    "text_corpus_rollup",
+    "text_fingerprints",
 ]
 
 

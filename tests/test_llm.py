@@ -226,6 +226,51 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
             assert brute_scores[k] == r["cos_sim"]
 
 
+def test_ivfpq_recall_vs_ivf_and_determinism(spark, sf_dir):
+    """sim_topk_ivfpq shares sim_topk_ivf's index (same cells, same
+    probes), so its candidate pool per query is identical — only the
+    PQ top-(K+20) cut can differ from the float top-(K+20) cut. Pin:
+    (a) determinism across runs, (b) every PQ hit scores exactly the
+    brute-force cosine (PQ reduces candidates, never rescores), and
+    (c) overlap with the IVF list is high (the PQ approximation must
+    not gut the head — >= 70% of IVF's hits survive at test scale;
+    measured 100% at sf0.001)."""
+    ivf = similarity.sim_topk_ivf(spark, sf_dir).collect()
+    pq = similarity.sim_topk_ivfpq(spark, sf_dir).collect()
+    pq2 = similarity.sim_topk_ivfpq(spark, sf_dir).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, pq2))
+    brute = similarity.sim_topk_bruteforce(spark, sf_dir).collect()
+    brute_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute}
+    for r in pq:
+        k = (r["query_id"], r["neighbor_id"])
+        if k in brute_scores:
+            assert brute_scores[k] == r["cos_sim"]
+    ivf_hits = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    pq_hits = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    assert len(pq_hits & ivf_hits) >= int(0.7 * len(ivf_hits))
+
+
+def test_pq_codes_arrow_equals_hof(spark, sf_dir):
+    """The registered Arrow PQ code assignment must pack bit-identical
+    codes to the all-native HOF twin (same IEEE fold order by
+    construction; this pins it empirically — argmin ties included)."""
+    q, corpus = similarity._queries_and_corpus(spark, sf_dir)
+    pqcb, pq_py = similarity._pq_codebook(spark, sf_dir, corpus)
+    hof = {
+        r["vec_id"]: r["pq_code"]
+        for r in similarity._pq_codes(corpus, "v", pqcb)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    arrow = {
+        r["vec_id"]: r["pq_code"]
+        for r in similarity._pq_codes_arrow(
+            corpus, "v", pq_py, ["vec_id"], "vec_id long, pq_code long"
+        ).collect()
+    }
+    assert hof == arrow and len(hof) > 0
+
+
 def test_components_converge_past_fixed_round_counts(spark):
     """A path graph of diameter 8 (9 nodes chained 1-2-...-9) needs 8
     flooding rounds to label node 9 with component 1; any fixed round
@@ -1196,6 +1241,7 @@ def test_entropy_scores_match_oracle_and_reference(spark, sf_dir):
     from data_engineering_zoomcamp_projects_spark.llm.textstats import (
         TEXT_ENTROPY_SQL,
         text_entropy_scores,
+        text_entropy_scores_explode,
     )
 
     from .oracle import compare, run_oracle
@@ -1204,6 +1250,14 @@ def test_entropy_scores_match_oracle_and_reference(spark, sf_dir):
         df = text_entropy_scores(spark, d)
         problems = compare(df, run_oracle(TEXT_ENTROPY_SQL, d), "entropy")
         assert not problems, "\n".join(problems)
+    # the unregistered all-native explode twin (the r11 A/B loser,
+    # BASELINE §21) must stay output-equal to the Arrow plan
+    problems = compare(
+        text_entropy_scores_explode(spark, sf_dir),
+        run_oracle(TEXT_ENTROPY_SQL, sf_dir),
+        "entropy-explode-twin",
+    )
+    assert not problems, "\n".join(problems)
 
     got = {
         r["doc_id"]: (
