@@ -144,6 +144,7 @@ HEADLINE = [
     # scoring, 20.9x less exchange than sim_topk_ivf at sf1) —
     # tracked from first certification
     "text_quality_classifier",
+    "text_quality_filter",
     "sim_topk_ivfpq",
 ]
 

@@ -583,15 +583,16 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lg_train_score(spark, feats, LOGREG_FEATS)
 
 
-def _lg_train_score(
+def _lg_train(
     spark: SparkSession, feats: DataFrame, n_feats: int, iters: int = LOGREG_ITERS
-) -> DataFrame:
-    """The shared lattice-GD train+score loop over a (y, x0..x{n-1})
+) -> tuple[DataFrame, DataFrame]:
+    """The shared lattice-GD training loop over a (y, x0..x{n-1})
     frame: each iteration broadcast-joins the one-row weight frame to
     the (lazily checkpointed, so computed once) feature scan, reduces
     lattice-quantized gradient longs map-side-combinably, and projects
-    the weight update; the final pass scores the training set. No
-    collect — optimizer state never leaves the plan."""
+    the weight update. Returns (checkpointed feats, one-row trained
+    weight frame). No collect — optimizer state never leaves the
+    plan."""
     feats = feats.localCheckpoint(eager=False)  # shared by all iterations
     wcols = ["wbq"] + [f"w{j}q" for j in range(n_feats)]
     w = spark.range(1).selectExpr(*[f"CAST(0 AS BIGINT) AS {c}" for c in wcols])
@@ -615,6 +616,15 @@ def _lg_train_score(
             )
         )
         w = g.selectExpr("n", *_lg_update_cols(n_feats))
+    return feats, w
+
+
+def _lg_train_score(
+    spark: SparkSession, feats: DataFrame, n_feats: int, iters: int = LOGREG_ITERS
+) -> DataFrame:
+    """`_lg_train` plus the final training-set scoring pass."""
+    feats, w = _lg_train(spark, feats, n_feats, iters)
+    wcols = ["wbq"] + [f"w{j}q" for j in range(n_feats)]
     score = (
         feats.crossJoin(F.broadcast(w))
         .selectExpr(
@@ -633,15 +643,16 @@ def _lg_train_score(
     return score
 
 
-def _lg_chain_sql(
+def _lg_chain_parts(
     feats_ctes: str, n_feats: int, iters: int = LOGREG_ITERS
-) -> str:
-    """DuckDB mirror of `_lg_train_score` over any CTE chain whose
-    last CTE is `feats AS (... y, x0..x{n-1} ...)` — iteration CTEs are
-    unrolled with the SAME expression text as the Spark side.
-    `MATERIALIZED` on feats per the repo's recursive-reference rule
-    (each of the {iters}+1 stages re-references it; naive inlining
-    re-evaluates the chain per stage)."""
+) -> list[str]:
+    """DuckDB mirror of `_lg_train` over any CTE chain whose last CTE
+    is `feats AS (... y, x0..x{n-1} ...)` — iteration CTEs are unrolled
+    with the SAME expression text as the Spark side; the trained
+    weights end in `w{iters}`. `MATERIALIZED` on feats per the repo's
+    recursive-reference rule (each of the {iters}+1 stages
+    re-references it; naive inlining re-evaluates the chain per
+    stage)."""
     wcols = ["wbq"] + [f"w{j}q" for j in range(n_feats)]
     parts = [
         feats_ctes,
@@ -664,6 +675,16 @@ def _lg_chain_sql(
             + ", ".join(_lg_update_cols(n_feats))
             + f" FROM g{it})"
         )
+    return parts
+
+
+def _lg_chain_sql(
+    feats_ctes: str, n_feats: int, iters: int = LOGREG_ITERS
+) -> str:
+    """`_lg_chain_parts` + the training-set scoring tail (the
+    `_lg_train_score` mirror)."""
+    wcols = ["wbq"] + [f"w{j}q" for j in range(n_feats)]
+    parts = _lg_chain_parts(feats_ctes, n_feats, iters)
     return f"""
 WITH {', '.join(parts)}
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -776,6 +797,7 @@ def _tqc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return cnt.select(
+        "doc_id",
         "y",
         *[
             (F.col(f"c{j}").cast("double") / F.col("nb").cast("double")).alias(
@@ -818,7 +840,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lg_train_score(spark, _tqc_features(spark, sf_dir), TQC_BUCKETS)
 
 
-def _tqc_sql() -> str:
+def _tqc_feats_ctes() -> str:
+    """The tok/bg/bk/cnt/feats CTE chain shared by the classifier
+    (training) and filter (scoring) oracles."""
     bucket = f"CAST(('0x' || substr(md5(b), 1, 15)) AS BIGINT) % {TQC_BUCKETS}"
     csel = ", ".join(
         f"SUM(CASE WHEN j = {j} THEN 1 ELSE 0 END) AS c{j}"
@@ -847,13 +871,56 @@ def _tqc_sql() -> str:
 ), cnt AS (
   SELECT doc_id, y, COUNT(*) AS nb, {csel} FROM bk GROUP BY doc_id, y
 ), feats AS MATERIALIZED (
-  SELECT y, {xsel} FROM cnt
+  SELECT doc_id, y, {xsel} FROM cnt
 )"""
-    return _lg_chain_sql(feats, TQC_BUCKETS)
+    return feats
+
+
+def _tqc_sql() -> str:
+    return _lg_chain_sql(_tqc_feats_ctes(), TQC_BUCKETS)
 
 
 QUERIES["text_quality_classifier"] = text_quality_classifier
 ORACLES["text_quality_classifier"] = _tqc_sql()
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCORING half of the trained quality gate (train -> score ->
+    filter is how DCLM/RefinedWeb corpora are actually built): run the
+    same in-plan training as text_quality_classifier, then broadcast
+    the one-row trained weight frame onto the per-doc feature stream
+    and emit every document's rational-sigmoid quality score plus its
+    keep decision (z > 0). Map-side scoring — the weight row is model
+    state in-plan, never collected; at 100 TB scoring is one pass over
+    the feature frame (itself one scan + one doc-grain groupBy).
+    z and the sigmoid are the SAME expression text both engines, so
+    the per-doc scores hash-match bit-for-bit (positive scores:
+    Spark HALF_UP round == DuckDB half-away-from-zero).
+    Reference parity: none — driver-contract Part C curation family."""
+    feats, w = _lg_train(spark, _tqc_features(spark, sf_dir), TQC_BUCKETS)
+    z = _lg_z(TQC_BUCKETS)
+    return feats.crossJoin(F.broadcast(w)).selectExpr(
+        "doc_id",
+        "y",
+        f"ROUND((0.5 + {z} / (2.0 * (1.0 + ABS({z})))), 6) AS quality_score",
+        f"CAST(({z}) > 0.0 AS INT) AS keep",
+    )
+
+
+def _tqc_filter_sql() -> str:
+    z = _lg_z(TQC_BUCKETS)
+    parts = _lg_chain_parts(_tqc_feats_ctes(), TQC_BUCKETS)
+    return f"""
+WITH {', '.join(parts)}
+SELECT doc_id, y,
+       ROUND((0.5 + {z} / (2.0 * (1.0 + ABS({z})))), 6) AS quality_score,
+       CAST(({z}) > 0.0 AS INT) AS keep
+FROM feats CROSS JOIN w{LOGREG_ITERS}
+"""
+
+
+QUERIES["text_quality_filter"] = text_quality_filter
+ORACLES["text_quality_filter"] = _tqc_filter_sql()
 
 
 # ---------------------------------------------------------------------------

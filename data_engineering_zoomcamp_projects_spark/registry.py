@@ -70,6 +70,7 @@ _FRONT = [
     #     storage two-phase; 20.9x less exchange data than sim_topk_ivf
     #     at sf1):
     "text_quality_classifier",
+    "text_quality_filter",
     "sim_topk_ivfpq",
     # (b) 4 plans round 11 changed: token budget now true integer
     #     division (ADVICE r10), entropy counts via one Arrow Counter
@@ -99,8 +100,9 @@ _FRONT = [
     "timeseries_interpolate",
     "timeseries_wow_change",
     "window_nth_value",
-    # (e) the 29 alphabetically-first r7-era rows (the oldest official
-    #     rows left; the tail — text_lexicon_score,
+    # (e) the 28 alphabetically-first r7-era rows (the oldest official
+    #     rows left; the tail — text_fingerprints (displaced by the
+    #     text_quality_filter slot), text_lexicon_score,
     #     text_pretokenize_bpe_style, text_redact_sensitive,
     #     text_tfidf_top_terms and the rest of r7 — queues for r12):
     "agg_grouping_sets",
@@ -131,7 +133,6 @@ _FRONT = [
     "sim_topk_bruteforce",
     "subq_exists_multi_order_days",
     "text_corpus_rollup",
-    "text_fingerprints",
 ]
 
 

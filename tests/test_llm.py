@@ -250,6 +250,53 @@ def test_ivfpq_recall_vs_ivf_and_determinism(spark, sf_dir):
     assert len(pq_hits & ivf_hits) >= int(0.7 * len(ivf_hits))
 
 
+def test_hybrid_rrf_candidate_cut_margin(spark, sf_dir):
+    """ADVICE r10 on sim_hybrid_rrf: the semantic list takes the fast
+    IEEE-double cosine top-(60+20) and exact-ranks only those; an
+    exact-top-60 member could be lost only if the exact rank-60/rank-80
+    score gap were comparable to the fast-vs-exact deviation. Measure
+    both on the full corpus and pin the margin: the gap must exceed the
+    worst observed deviation by >= 100x (it is ~1e10x here — double
+    summation error is ~1e-15 while corpus score spacing is ~1e-3)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.functions.vector import (
+        as_double_array,
+        cosine,
+        dot_double,
+    )
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        RRF_LIST_N,
+        RRF_QUERY_VEC_ID,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    qv = F.broadcast(
+        corpus.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+            F.col("v").alias("qv")
+        )
+    )
+    cos_fast = dot_double(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot_double(F.col("v"), F.col("v")))
+        * F.sqrt(dot_double(F.col("qv"), F.col("qv")))
+    )
+    rows = (
+        corpus.filter(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .crossJoin(qv)
+        .select(
+            cos_fast.alias("fast"),
+            cosine(F.col("qv"), F.col("v")).alias("exact"),
+        )
+        .collect()
+    )
+    assert len(rows) > RRF_LIST_N + 20
+    max_dev = max(abs(r["fast"] - r["exact"]) for r in rows)
+    exact_sorted = sorted((r["exact"] for r in rows), reverse=True)
+    gap = exact_sorted[RRF_LIST_N - 1] - exact_sorted[RRF_LIST_N + 19]
+    assert gap > 0 and gap >= 100 * max_dev, (gap, max_dev)
+
+
 def test_pq_codes_arrow_equals_hof(spark, sf_dir):
     """The registered Arrow PQ code assignment must pack bit-identical
     codes to the all-native HOF twin (same IEEE fold order by

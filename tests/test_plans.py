@@ -282,6 +282,16 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # vocab-size frame (from the perplexity stage) and
         # distrank.ranked's metadata-sized shard-count frame
         "pipeline_ccnet_buckets",
+        # sim_topk_ivfpq: the 1-row broadcast IVF codebook (corpus +
+        # query cell assignment) and 1-row PQ codebook/LUT frames
+        # (model state) crossed onto the scans; candidate, survivor
+        # re-fetch, and query-attach joins are broadcast HASH joins
+        # on cell / vec_id / query_id
+        "sim_topk_ivfpq",
+        # text_quality_classifier/filter: the ml_logreg_gd pattern —
+        # 1-row broadcast weight frame per GD iteration + scoring pass
+        "text_quality_classifier",
+        "text_quality_filter",
     }
     # iterative queries execute during construction (convergence loop /
     # Lloyd rounds) and their rendered plan embeds cached/checkpointed
