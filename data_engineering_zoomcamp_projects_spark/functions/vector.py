@@ -114,6 +114,30 @@ def sql_dot_double(a: str, b: str, dim: int = 64) -> str:
     return f"({terms})"
 
 
+def dist_double(a: Column, b: Column) -> Column:
+    """IEEE-double squared L2 — the `dot_double` discipline applied to
+    distance: use only where an ARGMIN decides a comparison (e.g. PQ
+    code assignment), with the DuckDB twin reproducing the exact
+    left-fold order (`sql_dist_double`), so every comparison
+    bit-matches. ~4x cheaper than dist_dec (measured on the IVF-PQ
+    code-assignment path, r11)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_dist_double(a: str, b: str, dim: int) -> str:
+    """DuckDB twin of `dist_double` over already-sliced double lists:
+    explicit left-associated sum, term-for-term the HOF fold's IEEE
+    sequence (0.0 + t1) + t2 ... like sql_dot_double."""
+    out = "0.0"
+    for i in range(1, dim + 1):
+        out = f"({out} + (({a})[{i}] - ({b})[{i}]) * (({a})[{i}] - ({b})[{i}]))"
+    return out
+
+
 def dist_dec(a: Column, b: Column) -> Column:
     """Exact decimal SQUARED EUCLIDEAN distance of two double arrays —
     same order-independence contract as dot_dec: each (x-y)^2 is an

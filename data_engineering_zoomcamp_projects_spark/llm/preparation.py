@@ -570,9 +570,10 @@ def prep_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/distrank.cum_weighted — range-shard on the priority
     order, within-shard running sums, one broadcast metadata array of
     shard totals. The budget scalar is a one-row broadcast; the budget
-    uses TRUE integer division (Spark `div`, DuckDB `//`) so the
-    arithmetic is exact at any corpus size — the earlier double-divide
-    + FLOOR form was only exact while 3*total < 2^53 (ADVICE r10).
+    uses TRUE integer division (Spark `div`, DuckDB `//`), exact while
+    3*total < 2^63 (Spark's non-ANSI long multiply wraps past that;
+    DuckDB widens to HUGEINT) — the earlier double-divide + FLOOR form
+    lost exactness already at 2^53 (ADVICE r10).
     Reference parity: none — driver-contract Part C prep family."""
     from ..operators.distrank import cum_weighted
 

@@ -583,9 +583,6 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cb = _ivf_codebook(spark, sf_dir, corpus)
 
-    def nearest_cells(df, vec_col, out_col, n_probe):
-        return _nearest_cells(cb, df, vec_col, out_col, n_probe)
-
     # COALESCE the cell ids to distinct non-null sentinels: a nullable
     # equi-join key makes the optimizer infer isnotnull(cell), and the
     # inferred predicate inlines the WHOLE assignment expression (the
@@ -593,10 +590,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-10 re-inlining guard). Non-nullable keys generate no
     # constraint; -1 vs -2 keeps empty-group rows from false-matching
     # each other (nulls never matched before — same semantics).
-    corpus_cells = nearest_cells(corpus, "v", "cell", 1).withColumn(
+    corpus_cells = _nearest_cells(cb, corpus, "v", "cell", 1).withColumn(
         "cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long"))
     )
-    query_cells = nearest_cells(queries, "qv", "qcell", 2).withColumn(
+    query_cells = _nearest_cells(cb, queries, "qv", "qcell", 2).withColumn(
         "qcell", F.coalesce(F.col("qcell"), F.lit(-2).cast("long"))
     )  # nprobe=2
 
@@ -672,8 +669,13 @@ def _pq_codebook(spark, sf_dir, corpus):
     cents = [
         [float(x) for x in r["v"]] for r in sorted(rows, key=lambda r: r["vec_id"])
     ]
+    # a corpus smaller than PQ_K yields len(cents) < PQ_K centroids —
+    # use what exists (codes stay < 16, the packing is unchanged),
+    # exactly as the oracle's `rp <= PQ_K` predicate does (r11 review:
+    # the range(PQ_K) form crashed on tiny corpora where the oracle
+    # degraded gracefully)
     pq = [
-        [cents[p][s * PQ_DSUB : (s + 1) * PQ_DSUB] for p in range(PQ_K)]
+        [cents[p][s * PQ_DSUB : (s + 1) * PQ_DSUB] for p in range(len(cents))]
         for s in range(PQ_M)
     ]
     cb = (spark.createDataFrame([(pq,)], "pq array<array<array<double>>>"), pq)
@@ -682,40 +684,17 @@ def _pq_codebook(spark, sf_dir, corpus):
     return cb
 
 
-def _dist_double(a: Column, b: Column) -> Column:
-    """IEEE-double squared L2 — the `_dot_double` discipline applied to
-    distance: used only where an ARGMIN decides (PQ code assignment),
-    with the DuckDB twin reproducing the exact left-fold order
-    (`_sql_dist_double`), so every comparison bit-matches. 4x cheaper
-    than dist_dec (measured: decimal code assignment was the bulk of
-    the 34 s first-cut sf1 ivfpq run; this form landed it at ~12 s,
-    and the Arrow batch twin `_pq_codes_arrow` — same fold — at 7.4 s)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _sql_dist_double(a: str, b: str, dim: int = PQ_DSUB) -> str:
-    """DuckDB twin of `_dist_double` over already-sliced double lists:
-    explicit left-associated sum, term-for-term the HOF fold's IEEE
-    sequence (0.0 + t1) + t2 ... like sql_dot_double."""
-    out = "0.0"
-    for i in range(1, dim + 1):
-        out = f"({out} + (({a})[{i}] - ({b})[{i}]) * (({a})[{i}] - ({b})[{i}]))"
-    return out
-
-
 def _pq_codes(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
     """Pack each vector's PQ code into one BIGINT (subspace 0 most
     significant, 4 bits each): code_s = argmin_p of the squared
     distance to subspace-s centroids (IEEE-double left fold, DuckDB
-    twin `_sql_dist_double` matches the fold order term for term —
+    twin `sql_dist_double` matches the fold order term for term —
     the IVF argmax discipline), ties to the smallest p via array_max
     over (negdist, -index) structs. Pure map-side HOF math over the
     broadcast codebook; the vector column is DROPPED afterwards — the
     code (8 bytes) + vnorm are all the candidate stream carries."""
+    from ..functions.vector import dist_double
+
     df = df.crossJoin(F.broadcast(pqcb))
     vec = F.col(vec_col)
     packed = F.lit(0).cast("long")
@@ -725,7 +704,7 @@ def _pq_codes(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
         # lambda's arity from its signature, so a default-arg capture
         # would read as a 3-arg lambda)
         return lambda c, i: F.struct(
-            (-_dist_double(sv, c)).alias("negd"), (-i).alias("neg_idx")
+            (-dist_double(sv, c)).alias("negd"), (-i).alias("neg_idx")
         )
 
     for s in range(PQ_M):
@@ -743,7 +722,7 @@ def _pq_codes_arrow(
     numpy pass computes all PQ_M x PQ_K subspace distances for the
     whole batch — the accumulation loops over the 8 dims IN ORDER with
     elementwise float64 `acc + d*d`, the exact IEEE sequence of the HOF
-    fold (and of `_sql_dist_double`), so argmin indices are
+    fold (and of `sql_dist_double`), so argmin indices are
     bit-identical; np.argmin takes the FIRST minimum, matching the
     (dist ASC, p ASC) tie-break. A/B at sf1: the interpreted-HOF twin
     (128 zip_with+aggregate calls per row) added +4.7 s over the bare
@@ -765,7 +744,9 @@ def _pq_codes_arrow(
                 yield _pd.DataFrame(out)
                 continue
             V = np.vstack(pdf[vec_col].to_numpy()).reshape(-1, PQ_M, PQ_DSUB)
-            acc = np.zeros((len(pdf), PQ_M, PQ_K), dtype=np.float64)
+            # C.shape[1] (= min(PQ_K, corpus size)), not PQ_K: tiny
+            # corpora train fewer centroids (r11 review)
+            acc = np.zeros((len(pdf), PQ_M, C.shape[1]), dtype=np.float64)
             for i in range(PQ_DSUB):
                 dif = V[:, :, None, i] - C[None, :, :, i]
                 acc = acc + dif * dif
@@ -862,13 +843,13 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["vec_id", "cell", "vnorm"],
         "vec_id long, cell long, vnorm double, pq_code long",
     )
-    # query side: probe cells + LUT (rides the broadcast)
-    query_side = _pq_lut(
-        _nearest_cells(cb, queries, "qv", "qcell", 2).withColumn(
-            "qcell", F.coalesce(F.col("qcell"), F.lit(-2).cast("long"))
-        ),
-        "qv",
-        pqcb,
+    # query side: LUT first, THEN the nprobe=2 cell explode — the
+    # other order re-evaluates the PQ_M x PQ_K decimal dots once per
+    # probe row (2x the heaviest query-side map work; r11 review)
+    query_side = _nearest_cells(
+        cb, _pq_lut(queries, "qv", pqcb), "qv", "qcell", 2
+    ).withColumn(
+        "qcell", F.coalesce(F.col("qcell"), F.lit(-2).cast("long"))
     ).select("query_id", "qcell", "qnorm", "pq_lut")
 
     cand = corpus_coded.join(
@@ -936,7 +917,7 @@ def _sim_ivfpq_sql() -> str:
     decimal cosine re-rank. The oracle keeps (vec_id, s, code) rows
     instead of packing — packing round-trips integers exactly, so both
     forms score identically."""
-    from ..functions.vector import sql_dot_dec, sql_norm
+    from ..functions.vector import sql_dist_double, sql_dot_dec, sql_norm
 
     sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
     sub_c = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
@@ -957,7 +938,7 @@ codes AS (
     SELECT e.vec_id, g.s, p.p,
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id, g.s
-             ORDER BY {_sql_dist_double(sub_e, sub_c)} ASC, p.p ASC
+             ORDER BY {sql_dist_double(sub_e, sub_c, PQ_DSUB)} ASC, p.p ASC
            ) AS rk
     FROM corpus_cells e, subsp g, pqc p
   ) WHERE rk = 1

@@ -64,8 +64,9 @@ _FRONT = [
     # rows (computed mechanically: latest green row per name over
     # CORRECTNESS_r01–r10).
     #
-    # (a) 2 new-op slots: the trained hashed-bigram quality classifier
-    #     (fastText/DCLM distillation shape on the shared lattice-GD
+    # (a) 3 new-op slots: the trained hashed-bigram quality classifier
+    #     + its map-side scoring/filter twin (fastText/DCLM
+    #     distillation shape on the shared lattice-GD
     #     loop) and IVF-PQ (product-quantized candidate scoring — the
     #     storage two-phase; 20.9x less exchange data than sim_topk_ivf
     #     at sf1):

@@ -297,6 +297,40 @@ def test_hybrid_rrf_candidate_cut_margin(spark, sf_dir):
     assert gap > 0 and gap >= 100 * max_dev, (gap, max_dev)
 
 
+def test_ivfpq_tiny_corpus_degrades_like_oracle(spark, tmp_path):
+    """A corpus smaller than PQ_K must yield a working (smaller) PQ
+    codebook, not an IndexError (r11 review) — and still agree with
+    the oracle, whose `rp <= PQ_K` predicate naturally degrades."""
+    import duckdb
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _sim_ivfpq_sql,
+        sim_topk_ivfpq,
+    )
+
+    from .oracle import compare
+
+    rows = [
+        (i * 100, [float((i * 7 + j * 3) % 10) for j in range(64)], i % 3)
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    problems = compare(
+        sim_topk_ivfpq(spark, str(tmp_path)),
+        con.execute(_sim_ivfpq_sql()).fetchdf(),
+        "ivfpq-tiny",
+    )
+    con.close()
+    assert not problems, "\n".join(problems)
+
+
 def test_pq_codes_arrow_equals_hof(spark, sf_dir):
     """The registered Arrow PQ code assignment must pack bit-identical
     codes to the all-native HOF twin (same IEEE fold order by
