@@ -297,6 +297,45 @@ def test_hybrid_rrf_candidate_cut_margin(spark, sf_dir):
     assert gap > 0 and gap >= 100 * max_dev, (gap, max_dev)
 
 
+def test_ivfpq_candidate_exchange_is_narrow(spark, sf_dir):
+    """Plan-shape pin for sim_topk_ivfpq's core property: the per-query
+    top-k window's input exchange must carry ONLY
+    (query_id, vec_id, cos_pq) — never an embedding array. If a vector
+    column leaks into that exchange the entry silently degenerates to
+    sim_topk_ivf's shuffle profile (the 20.9x exchange-byte reduction
+    IS the operator; BASELINE §21)."""
+    df = similarity.sim_topk_ivfpq(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # locate the PARTIAL WindowGroupLimit of the PQ cut (map-side head
+    # selection — also pins that the 30-row limit absorbs skew before
+    # the exchange) and walk down to the projection feeding it
+    starts = [
+        i
+        for i, ln in enumerate(lines)
+        if "WindowGroupLimit" in ln and "cos_pq" in ln and "Partial" in ln
+    ]
+    assert starts, "partial WindowGroupLimit over cos_pq missing"
+    # the projection feeding the PQ-cut sort/exchange must OUTPUT the
+    # narrow triple only: [query_id, vec_id, <expr> AS cos_pq] — the
+    # expression may reference pq_lut/pq_code/norms (computed map-side,
+    # pre-exchange), but no further top-level column may ride along
+    import re
+
+    proj = next(
+        (
+            ln
+            for ln in lines[starts[0] : starts[0] + 4]
+            if "Project [query_id#" in ln
+        ),
+        None,
+    )
+    assert proj is not None, "narrowing projection missing above the join"
+    assert re.search(
+        r"Project \[query_id#\d+L?, vec_id#\d+L?, .+ AS cos_pq#\d+\]\s*$", proj
+    ), f"PQ-cut exchange is not the narrow triple:\n{proj}"
+
+
 def test_ivfpq_tiny_corpus_degrades_like_oracle(spark, tmp_path):
     """A corpus smaller than PQ_K must yield a working (smaller) PQ
     codebook, not an IndexError (r11 review) — and still agree with
