@@ -733,16 +733,82 @@ TQC_STOPWORDS = ("a", "the")
 
 
 def _tqc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(y, x0..x7) training frame: one documents scan -> bigram explode
+    """(doc_id, y, x0..x7) training frame via ONE Arrow pass (the
+    text_entropy_scores precedent, A/B'd in BASELINE §21): each
+    documents row holds its whole document, so bigram bucket counts,
+    the stopword label, and the L1 normalization come out map-side
+    COMPLETE — zero shuffle, no bigram explode. Python's hashlib md5
+    is bit-identical to JVM/DuckDB md5 over the same UTF-8 bytes and
+    int(hex[:15], 16) % D == conv(substr(md5, 1, 15), 16, 10) % D, so
+    the buckets match the oracle exactly (dedup_simhash convention; a
+    production run swaps xxhash64 back in for throughput). The
+    all-native explode twin (`_tqc_features_native` — bigram explode ->
+    md5-bucket -> doc-grain pivot groupBy, measured 5.4x slower at sf1)
+    is pytest-pinned row-equal. Docs with fewer than two tokens carry
+    no bigram evidence and are excluded from training on both engines;
+    the narrow (doc_id, text) frame is repartitioned to default
+    parallelism first (the decode_resize lesson: the bench parquet
+    opens as 2 splits)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def batches(it):
+        # closure, not a module function (executor sys.path rule)
+        import hashlib
+
+        import pandas as _pd
+
+        D = TQC_BUCKETS
+        DEN = TQC_STOP_DEN
+        STOP = set(TQC_STOPWORDS)
+
+        for pdf in it:
+            out_doc: list = []
+            out_y: list = []
+            cols: list = [[] for _ in range(D)]
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ts = text.split(" ")
+                if len(ts) < 2:
+                    continue
+                stop = sum(1 for t in ts if t in STOP)
+                cnt = [0] * D
+                prev = ts[0]
+                for k in range(1, len(ts)):
+                    b = prev + " " + ts[k]
+                    cnt[
+                        int(hashlib.md5(b.encode()).hexdigest()[:15], 16) % D
+                    ] += 1
+                    prev = ts[k]
+                nb = len(ts) - 1
+                out_doc.append(doc_id)
+                out_y.append(1 if stop * DEN >= len(ts) else 0)
+                for j in range(D):
+                    cols[j].append(cnt[j] / nb)
+            data = {
+                "doc_id": _pd.Series(out_doc, dtype="int64"),
+                "y": _pd.Series(out_y, dtype="int32"),
+            }
+            for j in range(D):
+                data[f"x{j}"] = _pd.Series(cols[j], dtype="float64")
+            yield _pd.DataFrame(data)
+
+    schema = "doc_id long, y int, " + ", ".join(
+        f"x{j} double" for j in range(TQC_BUCKETS)
+    )
+    return d.mapInPandas(batches, schema=schema)
+
+
+def _tqc_features_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-native explode twin of `_tqc_features`: bigram explode
     -> md5-bucket -> per-doc bucket-count pivot (ONE doc_id-grain
-    groupBy with map-side combine — the only shuffle in feature
-    extraction) -> L1-normalized bucket frequencies. The bigram hash is
-    the repo's cross-engine md5 integer (dedup_simhash convention:
-    Spark conv(substr(md5,1,15),16,10) == DuckDB '0x'||substr —
-    bit-identical on both engines; a production run swaps xxhash64 back
-    in for throughput, the plan is hash-agnostic). Docs with fewer than
-    two tokens carry no bigram evidence and are excluded from training
-    on both engines."""
+    groupBy with map-side combine) -> L1-normalized bucket frequencies.
+    Kept unregistered as the zero-Python reference implementation
+    (image_resize_native convention) and pytest-pinned row-equal to
+    the Arrow pass; 5.4x slower at sf1 (6.0 vs 1.1 s), which is why it is not the
+    registered path."""
     from .functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")

@@ -7,6 +7,24 @@ from __future__ import annotations
 import duckdb
 
 
+def test_tqc_features_arrow_equals_native(spark):
+    """The registered Arrow feature pass must emit row-identical
+    (doc_id, y, x0..x7) to the all-native explode twin — md5 buckets,
+    stopword label, and the float division all bit-equal."""
+    from data_engineering_zoomcamp_projects_spark.ml import (
+        _tqc_features,
+        _tqc_features_native,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    arrow = {r["doc_id"]: tuple(r) for r in _tqc_features(spark, sf).collect()}
+    native = {
+        r["doc_id"]: tuple(r) for r in _tqc_features_native(spark, sf).collect()
+    }
+    assert len(arrow) > 0
+    assert arrow == native
+
+
 def test_quality_classifier_learns_separable_corpus(spark, tmp_path):
     """text_quality_classifier's honest-learnability contract: on the
     synthetic corpus the teacher label is nearly independent of the
