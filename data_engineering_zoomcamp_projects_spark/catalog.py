@@ -36,6 +36,25 @@ TABLES = (
 FIXED_DIMS = ("region", "nation")
 
 
+def widen_if_narrow(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Adaptive compensation for pathologically narrow scans: the
+    driver/test parquet files ship ONE row group per file, so a scan
+    can never split below whole-file granularity and every map-side
+    stage above it (HOF vector math, Arrow passes, explodes) runs 1-2
+    wide on a 32-core session regardless of maxPartitionBytes (r11
+    finding: customer sf1 = 1 partition, documents/embeddings = 2).
+    Repartition to the session default ONLY when the plan's scan
+    parallelism is below a quarter of it — on a real corpus with
+    row-group-sized splits this is a no-op, so no exchange is added at
+    deploy scale. The parallelism probe is plan metadata (physical
+    planning, no job)."""
+    parts = df.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    if parts * 4 <= target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; Catalyst handles column pruning and
     predicate pushdown into this parquet read.

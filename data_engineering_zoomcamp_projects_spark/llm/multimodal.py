@@ -380,7 +380,12 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbolically: window geometry, energy sums, and peaks are all
     hash-checked. A real corpus swaps the synthesized payload for its
     parquet `binary` column; the windowing expressions don't change."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..catalog import widen_if_narrow
+
+    # widen the narrow single-row-group scan first (r11; the md5 chain
+    # + interpreted window HOFs otherwise run 2-wide — 5.5 -> ~1 s at
+    # sf1; no-op on a real split-able corpus)
+    d = widen_if_narrow(spark, load_table(spark, sf_dir, "documents"))
     # keep the binary column in the plan (the storage contract), then
     # materialize its byte array once per row (hex_bytes_array: the
     # one-shot decode that keeps the md5 chain out of the window
@@ -468,7 +473,9 @@ def _resize_payload_frame(
     corpus has maxPartitionBytes-sized splits and skips this."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     if widen:
-        d = d.repartition(spark.sparkContext.defaultParallelism)
+        from ..catalog import widen_if_narrow
+
+        d = widen_if_narrow(spark, d)
     return d.select(
         "doc_id", F.unhex(chained_md5_hex(IMG_W * IMG_W // 16)).alias("payload")
     )

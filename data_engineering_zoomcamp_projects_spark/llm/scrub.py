@@ -305,8 +305,19 @@ def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
+    # widen BEFORE variant generation: the sf1 customer parquet opens
+    # as ONE split, so the Arrow variant generator (the ~19 s stage of
+    # the round-9 A/B) otherwise runs single-threaded on a 32-core
+    # session (the decode_resize lesson, r11; measured 52 -> 26 s
+    # end-to-end — the remainder is the candidate-stream exchange, the
+    # documented dominant cost). The exchange carries the 150k
+    # (key, name, nation) rows — ~6 MB; a real corpus has
+    # maxPartitionBytes-sized splits and skips this.
+    from ..catalog import widen_if_narrow
+
+    wide = widen_if_narrow(spark, c)
     vh = (
-        c.select(
+        wide.select(
             "c_custkey",
             "c_nationkey",
             F.explode(_deletion_variants_udf()(F.col("c_name"))).alias("variant"),

@@ -31,10 +31,15 @@ N_HYPERPLANES = 6
 def _queries_and_corpus(spark, sf_dir):
     """Corpus + query set with PRE-COMPUTED norms: one norm per vector
     instead of two per scored pair (3x fewer decimal aggregates in the
-    pair loop — measured 6.5s -> ~2s at sf0.1)."""
+    pair loop — measured 6.5s -> ~2s at sf0.1). The scan is widened
+    when pathologically narrow (r11: the single-row-group test parquet
+    opens as 2 splits, so norm/cell-assignment/pair-scoring map stages
+    ran 2-wide on 32 cores; no-op on real split-able corpora — see
+    catalog.widen_if_narrow)."""
+    from ..catalog import widen_if_narrow
     from ..functions.vector import norm
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = widen_if_narrow(spark, load_table(spark, sf_dir, "embeddings"))
     corpus = e.select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
     ).withColumn("vnorm", norm(F.col("v")))

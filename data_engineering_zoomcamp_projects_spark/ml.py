@@ -749,10 +749,10 @@ def _tqc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the narrow (doc_id, text) frame is repartitioned to default
     parallelism first (the decode_resize lesson: the bench parquet
     opens as 2 splits)."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+    from .catalog import widen_if_narrow
+
+    d = widen_if_narrow(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
     def batches(it):

@@ -73,15 +73,19 @@ _FRONT = [
     "text_quality_classifier",
     "text_quality_filter",
     "sim_topk_ivfpq",
-    # (b) 4 plans round 11 changed: token budget now true integer
+    # (b) 6 plans round 11 changed: token budget now true integer
     #     division (ADVICE r10), entropy counts via one Arrow Counter
     #     pass (A/B winner over the explode twin), decode-resize's
     #     codec vectorized + per-row PIL probe hoisted, logreg-GD loop
-    #     refactored into the shared _lg_train_score/_lg_chain_sql:
+    #     refactored into the shared _lg_train_score/_lg_chain_sql,
+    #     and the widen_if_narrow scan compensation (sim_topk_lsh via
+    #     _queries_and_corpus; symspell's variant generation):
     "prep_token_budget_head",
     "text_entropy_scores",
     "multimodal_image_decode_resize",
     "ml_logreg_gd",
+    "sim_topk_lsh",
+    "dedup_fuzzy_names_symspell",
     # (c) the 4 plans round 10 changed after their last driver row
     #     (staged-projection fixes + PCA mean-centering; sim_topk_ivf
     #     also re-enters via the r11 _nearest_cells refactor):
@@ -101,8 +105,10 @@ _FRONT = [
     "timeseries_interpolate",
     "timeseries_wow_change",
     "window_nth_value",
-    # (e) the 28 alphabetically-first r7-era rows (the oldest official
-    #     rows left; the tail — text_fingerprints (displaced by the
+    # (e) the 26 alphabetically-first r7-era rows (the oldest official
+    #     rows left; the tail — subq_exists_multi_order_days and
+    #     text_corpus_rollup (displaced by the lsh/symspell
+    #     changed-plan slots), text_fingerprints (displaced by the
     #     text_quality_filter slot), text_lexicon_score,
     #     text_pretokenize_bpe_style, text_redact_sensitive,
     #     text_tfidf_top_terms and the rest of r7 — queues for r12):
@@ -132,8 +138,6 @@ _FRONT = [
     "sample_importance_weighted",
     "setop_intersect",
     "sim_topk_bruteforce",
-    "subq_exists_multi_order_days",
-    "text_corpus_rollup",
 ]
 
 
