@@ -31,9 +31,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, widen_if_narrow
 from ..functions.text import shingles, sql_shingle_cte, tokens
 from ..functions.vector import as_double_array, cosine, sql_cosine
+
+
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan widened when pathologically narrow (r11: the
+    single-row-group test parquet opens as 2 splits, so the shingle
+    explode + per-shingle hashing above it ran 2-wide on 32 cores —
+    the bare sf1 shingle projection measured 5.1 s narrow vs 0.9 s
+    wide; no-op on real split-able corpora). Used by every
+    shingle-grain entry in this module."""
+    return widen_if_narrow(spark, load_table(spark, sf_dir, "documents"))
 
 JACCARD_THRESHOLD = 0.8
 N_MINHASH = 32
@@ -70,7 +80,7 @@ def _shingle_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, cheaper compares). 64-bit collisions would perturb counts
     with probability ~1e-9 across the corpus — negligible against the
     oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     sh = d.select(
         "doc_id",
         F.explode(F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))).alias("s"),
@@ -223,7 +233,7 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup detection over the documents table
     (see ``minhash_lsh_pairs``). Shares the exact-Jaccard oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return minhash_lsh_pairs(d).select(
         "doc_a",
         "doc_b",
@@ -289,7 +299,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a production run can swap md5 back to xxhash64 for throughput; the
     banding/verify plan is hash-agnostic.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     # features = 5-gram shingles, not unigrams: the corpus vocabulary is
     # tiny so unigram token SETS are near-identical across documents —
     # shingles make the fingerprint discriminative.
@@ -814,7 +824,7 @@ def dedup_ngram_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles cost agg rows, never quadratic pair joins, so the plan
     survives adversarial template-heavy corpora that would blow up the
     shingle self-join twin (`dedup_shingle_jaccard` docstring)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     # one materialization barrier (lazy localCheckpoint, the
     # signature-frame pattern above): three consumers read the shingle
     # arrays — computing the interpreted HOF transform once instead of
@@ -916,7 +926,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     all (its ETL is whole-file pandas, citibike_project/etl/
     ingest_data.py); this is driver-contract Part C LLM-data scope."""
     n = SPAN_N
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     # one materialization barrier (the sibling's pattern): the token
     # array and the positional-shingle array are each read by two
     # consumers — compute the interpreted HOF transforms once
@@ -1256,7 +1266,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-join oracle restricted to cross pairs (same banding-miss
     argument as the self-join path, pinned equal by
     tests/test_llm.py::test_incremental_equals_full_cross_pairs)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     new = d.filter(F.col("doc_id") % 10 == 7)
     old = d.filter(F.col("doc_id") % 10 != 7)
     return minhash_lsh_pairs_between(new, old).select(

@@ -15,9 +15,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, widen_if_narrow
 from ..functions.text import doc_fingerprint_md5
 from ..operators.parity import davg, sql_davg
+
+
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan widened when pathologically narrow — the
+    llm/dedup.py convention (r11; single-row-group test parquet opens
+    as 2 splits, so token/char explodes and Arrow passes ran 2-wide on
+    32 cores; no-op on real split-able corpora)."""
+    return widen_if_narrow(spark, load_table(spark, sf_dir, "documents"))
 
 #: tokens treated as stopwords in quality scoring (from the corpus
 #: vocabulary; any fixed lexicon works the same way at scale)
@@ -28,7 +36,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: token counts, type-token ratio,
     average token length, stopword ratio, and a composite score —
     the standard cheap pre-filters before expensive LLM-data steps."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     # STAGE the counts: stop_ratio feeds both the rounded output and
@@ -332,7 +340,7 @@ def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     norm = F.lower(
         F.trim(
             F.regexp_replace(
@@ -384,7 +392,7 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals ride a one-row broadcast. Top-K picks over rounded lift with
     a full lexical tie-break, so the cut is deterministic on both
     engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     toks = F.split("text", " ")
     tok = d.select(F.explode(toks).alias("w"))
     uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
@@ -491,7 +499,7 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     K=10 head are the only driver-side bytes (model state, the IVF-
     codebook discipline); the probed estimates re-enter the PLAN as a
     broadcast literal map so the booleans are computed by the engine."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     tok = d.select(F.explode(F.split("text", " ")).alias("w"))
     topk = (
         tok.groupBy("w")
@@ -952,7 +960,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: no LM surface in the reference; driver-contract
     Part C LLM-data scope (quality-scoring family)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
     t = d.select("doc_id", toks.alias("ts"))
     n_pairs = F.greatest(F.size("ts") - 1, F.lit(0))
@@ -1131,7 +1139,7 @@ def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BMP-only; astral chars would split to UTF-16 surrogate halves on
     the JVM) — the differential at both SFs pins the agreement.
     Reference parity: none — driver-contract Part C quality family."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
 
     def count_batches(it):
         # closure, not a module function (executor sys.path rule)

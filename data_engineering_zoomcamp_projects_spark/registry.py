@@ -86,6 +86,17 @@ _FRONT = [
     "ml_logreg_gd",
     "sim_topk_lsh",
     "dedup_fuzzy_names_symspell",
+    #     + the widened shingle/token-grain family (same
+    #     widen_if_narrow compensation; pipeline_ccnet_buckets changes
+    #     transitively through text_lm_perplexity's chain):
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_span_duplication",
+    "dedup_span_removal",
+    "dedup_incremental_batch",
+    "text_lm_perplexity",
+    "pipeline_ccnet_buckets",
     # (c) the 4 plans round 10 changed after their last driver row
     #     (staged-projection fixes + PCA mean-centering; sim_topk_ivf
     #     also re-enters via the r11 _nearest_cells refactor):
@@ -105,13 +116,17 @@ _FRONT = [
     "timeseries_interpolate",
     "timeseries_wow_change",
     "window_nth_value",
-    # (e) the 26 alphabetically-first r7-era rows (the oldest official
-    #     rows left; the tail — subq_exists_multi_order_days and
-    #     text_corpus_rollup (displaced by the lsh/symspell
-    #     changed-plan slots), text_fingerprints (displaced by the
-    #     text_quality_filter slot), text_lexicon_score,
+    # (e) the 18 alphabetically-first r7-era refresh rows that fit
+    #     after the changed-plan slots. Displaced to r12 (all keep
+    #     their cumulative green rows; the full pytest differential
+    #     covers them every run): prep_train_test_split, q1/q3/q5/q9,
+    #     quality_distribution_drift, sample_importance_weighted,
+    #     setop_intersect (by the widened shingle-family slots),
+    #     subq_exists_multi_order_days + text_corpus_rollup (by the
+    #     lsh/symspell slots), text_fingerprints (by
+    #     text_quality_filter), then text_lexicon_score,
     #     text_pretokenize_bpe_style, text_redact_sensitive,
-    #     text_tfidf_top_terms and the rest of r7 — queues for r12):
+    #     text_tfidf_top_terms and the rest of r7:
     "agg_grouping_sets",
     "agg_rollup_flag_status",
     "dedup_embedding_cosine",
@@ -129,14 +144,6 @@ _FRONT = [
     "prep_chunk_documents",
     "prep_sequence_packing",
     "prep_source_mixing",
-    "prep_train_test_split",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "quality_distribution_drift",
-    "sample_importance_weighted",
-    "setop_intersect",
     "sim_topk_bruteforce",
 ]
 

@@ -320,7 +320,18 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # three consumers (rows, tie-groups, totals) from ONE checkpointed
     # range-shard; the pre-execution render duplicates that subtree per
     # consumer (10 exchanges, measured), runtime materializes it once.
-    ceilings = {"pipeline_corpus_curation": 12, "window_rank_functions": 10}
+    ceilings = {
+        "pipeline_corpus_curation": 12,
+        "window_rank_functions": 10,
+        # r11 widen_if_narrow: the narrow-scan repartition re-renders
+        # once per consumer of the widened documents frame
+        # (collocations reads it for unigrams/pairs/totals;
+        # lm_perplexity for the model and the doc scoring pass) —
+        # deliberate, each instance is the ~6 MB (doc_id, text) spread
+        # that took the map stages above it 2-wide -> 32-wide
+        "text_collocations": 11,
+        "text_lm_perplexity": 11,
+    }
     # queries allowed a partition-less window sort: each is proven
     # metadata-grain (days-spine gap-fill and daily moving-average:
     # |calendar days| rows after the pre-aggregation; vocab-topk:
@@ -424,7 +435,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     worst.sort(reverse=True)
     over = {name for n, name in worst if n > 8}
     assert over <= set(ceilings), sorted(over - set(ceilings))
-    assert len(ceilings) <= 2, "justified-ceiling set is growing — audit it"
+    assert len(ceilings) <= 4, "justified-ceiling set is growing — audit it"
 
 
 def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
