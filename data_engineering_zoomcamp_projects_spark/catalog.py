@@ -36,7 +36,9 @@ TABLES = (
 FIXED_DIMS = ("region", "nation")
 
 
-def widen_if_narrow(spark: SparkSession, df: DataFrame) -> DataFrame:
+def widen_if_narrow(
+    spark: SparkSession, df: DataFrame, min_bytes: int = 2 * 1024 * 1024
+) -> DataFrame:
     """Adaptive compensation for pathologically narrow scans: the
     driver/test parquet files ship ONE row group per file, so a scan
     can never split below whole-file granularity and every map-side
@@ -44,13 +46,28 @@ def widen_if_narrow(spark: SparkSession, df: DataFrame) -> DataFrame:
     wide on a 32-core session regardless of maxPartitionBytes (r11
     finding: customer sf1 = 1 partition, documents/embeddings = 2).
     Repartition to the session default ONLY when the plan's scan
-    parallelism is below a quarter of it — on a real corpus with
-    row-group-sized splits this is a no-op, so no exchange is added at
-    deploy scale. The parallelism probe is plan metadata (physical
-    planning, no job)."""
+    parallelism is below a quarter of it AND the relation is big
+    enough for the spread to pay for the exchange (>= 2 MB by
+    optimizer size stats — at bench SF the documents relation is
+    ~0.6 MB and the repartition overhead measurably exceeded the
+    map-width win, e.g. pipeline_ccnet_buckets 2.25 -> 3.22 s at
+    sf0.1; at sf1 it is 5.9 MB and the same entry gains 4.4 s). On a
+    real corpus with row-group-sized splits this is a no-op, so no
+    exchange is added at deploy scale. Both probes are plan metadata
+    (physical planning / optimizer stats, no job).
+
+    ``min_bytes`` is the caller's statement of downstream per-row
+    cost: plans whose map work above the scan is heavy Python (the
+    symspell variant generator burns seconds on a frame the optimizer
+    prices under 1 MB after column pruning) pass 0 to widen whenever
+    narrow; the default serves JVM-side explode/HOF work where the
+    exchange only pays for itself on MB-scale inputs."""
     parts = df.rdd.getNumPartitions()
     target = spark.sparkContext.defaultParallelism
-    if parts * 4 <= target:
+    if parts * 4 > target:
+        return df
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size >= min_bytes:
         return df.repartition(target)
     return df
 

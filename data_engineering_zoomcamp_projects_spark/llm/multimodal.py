@@ -475,7 +475,8 @@ def _resize_payload_frame(
     if widen:
         from ..catalog import widen_if_narrow
 
-        d = widen_if_narrow(spark, d)
+        # min_bytes=0: the consumer runs a per-row Python PNG codec
+        d = widen_if_narrow(spark, d, min_bytes=0)
     return d.select(
         "doc_id", F.unhex(chained_md5_hex(IMG_W * IMG_W // 16)).alias("payload")
     )

@@ -315,7 +315,10 @@ def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maxPartitionBytes-sized splits and skips this.
     from ..catalog import widen_if_narrow
 
-    wide = widen_if_narrow(spark, c)
+    # min_bytes=0: per-row Python variant generation is seconds of
+    # work on a frame the optimizer prices under 1 MB after pruning —
+    # spread it whenever the scan is narrow
+    wide = widen_if_narrow(spark, c, min_bytes=0)
     vh = (
         wide.select(
             "c_custkey",

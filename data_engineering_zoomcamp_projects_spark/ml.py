@@ -751,8 +751,11 @@ def _tqc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     opens as 2 splits)."""
     from .catalog import widen_if_narrow
 
+    # min_bytes=0: a Python md5 per bigram is heavy per input byte
     d = widen_if_narrow(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=0,
     )
 
     def batches(it):
