@@ -46,7 +46,7 @@ def widen_if_narrow(
     wide on a 32-core session regardless of maxPartitionBytes (r11
     finding: customer sf1 = 1 partition, documents/embeddings = 2).
     Repartition to the session default ONLY when the plan's scan
-    parallelism is below a quarter of it AND the relation is big
+    parallelism is at or below a quarter of it AND the relation is big
     enough for the spread to pay for the exchange (>= 2 MB by
     optimizer size stats — at bench SF the documents relation is
     ~0.6 MB and the repartition overhead measurably exceeded the
@@ -66,7 +66,14 @@ def widen_if_narrow(
     target = spark.sparkContext.defaultParallelism
     if parts * 4 > target:
         return df
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    try:
+        # private JVM accessor — version-fragile by nature. If a Spark
+        # upgrade moves it, degrade to NOT widening (the pre-r11 plan
+        # shape, correct everywhere) rather than raising inside 20+
+        # certified entries (r11 verdict nit 1).
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
     if size >= min_bytes:
         return df.repartition(target)
     return df

@@ -651,6 +651,14 @@ PQ_M = 8
 PQ_K = 16
 PQ_DSUB = 8
 
+# The packed BIGINT is base-PQ_K positional (all three packing/unpacking
+# sites below derive their shift from PQ_K, r11 ADVICE) — but the widest
+# packable model is bounded by the signed-64-bit column: production
+# PQ_K=256 with PQ_M=8 needs 64 unsigned bits and would wrap. Fail loud
+# at import instead of silently corrupting codes; byte-width models
+# should pack into BINARY(8) or two ints.
+assert PQ_K**PQ_M < 2**63, "packed PQ code overflows BIGINT; widen the packing"
+
 #: single-entry memo, same discipline as _CODEBOOK_MEMO; holds the
 #: (broadcast frame, plain nested list) pair _pq_codebook returns
 _PQ_MEMO: dict[tuple[str, str], tuple] = {}
@@ -716,7 +724,7 @@ def _pq_codes(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
         sub_v = F.slice(vec, s * PQ_DSUB + 1, PQ_DSUB)
         scored = F.transform(F.element_at(F.col("pq"), s + 1), scorer(sub_v))
         best = F.array_max(scored)  # (dist asc, p asc) head
-        packed = packed * 16 + (-best["neg_idx"]).cast("long")
+        packed = packed * PQ_K + (-best["neg_idx"]).cast("long")
     return df.withColumn("pq_code", packed).drop("pq")
 
 
@@ -758,7 +766,7 @@ def _pq_codes_arrow(
             codes = acc.argmin(axis=2)  # first min == smallest p on ties
             packed = np.zeros(len(pdf), dtype=np.int64)
             for s in range(PQ_M):
-                packed = packed * 16 + codes[:, s]
+                packed = packed * PQ_K + codes[:, s]
             out = {c: pdf[c].values for c in keep_cols}
             out["pq_code"] = packed
             yield _pd.DataFrame(out)
@@ -796,8 +804,8 @@ def _pq_score(code_col: str, lut_col: str) -> Column:
 
     score = None
     for s in range(PQ_M):
-        shift = 16 ** (PQ_M - 1 - s)
-        code_s = F.expr(f"({code_col} div {shift}) % 16").cast("int")
+        shift = PQ_K ** (PQ_M - 1 - s)
+        code_s = F.expr(f"({code_col} div {shift}) % {PQ_K}").cast("int")
         term = F.element_at(
             F.element_at(F.col(lut_col), s + 1), code_s + F.lit(1)
         )

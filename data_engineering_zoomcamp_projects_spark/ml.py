@@ -773,6 +773,11 @@ def _tqc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_y: list = []
             cols: list = [[] for _ in range(D)]
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # NULL/empty text drops the row, matching the native
+                # explode twin and the DuckDB oracle (textstats
+                # count_batches convention; r11 ADVICE)
+                if not text:
+                    continue
                 ts = text.split(" ")
                 if len(ts) < 2:
                     continue

@@ -583,3 +583,46 @@ def test_reinline_detector_catches_unstaged_double_use(spark, sf_dir):
     )
     dups = explain.duplicated_expensive_exprs(df)
     assert dups and max(c for c, _ in dups) >= 2, dups
+
+
+def test_widen_if_narrow_degrades_when_stats_probe_breaks(spark, sf_dir):
+    """`widen_if_narrow`'s size probe rides a private JVM accessor
+    (`_jdf.queryExecution()...stats()`); a Spark upgrade that moves it
+    must degrade to NOT widening (the pre-r11 plan shape, correct
+    everywhere) instead of raising inside 20+ certified entries (r11
+    verdict nit 1). Duck-typed frame whose `_jdf` raises: the helper
+    must return it untouched and never call repartition."""
+    from data_engineering_zoomcamp_projects_spark.catalog import widen_if_narrow
+
+    narrow = spark.range(10).coalesce(1)
+    assert narrow.rdd.getNumPartitions() * 4 <= spark.sparkContext.defaultParallelism
+
+    class _ProbeBroken:
+        @property
+        def rdd(self):
+            return narrow.rdd
+
+        @property
+        def _jdf(self):
+            raise AttributeError("queryExecution moved in this Spark version")
+
+        def repartition(self, n):
+            raise AssertionError("must not widen when the size probe fails")
+
+    broken = _ProbeBroken()
+    assert widen_if_narrow(spark, broken) is broken
+
+
+def test_widen_if_narrow_widens_narrow_heavy_scan(spark, sf_dir):
+    """Positive pin for the same helper: a single-row-group documents
+    scan (1-2 partitions on this testdata) with min_bytes=0 must come
+    back at the session default parallelism — and an already-wide frame
+    must pass through without an exchange."""
+    from data_engineering_zoomcamp_projects_spark.catalog import widen_if_narrow
+
+    target = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if d.rdd.getNumPartitions() * 4 <= target:
+        assert widen_if_narrow(spark, d, min_bytes=0).rdd.getNumPartitions() == target
+    wide = spark.range(1000).repartition(target)
+    assert widen_if_narrow(spark, wide, min_bytes=0) is wide
