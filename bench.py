@@ -146,6 +146,14 @@ HEADLINE = [
     "text_quality_classifier",
     "text_quality_filter",
     "sim_topk_ivfpq",
+    # round-12: the persisted ANN index build/query split — query is
+    # the production serve shape (no corpus-side assignment; tracked
+    # against sim_topk_ivfpq to keep the build-amortization win
+    # visible); build includes the partitioned-parquet write (and is
+    # cache-reusing on unchanged data, so the benched cost is the
+    # read-back + fingerprint probe after the first round)
+    "sim_index_build",
+    "sim_index_query",
 ]
 
 

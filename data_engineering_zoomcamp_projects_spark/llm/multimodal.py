@@ -502,8 +502,13 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     its parquet `binary` column and a real codec (decode_image) inside
     the same mapInPandas; the batch shape doesn't change. Reference
     parity: none (no multimodal surface in the reference) —
-    driver-contract Part C."""
-    return image_resize_arrow_on(_resize_payload_frame(spark, sf_dir))
+    driver-contract Part C.
+
+    widen=True (r12): the last unwidened member of the r11 scan-width
+    finding — the 16-md5 synthesis chain plus the Arrow resize ran
+    2-wide on the single-row-group bench parquet. Same compensation as
+    its decode_resize sibling; no-op on split-able corpora."""
+    return image_resize_arrow_on(_resize_payload_frame(spark, sf_dir, widen=True))
 
 
 def image_resize_arrow_on(img: DataFrame) -> DataFrame:

@@ -838,10 +838,8 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entry is fully hash-checked rather than rows-only.
     Reference parity: none — driver-contract Part C ANN family."""
     queries, corpus = _queries_and_corpus(spark, sf_dir)
-    from ..functions.vector import dot_dec
-
     cb = _ivf_codebook(spark, sf_dir, corpus)
-    pqcb, pq_py = _pq_codebook(spark, sf_dir, corpus)
+    _, pq_py = _pq_codebook(spark, sf_dir, corpus)
 
     # corpus side: cell + packed PQ code + vnorm — the vector itself
     # is dropped before the candidate join (the point of PQ). Arrow
@@ -856,6 +854,25 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["vec_id", "cell", "vnorm"],
         "vec_id long, cell long, vnorm double, pq_code long",
     )
+    return _ivfpq_serve(spark, sf_dir, corpus_coded)
+
+
+def _ivfpq_serve(
+    spark: SparkSession, sf_dir: str, corpus_coded: DataFrame
+) -> DataFrame:
+    """The IVF-PQ SERVE chain over any (vec_id, cell, vnorm, pq_code)
+    corpus-index frame: per-query LUT + nprobe=2 cell assignment, the
+    narrow PQ candidate cut, survivor full-vector re-fetch, exact
+    decimal re-rank. Factored out of sim_topk_ivfpq (r12) so
+    sim_index_query can serve the same chain from the PERSISTED index
+    — the two entries share this code AND the oracle, expression for
+    expression."""
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    from ..functions.vector import dot_dec
+
+    cb = _ivf_codebook(spark, sf_dir, corpus)
+    pqcb, _ = _pq_codebook(spark, sf_dir, corpus)
+
     # query side: LUT first, THEN the nprobe=2 cell explode — the
     # other order re-evaluates the PQ_M x PQ_K decimal dots once per
     # probe row (2x the heaviest query-side map work; r11 review)
@@ -991,6 +1008,180 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 
 QUERIES["sim_topk_ivfpq"] = sim_topk_ivfpq
 ORACLES["sim_topk_ivfpq"] = _sim_ivfpq_sql()
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index (r12, r11 verdict item 3): the production
+# build/query split sim_topk_ivfpq implies but didn't ship. BUILD
+# materializes the corpus-side index state — (vec_id, vnorm, pq_code)
+# partitioned BY CELL, the on-disk inverted-lists layout (one parquet
+# partition per IVF cell, the FAISS/ScaNN disk shape) — under a
+# data-fingerprinted path; QUERY serves the exact sim_topk_ivfpq chain
+# from that table with NO k-means assignment and NO PQ code computation
+# on the corpus side (pinned by a plan test: no MapInPandas stage, scan
+# reads the index path). At 100 TB the index is built once per corpus
+# snapshot and amortized over every query batch; cell is the partition
+# column so a probed-cell predicate prunes partitions at the source
+# (nprobe x |queries| cells read, not the corpus). A deploy corpus
+# with k ~ sqrt(n) cells in the millions would coarsen the layout to
+# range-bucketed cell groups — directory-per-cell is the right shape
+# up to ~10^5 cells.
+
+#: bump to invalidate every persisted index when the layout changes
+ANN_INDEX_VERSION = 1
+
+
+def _ann_index_path(sf_dir: str) -> tuple[str, str]:
+    """(index directory, data fingerprint) — same discipline as
+    ml._kmeans_cache_path: the fingerprint is the embeddings parquet's
+    (size, mtime_ns) plus every index hyperparameter, so a regenerated
+    corpus or a geometry change rebuilds; an unchanged fingerprint
+    means the persisted index IS what rebuilding would produce
+    (assignment and codes are bit-deterministic). Lives under the
+    repo's gitignored .localdata, never under sf_dir."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    fp = (
+        f"{st.st_size}:{st.st_mtime_ns}:{PQ_M}:{PQ_K}:{PQ_DSUB}:"
+        f"v{ANN_INDEX_VERSION}"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    return os.path.join(root, ".localdata", "model_cache", f"ann_ivfpq_{tag}"), fp
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the persisted IVF-PQ index for sf_dir's
+    embeddings; returns the index directory. The data is exactly
+    sim_topk_ivfpq's corpus_coded frame, repartitioned BY CELL before
+    the partitionBy write so each cell lands as one file instead of
+    (cells x shuffle-partitions) fragments. A `_ann_meta.json`
+    fingerprint sidecar is written AFTER the parquet commit, so a
+    crashed build is invisible (stale meta -> rebuild)."""
+    import json
+    import os
+
+    path, fp = _ann_index_path(sf_dir)
+    meta_path = os.path.join(path, "_ann_meta.json")
+    try:
+        with open(meta_path) as fh:
+            if json.load(fh).get("fp") == fp:
+                return path
+    except (OSError, ValueError):
+        pass
+
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    cb = _ivf_codebook(spark, sf_dir, corpus)
+    _, pq_py = _pq_codebook(spark, sf_dir, corpus)
+    corpus_coded = _pq_codes_arrow(
+        _nearest_cells(cb, corpus, "v", "cell", 1).withColumn(
+            "cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long"))
+        ),
+        "v",
+        pq_py,
+        ["vec_id", "cell", "vnorm"],
+        "vec_id long, cell long, vnorm double, pq_code long",
+    )
+    (
+        corpus_coded.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "data"))
+    )
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{meta_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"fp": fp, "version": ANN_INDEX_VERSION}, fh)
+    os.replace(tmp, meta_path)
+    return path
+
+
+def _read_ann_index(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted index as sim_topk_ivfpq's corpus_coded shape.
+    `cell` comes back as a partition column (directory-encoded int) —
+    cast to long to keep the join key type identical to the live
+    path's."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "data")).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "vnorm",
+        "pq_code",
+    )
+
+
+def sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index BUILD as a certified entry: materialize the IVF-PQ
+    index table and return its content — (vec_id, cell, pq_code), every
+    column exact-integer deterministic, so the oracle re-derives the
+    whole index (cells + argmin codes + base-PQ_K packing) in SQL and
+    the entry is fully hash-checked. vnorm stays in the table for the
+    serve half but out of the certified projection (float column;
+    the cos_sim values that depend on it are certified through
+    sim_index_query/sim_topk_ivfpq instead). Reference parity: the
+    lakehouse slot (B2's write-once/serve-many shape) applied to the
+    ANN family — driver-contract Part C."""
+    return _read_ann_index(spark, build_ann_index(spark, sf_dir)).select(
+        "vec_id", "cell", "pq_code"
+    )
+
+
+def sim_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k SERVED from the persisted index: one parquet scan of
+    the index table (no cell assignment, no code computation — the
+    expensive corpus-side map work was paid once at build; plan-pinned
+    by tests/test_plans.py), then the exact sim_topk_ivfpq candidate ->
+    survivor -> re-rank chain. Shares sim_topk_ivfpq's oracle verbatim:
+    given the same index state the results are identical, and both are
+    fully hash-checked. Builds on miss, so the entry is
+    self-sufficient on a fresh corpus dir."""
+    return _ivfpq_serve(
+        spark, sf_dir, _read_ann_index(spark, build_ann_index(spark, sf_dir))
+    )
+
+
+def _sim_index_build_sql() -> str:
+    """Oracle for sim_index_build: the shared index CTEs plus the PQ
+    code chain, packed base-PQ_K exactly like the Spark side
+    (POWER(PQ_K, PQ_M-1-s) is exact in a double up to 16^7)."""
+    from ..functions.vector import sql_dist_double
+
+    sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
+    sub_c = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
+    return f"""
+WITH {_ivf_index_ctes()},
+pqc AS (
+  SELECT rp - 1 AS p, cv FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rp, embedding AS cv
+    FROM embeddings
+  ) WHERE rp <= {PQ_K}
+),
+subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+codes AS (
+  SELECT vec_id, s, p AS code FROM (
+    SELECT e.vec_id, g.s, p.p,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, g.s
+             ORDER BY {sql_dist_double(sub_e, sub_c, PQ_DSUB)} ASC, p.p ASC
+           ) AS rk
+    FROM corpus_cells e, subsp g, pqc p
+  ) WHERE rk = 1
+)
+SELECT e.vec_id, e.cell,
+       SUM(k.code * CAST(POWER({PQ_K}, {PQ_M - 1} - k.s) AS BIGINT))::BIGINT
+         AS pq_code
+FROM corpus_cells e JOIN codes k ON k.vec_id = e.vec_id
+GROUP BY e.vec_id, e.cell
+"""
+
+
+QUERIES["sim_index_build"] = sim_index_build
+ORACLES["sim_index_build"] = _sim_index_build_sql()
+QUERIES["sim_index_query"] = sim_index_query
+ORACLES["sim_index_query"] = _sim_ivfpq_sql()
 
 
 #: BM25 retrieval parameters (Robertson/Spärck Jones defaults) and the
@@ -1175,6 +1366,96 @@ RRF_TOP_N = 10
 RRF_QUERY_VEC_ID = 0
 
 
+#: candidate-cut safety margin for the two-phase semantic list: the
+#: fast IEEE-double cosine and the exact decimal cosine differ by
+#: ~1e-13 relative, so a fast-score gap of 1e-9 between the last kept
+#: rank and the last candidate guarantees no cut vector can re-rank
+#: into the top list. Checked AT RUNTIME (r10 ADVICE, r11 verdict
+#: item 6): an adversarial near-tie corpus fails loudly instead of
+#: silently returning a wrong list.
+RRF_CUT_GAP_TOL = 1e-9
+
+
+def _semantic_top_list(corpus: DataFrame) -> DataFrame:
+    """Top-RRF_LIST_N semantic candidates of `corpus` (vec_id,
+    v double-array) for the query vector RRF_QUERY_VEC_ID, returned as
+    (vec_id, r_sem) — the guarded two-phase core of sim_hybrid_rrf,
+    factored so the near-tie guard is testable on a constructed corpus.
+
+    Two-phase scoring (the sim_topk_bruteforce argument): the cheap
+    IEEE-double cosine orders the corpus-wide scan, only the fast
+    top (N + 20) pay the order-independent decimal cosine the oracle
+    needs, then re-rank exactly. Measured 11.5 s -> ~4 s at sf1.
+
+    The cut is only sound when the fast score at the LIST_N boundary
+    clears the last candidate by more than the fast/exact drift — so
+    that is now an executed assertion, not a docstring claim: over the
+    80-row post-TakeOrdered head (metadata grain), two windows attach
+    the boundary scores to every row and `assert_true` raises mid-job
+    when a full candidate list is near-tied at the cut. Lives inside
+    the same 80-row stage — no second corpus scan."""
+    from ..functions.vector import dot_double
+
+    qv = F.broadcast(
+        corpus.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+            F.col("v").alias("qv")
+        )
+    )
+    cos_fast = dot_double(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot_double(F.col("v"), F.col("v")))
+        * F.sqrt(dot_double(F.col("qv"), F.col("qv")))
+    )
+    cand = (
+        corpus.filter(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .crossJoin(qv)
+        .select("vec_id", "v", "qv", cos_fast.alias("cos_fast"))
+        .orderBy(F.col("cos_fast").desc(), F.col("vec_id").asc())
+        .limit(RRF_LIST_N + 20)
+    )
+    w_fast = Window.orderBy(F.col("cos_fast").desc(), F.col("vec_id").asc())
+    w_all = Window.partitionBy()
+    ranked = cand.select(
+        "vec_id",
+        "v",
+        "qv",
+        F.row_number().over(w_fast).alias("r_fast"),
+        F.col("cos_fast"),
+    ).select(
+        "vec_id",
+        "v",
+        "qv",
+        F.max(
+            F.when(F.col("r_fast") == RRF_LIST_N, F.col("cos_fast"))
+        ).over(w_all).alias("cut_score"),
+        F.min(F.col("cos_fast")).over(w_all).alias("tail_score"),
+        F.count("*").over(w_all).alias("n_cand"),
+    )
+    # a short candidate list (< LIST_N + 20) means the corpus was fully
+    # enumerated — nothing was cut, nothing to guard
+    guarded = ranked.filter(
+        F.assert_true(
+            (F.col("n_cand") < F.lit(RRF_LIST_N + 20))
+            | (
+                F.col("cut_score") - F.col("tail_score")
+                > F.lit(RRF_CUT_GAP_TOL)
+            ),
+            F.lit(
+                "sim_hybrid_rrf: fast-cosine scores are near-tied at the "
+                f"top-{RRF_LIST_N} candidate cut (gap <= {RRF_CUT_GAP_TOL}); "
+                "the +20 overfetch cannot guarantee the exact re-rank — "
+                "raise the overfetch for this corpus"
+            ),
+        ).isNull()
+    )
+    sem = (
+        guarded.select("vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(RRF_LIST_N)
+    )
+    w_sem = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return sem.select("vec_id", F.row_number().over(w_sem).alias("r_sem"))
+
+
 def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion: fuse the BM25
     lexical candidate list (sim_bm25_topk's per-doc scores over
@@ -1204,41 +1485,15 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(w_lex).alias("r_lex")
     )
 
-    e = load_table(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-    qv = F.broadcast(
-        corpus.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
-            F.col("v").alias("qv")
-        )
-    )
-    # two-phase scoring (the sim_topk_bruteforce argument): the cheap
-    # IEEE-double cosine orders the corpus-wide scan, only the fast
-    # top (N + 20) pay the order-independent decimal cosine the oracle
-    # needs, then re-rank exactly. Fast and exact scores differ by
-    # ~1e-13 relative — 20 rivals inside that sliver is far beyond the
-    # corpus's score spacing (and the oracle gate would catch it).
-    # Measured 11.5 s -> ~4 s at sf1.
-    from ..functions.vector import dot_double
+    from ..catalog import widen_if_narrow
 
-    cos_fast = dot_double(F.col("qv"), F.col("v")) / (
-        F.sqrt(dot_double(F.col("v"), F.col("v")))
-        * F.sqrt(dot_double(F.col("qv"), F.col("qv")))
-    )
-    cand = (
-        corpus.filter(F.col("vec_id") != RRF_QUERY_VEC_ID)
-        .crossJoin(qv)
-        .select("vec_id", "v", "qv", cos_fast.alias("cos_fast"))
-        .orderBy(F.col("cos_fast").desc(), F.col("vec_id").asc())
-        .limit(RRF_LIST_N + 20)
-    )
-    sem = (
-        cand.select("vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(RRF_LIST_N)
-    )
-    w_sem = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    sem_ranked = sem.select(
-        F.col("vec_id").alias("doc_id"), F.row_number().over(w_sem).alias("r_sem")
+    # r12: widen the semantic side's own corpus scan (it was the last
+    # _queries_and_corpus-style load without the single-row-group
+    # compensation; the per-row HOF cosine is the heavy map work)
+    e = widen_if_narrow(spark, load_table(spark, sf_dir, "embeddings"))
+    corpus = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    sem_ranked = _semantic_top_list(corpus).select(
+        F.col("vec_id").alias("doc_id"), "r_sem"
     )
 
     def rrf_u(rank_col):

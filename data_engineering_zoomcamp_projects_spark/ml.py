@@ -333,15 +333,56 @@ def kmeans_assign_frame(
     )
 
 
+def _kmeans_cache_path(sf_dir: str) -> tuple[str, str]:
+    """(cache file path, data fingerprint) for persisting the trained
+    Lloyd model across sessions. The fingerprint is the embeddings
+    parquet's (size, mtime_ns) plus every training hyperparameter —
+    training is bit-deterministic, so an unchanged fingerprint means
+    the persisted centroids ARE what retraining would produce; a
+    regenerated corpus misses and retrains. The cache dir sits under
+    the repo's gitignored .localdata (never under sf_dir — testdata is
+    read-only)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}:{st.st_mtime_ns}:{KMEANS_K}:{KMEANS_ITERS}:{KMEANS_SCALE}"
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                             ".localdata", "model_cache")
+    return os.path.join(cache_dir, f"kmeans_{tag}.json"), fp
+
+
 def kmeans_trained_centroids(spark: SparkSession, sf_dir: str) -> list:
-    """Train (or reuse, see _KMEANS_MEMO) the fixed-point Lloyd model;
-    returns the centroid list [(cent_id, [d lattice ints])] — bounded
-    model state (k x d integers)."""
+    """Train (or reuse) the fixed-point Lloyd model; returns the
+    centroid list [(cent_id, [d lattice ints])] — bounded model state
+    (k x d integers). Reuse is two-level: the in-session _KMEANS_MEMO,
+    then a per-(sf_dir, data fingerprint) JSON on local disk (r12,
+    verdict item 4) so a FRESH session — the per-round sweep, the
+    driver gate — pays one tiny metadata read instead of the ~9 s
+    3-round Lloyd loop. Training is exact-integer deterministic, so
+    the persisted model is bit-identical to retraining (pinned by
+    tests/test_ml.py); any cache trouble falls through to training."""
+    import json
+    import os
+
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     hit = _KMEANS_MEMO.get(memo_key)
     if hit is not None:
         return hit
     _KMEANS_MEMO.clear()
+    cache_path = None
+    try:
+        cache_path, fp = _kmeans_cache_path(sf_dir)
+        with open(cache_path) as fh:
+            payload = json.load(fh)
+        if payload.get("fp") == fp:
+            cents = [(int(c), [int(x) for x in v]) for c, v in payload["cents"]]
+            _KMEANS_MEMO[memo_key] = cents
+            return cents
+    except (OSError, ValueError, KeyError):
+        pass
     # the training loop re-reads the quantized frame once per round —
     # a lazy localCheckpoint materializes it once (stats-blindness is
     # irrelevant here: every training consumer is a map-side explode
@@ -374,6 +415,15 @@ def kmeans_trained_centroids(spark: SparkSession, sf_dir: str) -> list:
             for cid, cq in cents
         ]
     _KMEANS_MEMO[memo_key] = cents
+    if cache_path is not None:
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            tmp = f"{cache_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump({"fp": fp, "cents": cents}, fh)
+            os.replace(tmp, cache_path)  # atomic vs concurrent sessions
+        except OSError:
+            pass
     return cents
 
 

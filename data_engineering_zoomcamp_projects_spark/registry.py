@@ -57,94 +57,82 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # WINDOW TRIAGE round 11 (50 slots). Round 10 closed 50/50 green;
-    # this window is: new ops + every plan round 11 changed + the four
-    # plans round 10 changed AFTER their last driver row (r10 verdict
-    # item 1) + the eleven deferred r5-era rows + the oldest r7-era
-    # rows (computed mechanically: latest green row per name over
-    # CORRECTNESS_r01–r10).
+    # WINDOW TRIAGE round 12 (50 slots). Round 11 closed 50/50 green;
+    # this window is: the 2 new persisted-index entries + every plan
+    # round 12 changed + ALL 21 r7-era refresh rows (the queue the r11
+    # verdict mandated leading with — including the 13 displaced last
+    # round) + the oldest r8-era rows as filler (computed mechanically:
+    # latest driver row per name over CORRECTNESS_r01–r11).
     #
-    # (a) 3 new-op slots: the trained hashed-bigram quality classifier
-    #     + its map-side scoring/filter twin (fastText/DCLM
-    #     distillation shape on the shared lattice-GD
-    #     loop) and IVF-PQ (product-quantized candidate scoring — the
-    #     storage two-phase; 20.9x less exchange data than sim_topk_ivf
-    #     at sf1):
+    # (a) 2 new-op slots: the persisted ANN index build/query split —
+    #     build materializes (vec_id, cell, pq_code) partitioned by
+    #     cell (inverted-lists layout), query serves sim_topk_ivfpq's
+    #     exact chain from the table with no corpus-side assignment:
+    "sim_index_build",
+    "sim_index_query",
+    # (b) 7 plans round 12 changed: the ivfpq serve-chain refactor +
+    #     PQ_K-derived packing (values identical, re-certify anyway),
+    #     the hybrid-RRF widened corpus scan + runtime near-tie guard,
+    #     the widened image-resize synthesis chain, the null-text guard
+    #     in the quality-model Arrow feature pass, and the k-means
+    #     disk-cached centroid state (bit-identical model, new source):
+    "sim_topk_ivfpq",
+    "sim_hybrid_rrf",
+    "multimodal_image_resize",
     "text_quality_classifier",
     "text_quality_filter",
-    "sim_topk_ivfpq",
-    # (b) 6 plans round 11 changed: token budget now true integer
-    #     division (ADVICE r10), entropy counts via one Arrow Counter
-    #     pass (A/B winner over the explode twin), decode-resize's
-    #     codec vectorized + per-row PIL probe hoisted, logreg-GD loop
-    #     refactored into the shared _lg_train_score/_lg_chain_sql,
-    #     and the widen_if_narrow scan compensation (sim_topk_lsh via
-    #     _queries_and_corpus; symspell's variant generation):
-    "prep_token_budget_head",
-    "text_entropy_scores",
-    "multimodal_image_decode_resize",
-    "ml_logreg_gd",
-    "sim_topk_lsh",
-    "dedup_fuzzy_names_symspell",
-    #     + the widened shingle/token-grain family (same
-    #     widen_if_narrow compensation; pipeline_ccnet_buckets changes
-    #     transitively through text_lm_perplexity's chain):
-    "dedup_shingle_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_span_duplication",
-    "dedup_span_removal",
-    "dedup_incremental_batch",
-    "text_lm_perplexity",
-    "pipeline_ccnet_buckets",
-    # (c) the 4 plans round 10 changed after their last driver row
-    #     (staged-projection fixes + PCA mean-centering; sim_topk_ivf
-    #     also re-enters via the r11 _nearest_cells refactor):
-    "events_user_rfm",
-    "text_quality_scores",
-    "ml_pca_embeddings",
-    "sim_topk_ivf",
-    # (d) the 11 r5-era rows round 10 deferred:
-    "stream_live_join_purchase_views",
-    "stream_live_session_30m",
-    "stream_live_sliding_15m",
-    "stream_live_tumbling_hourly",
-    "subq_lateral_topn",
-    "text_collocations",
-    "text_heavy_hitters_cms",
-    "text_normalize_unicode",
-    "timeseries_interpolate",
-    "timeseries_wow_change",
-    "window_nth_value",
-    # (e) the 18 alphabetically-first r7-era refresh rows that fit
-    #     after the changed-plan slots. Displaced to r12 (all keep
-    #     their cumulative green rows; the full pytest differential
-    #     covers them every run): prep_train_test_split, q1/q3/q5/q9,
-    #     quality_distribution_drift, sample_importance_weighted,
-    #     setop_intersect (by the widened shingle-family slots),
-    #     subq_exists_multi_order_days + text_corpus_rollup (by the
-    #     lsh/symspell slots), text_fingerprints (by
-    #     text_quality_filter), then text_lexicon_score,
-    #     text_pretokenize_bpe_style, text_redact_sensitive,
-    #     text_tfidf_top_terms and the rest of r7:
-    "agg_grouping_sets",
-    "agg_rollup_flag_status",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_fuzzy_names",
-    "events_cohort_retention",
-    "events_daily_actives",
-    "events_funnel_stages",
-    "events_rolling_distinct_hll",
-    "events_sessionize",
-    "fn_date_suite",
-    "join_asof_purchase_prior_view",
-    "join_range_trailing_shipments",
-    "multimodal_audio_windows",
-    "prep_chunk_documents",
-    "prep_sequence_packing",
-    "prep_source_mixing",
-    "sim_topk_bruteforce",
+    "dedup_semantic_semdedup",
+    "ml_kmeans_embeddings",
+    # (c) the full r7-era refresh queue (latest driver row = r7):
+    "prep_train_test_split",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "quality_distribution_drift",
+    "sample_importance_weighted",
+    "setop_intersect",
+    "subq_exists_multi_order_days",
+    "text_corpus_rollup",
+    "text_fingerprints",
+    "text_lexicon_score",
+    "text_pretokenize_bpe_style",
+    "text_redact_sensitive",
+    "text_tfidf_top_terms",
+    "text_token_counting",
+    "timeseries_daily_gapfill",
+    "window_lag_lead",
+    "window_moving_average",
+    "window_rank_functions",
+    "window_running_sum",
+    # (d) filler: the alphabetically-first r8-era rows (20 slots).
+    #     Displaced to r13: the remaining r8 rows from fn_json_suite
+    #     alphabetically onward (fn_json/fn_math/fn_string suites,
+    #     graph family, ml_customer_scores, pipeline_corpus_curation,
+    #     prep_decontaminate, prep_quantize_int8, quality_join_skew
+    #     _audit, setop_except/intersect_all/union_*, stream_* batch
+    #     rows, text_bpe_*) — all keep cumulative green rows and the
+    #     full pytest differential covers them every run:
+    "agg_count_distinct",
+    "agg_cube_status_priority",
+    "agg_distinct_rows",
+    "agg_global_stats",
+    "agg_having_big_suppliers",
+    "agg_min_max_by",
+    "agg_monthly_orders",
+    "agg_pivot_status",
+    "agg_stats_dispersion",
+    "dedup_cluster_census",
+    "dedup_cluster_components",
+    "fn_array_suite",
+    "fn_bitwise_suite",
+    "fn_conditional_suite",
+    "fn_explode_tokens",
+    "graph_degree_distribution",
+    "graph_pagerank_near_dups",
+    "graph_reachability_recursive",
+    "graph_triangle_count",
+    "ml_customer_scores",
 ]
 
 

@@ -1514,3 +1514,43 @@ def test_token_budget_head_matches_oracle_and_greedy_reference(spark, sf_dir):
         for r in prep_token_budget_head(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_hybrid_rrf_runtime_guard_fires_on_near_tie_corpus(spark):
+    """r12 (r11 verdict item 6): the candidate-cut margin is now an
+    executed runtime assertion inside `_semantic_top_list`, not just
+    the measured pin above. Constructed adversarial corpus: 130
+    vectors all within ~1e-12 of each other in cosine against the
+    query — the fast-score gap between rank 60 and rank 80 is below
+    RRF_CUT_GAP_TOL, so the job must raise loudly instead of silently
+    returning a possibly-wrong list. A well-separated corpus of the
+    same shape must pass."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        RRF_LIST_N,
+        RRF_QUERY_VEC_ID,
+        _semantic_top_list,
+    )
+
+    dim = 8
+
+    def corpus_of(scale):
+        # vec 0 is the query; vector i = (1, i*scale, 0, ...) — cosine
+        # to the query separates by ~scale^2/2 per step, so scale=1e-7
+        # gives ~5e-15 spacing (near-tied) and scale=1e-2 gives ~5e-5
+        rows = [
+            (i, [1.0] + [float(i) * scale] + [0.0] * (dim - 2))
+            for i in range(RRF_LIST_N + 70)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    assert RRF_QUERY_VEC_ID == 0
+    with _pytest.raises(Exception, match="near-tied at the"):
+        _semantic_top_list(corpus_of(1e-7)).collect()
+
+    ok = _semantic_top_list(corpus_of(1e-2)).collect()
+    assert len(ok) == RRF_LIST_N
+    # separated corpus: closest vectors (smallest i) rank first
+    assert [r["vec_id"] for r in ok[:3]] == [1, 2, 3]

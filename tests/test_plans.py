@@ -288,6 +288,12 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # re-fetch, and query-attach joins are broadcast HASH joins
         # on cell / vec_id / query_id
         "sim_topk_ivfpq",
+        # sim_index_query: the serve half of the same chain — the
+        # query-side codebook/LUT crosses remain (model state over the
+        # 1%-of-corpus query frame); the corpus side is the persisted
+        # index scan with NO assignment crosses (pinned by
+        # test_sim_index_query_reuses_persisted_index)
+        "sim_index_query",
         # text_quality_classifier/filter: the ml_logreg_gd pattern —
         # 1-row broadcast weight frame per GD iteration + scoring pass
         "text_quality_classifier",
@@ -626,3 +632,53 @@ def test_widen_if_narrow_widens_narrow_heavy_scan(spark, sf_dir):
         assert widen_if_narrow(spark, d, min_bytes=0).rdd.getNumPartitions() == target
     wide = spark.range(1000).repartition(target)
     assert widen_if_narrow(spark, wide, min_bytes=0) is wide
+
+
+def test_sim_index_query_reuses_persisted_index(spark, sf_dir):
+    """r12 (verdict item 3): the persisted-ANN-index serve half must
+    pay NO corpus-side index construction — no Arrow PQ-code assignment
+    stage (MapInPandas) anywhere in the plan, and the corpus side must
+    be a parquet scan of the persisted ann_ivfpq table (partitioned by
+    cell). The build half, by contrast, must contain that stage —
+    proving the absence check checks something."""
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+
+    qdf = similarity.sim_index_query(spark, sf_dir)
+    qplan = qdf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in qplan, "serve plan recomputes PQ codes"
+    assert "ann_ivfpq_" in qplan, "serve plan does not scan the persisted index"
+    # cell is the partition column of the index scan
+    assert "PartitionFilters" in qplan or "cell" in qplan
+
+    bdf = similarity.sim_topk_ivfpq(spark, sf_dir)
+    bplan = bdf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in bplan, "live path lost its Arrow code assignment"
+
+
+def test_ann_index_rebuilds_on_fingerprint_change(spark, sf_dir):
+    """The index meta sidecar carries the (data, geometry) fingerprint:
+    a matching fingerprint returns the existing directory without a
+    Spark job; a clobbered fingerprint triggers a full rebuild that
+    restores byte-identical content (assignment and codes are
+    deterministic)."""
+    import json
+    import os
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+
+    path = similarity.build_ann_index(spark, sf_dir)
+    meta = os.path.join(path, "_ann_meta.json")
+    rows1 = sorted(
+        tuple(r) for r in similarity.sim_index_build(spark, sf_dir).collect()
+    )
+    with open(meta) as fh:
+        saved = json.load(fh)
+    with open(meta, "w") as fh:
+        json.dump({"fp": "stale"}, fh)
+    assert similarity.build_ann_index(spark, sf_dir) == path
+    with open(meta) as fh:
+        assert json.load(fh) == saved  # rebuilt, fingerprint restored
+    rows2 = sorted(
+        tuple(r) for r in similarity.sim_index_build(spark, sf_dir).collect()
+    )
+    assert rows1 == rows2
