@@ -154,6 +154,10 @@ HEADLINE = [
     # read-back + fingerprint probe after the first round)
     "sim_index_build",
     "sim_index_query",
+    # round-12: frozen-model incremental append (batch-only assignment
+    # against historical codebooks — tracked so the O(|batch|) claim
+    # stays measured)
+    "sim_index_append",
 ]
 
 

@@ -293,11 +293,17 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 """
 
 
-def _ivf_index_ctes() -> str:
+def _ivf_index_ctes(
+    src: str = "embeddings", assign_src: str = "embeddings"
+) -> str:
     """The shared two-level-index CTE chain (stats .. corpus_cells /
     query_cells) — DuckDB rebuilds the codebook from the same
     deterministic derivations as `_ivf_codebook`; shared verbatim by
-    the sim_topk_ivf and sim_topk_ivfpq oracles (r11 refactor)."""
+    the sim_topk_ivf / sim_topk_ivfpq / sim_index_build oracles (r11
+    refactor). `src` is the codebook's training base, `assign_src` the
+    relation whose rows get cell-assigned — they differ only for the
+    frozen-model incremental append (sim_index_append); the defaults
+    render the exact text every certified oracle has always used."""
     from ..functions.vector import sql_dot_double
 
     dot_cs = sql_dot_double("c.cv", "s.scv")
@@ -305,14 +311,14 @@ def _ivf_index_ctes() -> str:
     dot_ec = sql_dot_double("x.embedding", "cc.cv")
     return f"""stats AS (
   SELECT GREATEST(1, CAST(CEIL(COUNT(*) / CEIL(SQRT(COUNT(*)))) AS BIGINT)) AS stride
-  FROM embeddings
+  FROM {src}
 ),
 cents AS (
   SELECT cent_id, cv,
          ROW_NUMBER() OVER (ORDER BY cent_id) AS crk,
          COUNT(*) OVER () AS k
   FROM (
-    SELECT vec_id AS cent_id, embedding AS cv FROM embeddings, stats
+    SELECT vec_id AS cent_id, embedding AS cv FROM {src}, stats
     WHERE vec_id % stride = 0
   )
 ),
@@ -335,7 +341,7 @@ corpus_sc AS (
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id ORDER BY {dot_es} DESC, s.sc_id ASC
            ) AS rk
-    FROM embeddings e CROSS JOIN supercents s
+    FROM {assign_src} e CROSS JOIN supercents s
   ) WHERE rk = 1
 ),
 corpus_cells AS (
@@ -1178,10 +1184,89 @@ GROUP BY e.vec_id, e.cell
 """
 
 
+def sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index append with a FROZEN model (the production
+    steady state: new corpus batches arrive, the index model does NOT
+    retrain per batch): the arriving batch is every vec_id ending in 7
+    (~10%, the dedup_incremental_batch convention standing in for
+    "today's vectors"); the IVF codebook AND PQ codebook are derived
+    from the HISTORICAL corpus only, and the batch rows get their cell
+    + packed PQ code assigned map-side against those frozen broadcast
+    codebooks — one scan of the batch, no shuffle, no pair space.
+    Output is the index DELTA (vec_id, cell, pq_code): exactly the
+    frame a deploy run hands to
+    `.write.mode("append").partitionBy("cell")` on the persisted
+    table (cells only ever gain files — no rewrite of historical
+    partitions). Fully hash-checked: the oracle re-derives the frozen
+    codebooks from the historical slice and assigns the batch slice
+    with them. At 100 TB the append costs O(|batch|) assignment flops
+    + one partitioned write; a periodic full rebuild (sim_index_build)
+    absorbs model drift. Reference parity: none — driver-contract
+    Part C ANN family."""
+    _, corpus = _queries_and_corpus(spark, sf_dir)
+    hist = corpus.filter(F.col("vec_id") % 10 != 7)
+    batch = corpus.filter(F.col("vec_id") % 10 == 7)
+    # memo keys get a ::hist suffix so the frozen codebooks never
+    # collide with the full-corpus ones in the single-entry memos
+    cb = _ivf_codebook(spark, f"{sf_dir}::hist", hist)
+    _, pq_py = _pq_codebook(spark, f"{sf_dir}::hist", hist)
+    coded = _pq_codes_arrow(
+        _nearest_cells(cb, batch, "v", "cell", 1).withColumn(
+            "cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long"))
+        ),
+        "v",
+        pq_py,
+        ["vec_id", "cell"],
+        "vec_id long, cell long, pq_code long",
+    )
+    return coded.select("vec_id", "cell", "pq_code")
+
+
+def _sim_index_append_sql() -> str:
+    """Oracle for sim_index_append: the index CTE chain with the
+    codebook base restricted to the historical slice and assignment
+    over the arriving batch, then the same argmin-code/base-PQ_K
+    packing as sim_index_build's oracle — with pqc likewise drawn from
+    the historical slice (the frozen PQ model)."""
+    from ..functions.vector import sql_dist_double
+
+    hist = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)"
+    batch = "(SELECT * FROM embeddings WHERE vec_id % 10 = 7)"
+    sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
+    sub_c = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
+    return f"""
+WITH {_ivf_index_ctes(src=hist, assign_src=batch)},
+pqc AS (
+  SELECT rp - 1 AS p, cv FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rp, embedding AS cv
+    FROM {hist}
+  ) WHERE rp <= {PQ_K}
+),
+subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+codes AS (
+  SELECT vec_id, s, p AS code FROM (
+    SELECT e.vec_id, g.s, p.p,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, g.s
+             ORDER BY {sql_dist_double(sub_e, sub_c, PQ_DSUB)} ASC, p.p ASC
+           ) AS rk
+    FROM corpus_cells e, subsp g, pqc p
+  ) WHERE rk = 1
+)
+SELECT e.vec_id, e.cell,
+       SUM(k.code * CAST(POWER({PQ_K}, {PQ_M - 1} - k.s) AS BIGINT))::BIGINT
+         AS pq_code
+FROM corpus_cells e JOIN codes k ON k.vec_id = e.vec_id
+GROUP BY e.vec_id, e.cell
+"""
+
+
 QUERIES["sim_index_build"] = sim_index_build
 ORACLES["sim_index_build"] = _sim_index_build_sql()
 QUERIES["sim_index_query"] = sim_index_query
 ORACLES["sim_index_query"] = _sim_ivfpq_sql()
+QUERIES["sim_index_append"] = sim_index_append
+ORACLES["sim_index_append"] = _sim_index_append_sql()
 
 
 #: BM25 retrieval parameters (Robertson/Spärck Jones defaults) and the

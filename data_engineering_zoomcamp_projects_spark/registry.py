@@ -64,12 +64,15 @@ _FRONT = [
     # round) + the oldest r8-era rows as filler (computed mechanically:
     # latest driver row per name over CORRECTNESS_r01–r11).
     #
-    # (a) 2 new-op slots: the persisted ANN index build/query split —
+    # (a) 3 new-op slots: the persisted ANN index build/query split —
     #     build materializes (vec_id, cell, pq_code) partitioned by
     #     cell (inverted-lists layout), query serves sim_topk_ivfpq's
-    #     exact chain from the table with no corpus-side assignment:
+    #     exact chain from the table with no corpus-side assignment —
+    #     plus the frozen-model incremental append (the ~10% arriving
+    #     batch assigned against historical-corpus codebooks):
     "sim_index_build",
     "sim_index_query",
+    "sim_index_append",
     # (b) 7 plans round 12 changed: the ivfpq serve-chain refactor +
     #     PQ_K-derived packing (values identical, re-certify anyway),
     #     the hybrid-RRF widened corpus scan + runtime near-tie guard,
@@ -132,7 +135,6 @@ _FRONT = [
     "graph_pagerank_near_dups",
     "graph_reachability_recursive",
     "graph_triangle_count",
-    "ml_customer_scores",
 ]
 
 

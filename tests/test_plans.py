@@ -294,6 +294,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # index scan with NO assignment crosses (pinned by
         # test_sim_index_query_reuses_persisted_index)
         "sim_index_query",
+        # sim_index_append: the frozen IVF codebook (1-row broadcast)
+        # crossed onto the arriving-batch scan for map-side cell
+        # assignment — zero exchanges in the whole plan (the delta is
+        # scan -> assign -> Arrow code, no shuffle at all)
+        "sim_index_append",
         # text_quality_classifier/filter: the ml_logreg_gd pattern —
         # 1-row broadcast weight frame per GD iteration + scoring pass
         "text_quality_classifier",
