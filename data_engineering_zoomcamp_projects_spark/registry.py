@@ -69,10 +69,13 @@ _FRONT = [
     #     cell (inverted-lists layout), query serves sim_topk_ivfpq's
     #     exact chain from the table with no corpus-side assignment —
     #     plus the frozen-model incremental append (the ~10% arriving
-    #     batch assigned against historical-corpus codebooks):
+    #     batch assigned against historical-corpus codebooks) and its
+    #     TRUE-readStream twin (foreachBatch appends per micro-batch;
+    #     shares the append oracle — order-independent assignment):
     "sim_index_build",
     "sim_index_query",
     "sim_index_append",
+    "stream_live_index_append",
     # (b) 7 plans round 12 changed: the ivfpq serve-chain refactor +
     #     PQ_K-derived packing (values identical, re-certify anyway),
     #     the hybrid-RRF widened corpus scan + runtime near-tie guard,
@@ -134,7 +137,6 @@ _FRONT = [
     "graph_degree_distribution",
     "graph_pagerank_near_dups",
     "graph_reachability_recursive",
-    "graph_triangle_count",
 ]
 
 

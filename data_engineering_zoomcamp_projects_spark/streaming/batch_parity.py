@@ -207,6 +207,20 @@ def _stream_live_ingest_neardup_sql() -> str:
     return _ingest_neardup_oracle_sql()
 
 
+def _stream_live_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .jobs import stream_live_index_append
+
+    return stream_live_index_append(spark, sf_dir)
+
+
+def _stream_live_index_append_sql() -> str:
+    # the union over micro-batches equals the one-shot batch append
+    # (per-row map-side assignment, order-independent) — shared oracle
+    from ..llm.similarity import _sim_index_append_sql
+
+    return _sim_index_append_sql()
+
+
 def _stream_live_join_sql() -> str:
     from .jobs import STREAM_LIVE_JOIN_SQL
 
@@ -228,6 +242,7 @@ QUERIES = {
     "stream_live_dedup_summary": _stream_live_dedup_summary,
     "stream_live_join_purchase_views": _stream_live_join_purchase_views,
     "stream_live_ingest_neardup": _stream_live_ingest_neardup,
+    "stream_live_index_append": _stream_live_index_append,
     "stream_sliding_15m": stream_sliding_15m,
     "stream_session_30m": stream_session_30m,
     "stream_dedup_summary": stream_dedup_summary,
@@ -242,6 +257,7 @@ ORACLES = {
     "stream_live_dedup_summary": _stream_live_dedup_sql(),
     "stream_live_join_purchase_views": _stream_live_join_sql(),
     "stream_live_ingest_neardup": _stream_live_ingest_neardup_sql(),
+    "stream_live_index_append": _stream_live_index_append_sql(),
     "stream_sliding_15m": STREAM_SLIDING_SQL,
     "stream_session_30m": STREAM_SESSION_SQL,
     "stream_dedup_summary": STREAM_DEDUP_SQL,

@@ -421,3 +421,25 @@ def test_ingest_neardup_matches_oracle_and_batch_replay(spark, sf_dir):
             expect[r["doc_id"]] = (k, 0 if r["doc_id"] in dup_ids else 1)
         surv = kept if surv is None else surv.unionByName(kept)
     assert got == expect
+
+
+def test_stream_index_append_equals_batch_append(spark, sf_dir):
+    """r12: the streaming index-append's union over micro-batches must
+    equal the one-shot batch append row-for-row (per-row map-side
+    assignment is order-independent) — the batch/stream parity pin
+    that justifies the shared oracle, plus a multi-batch execution
+    check (every arrival file produced at least one delta row, so the
+    stream really ran more than one micro-batch)."""
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        sim_index_append,
+    )
+    from data_engineering_zoomcamp_projects_spark.streaming.jobs import (
+        IDX_APPEND_N_BATCHES,
+        stream_live_index_append,
+    )
+
+    streamed = stream_live_index_append(spark, sf_dir).collect()
+    batch = sim_index_append(spark, sf_dir).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    groups = {int(r["vec_id"] // 10) % IDX_APPEND_N_BATCHES for r in streamed}
+    assert groups == set(range(IDX_APPEND_N_BATCHES))
