@@ -79,6 +79,34 @@ def widen_if_narrow(
     return df
 
 
+def model_cache_path(
+    sf_dir: str, kind: str, src_table: str, params: str, ext: str = ""
+) -> tuple[str, str]:
+    """(cache path, data fingerprint) for persisting DETERMINISTIC
+    trained model state per corpus dir — shared by the k-means centroid
+    JSON and the ANN index directory (r12 review: the two private
+    copies had already drifted). The fingerprint is the source
+    parquet's (size, mtime_ns) plus the caller's hyperparameter/version
+    string, so a regenerated corpus or a training-code version bump
+    rebuilds, while an unchanged fingerprint means the persisted state
+    IS what retraining would produce (callers persist only
+    bit-deterministic derivations). Lives under the repo's gitignored
+    .localdata/model_cache, never under sf_dir (testdata is
+    read-only). Only collect()ed model state belongs here — in-plan
+    state (logreg weights) must never be cached to disk."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, f"{src_table}.parquet"))
+    fp = f"{st.st_size}:{st.st_mtime_ns}:{params}"
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return (
+        os.path.join(root, ".localdata", "model_cache", f"{kind}_{tag}{ext}"),
+        fp,
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; Catalyst handles column pruning and
     predicate pushdown into this parquet read.

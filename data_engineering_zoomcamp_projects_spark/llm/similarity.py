@@ -780,6 +780,38 @@ def _pq_codes_arrow(
     return df.select(*keep_cols, vec_col).mapInPandas(batches, schema=out_schema)
 
 
+def _coded_frame(
+    cb: DataFrame, pq_py, frame: DataFrame, keep_cols: list[str]
+) -> DataFrame:
+    """The corpus-side index derivation shared by sim_topk_ivfpq,
+    build_ann_index, sim_index_append, and the streaming append (r12
+    review: it was copy-pasted four times): nearest-cell assignment
+    over the broadcast two-level codebook, null cells coalesced to the
+    -1 sentinel (see sim_topk_ivf for why not a nullable key), Arrow
+    PQ code packing, then rows whose cell is -1 DROPPED. A -1 cell
+    means the vector's nearest super-centroid owns zero centroids
+    (possible on unnormalized corpora) — such a vector can never be
+    probed (queries probe owned cells only) and the SQL oracle's
+    inner-join chain omits it, so keeping it in a certified index
+    table would hash-diverge from the oracle exactly on those corpora
+    (r12 review finding); dropping it map-side AFTER the Arrow stage
+    costs one cheap predicate and cannot re-inline the assignment
+    expressions (the mapInPandas boundary materializes `cell`)."""
+    coded = _pq_codes_arrow(
+        _nearest_cells(cb, frame, "v", "cell", 1).withColumn(
+            "cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long"))
+        ),
+        "v",
+        pq_py,
+        keep_cols,
+        ", ".join(
+            ("vnorm double" if c == "vnorm" else f"{c} long") for c in keep_cols
+        )
+        + ", pq_code long",
+    )
+    return coded.filter(F.col("cell") != -1)
+
+
 def _pq_lut(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
     """Asymmetric-distance lookup table per QUERY row:
     lut[s][p] = dot_dec(query subspace s, centroid p of subspace s) —
@@ -851,15 +883,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is dropped before the candidate join (the point of PQ). Arrow
     # code assignment (see _pq_codes_arrow for the 8x A/B vs the HOF
     # twin, which pytest pins output-equal)
-    corpus_coded = _pq_codes_arrow(
-        _nearest_cells(cb, corpus, "v", "cell", 1).withColumn(
-            "cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long"))
-        ),
-        "v",
-        pq_py,
-        ["vec_id", "cell", "vnorm"],
-        "vec_id long, cell long, vnorm double, pq_code long",
-    )
+    corpus_coded = _coded_frame(cb, pq_py, corpus, ["vec_id", "cell", "vnorm"])
     return _ivfpq_serve(spark, sf_dir, corpus_coded)
 
 
@@ -1034,28 +1058,24 @@ ORACLES["sim_topk_ivfpq"] = _sim_ivfpq_sql()
 # up to ~10^5 cells.
 
 #: bump to invalidate every persisted index when the layout changes
-ANN_INDEX_VERSION = 1
+#: (v2: unowned-cell rows dropped from the table, r12 review)
+ANN_INDEX_VERSION = 2
 
 
 def _ann_index_path(sf_dir: str) -> tuple[str, str]:
-    """(index directory, data fingerprint) — same discipline as
-    ml._kmeans_cache_path: the fingerprint is the embeddings parquet's
-    (size, mtime_ns) plus every index hyperparameter, so a regenerated
-    corpus or a geometry change rebuilds; an unchanged fingerprint
-    means the persisted index IS what rebuilding would produce
-    (assignment and codes are bit-deterministic). Lives under the
-    repo's gitignored .localdata, never under sf_dir."""
-    import hashlib
-    import os
+    """(index directory, data fingerprint) — catalog.model_cache_path
+    with the index geometry + layout version in the fingerprint, so a
+    regenerated corpus or a geometry change rebuilds; an unchanged
+    fingerprint means the persisted index IS what rebuilding would
+    produce (assignment and codes are bit-deterministic)."""
+    from ..catalog import model_cache_path
 
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    fp = (
-        f"{st.st_size}:{st.st_mtime_ns}:{PQ_M}:{PQ_K}:{PQ_DSUB}:"
-        f"v{ANN_INDEX_VERSION}"
+    return model_cache_path(
+        sf_dir,
+        "ann_ivfpq",
+        "embeddings",
+        f"{PQ_M}:{PQ_K}:{PQ_DSUB}:v{ANN_INDEX_VERSION}",
     )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    return os.path.join(root, ".localdata", "model_cache", f"ann_ivfpq_{tag}"), fp
 
 
 def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1073,7 +1093,11 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     meta_path = os.path.join(path, "_ann_meta.json")
     try:
         with open(meta_path) as fh:
-            if json.load(fh).get("fp") == fp:
+            # a surviving meta over a deleted/partial data/ dir must
+            # rebuild, not serve a path that can't be read (r12 review)
+            if json.load(fh).get("fp") == fp and os.path.isdir(
+                os.path.join(path, "data")
+            ):
                 return path
     except (OSError, ValueError):
         pass
@@ -1081,15 +1105,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     cb = _ivf_codebook(spark, sf_dir, corpus)
     _, pq_py = _pq_codebook(spark, sf_dir, corpus)
-    corpus_coded = _pq_codes_arrow(
-        _nearest_cells(cb, corpus, "v", "cell", 1).withColumn(
-            "cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long"))
-        ),
-        "v",
-        pq_py,
-        ["vec_id", "cell", "vnorm"],
-        "vec_id long, cell long, vnorm double, pq_code long",
-    )
+    corpus_coded = _coded_frame(cb, pq_py, corpus, ["vec_id", "cell", "vnorm"])
     (
         corpus_coded.repartition(F.col("cell"))
         .write.mode("overwrite")
@@ -1210,16 +1226,9 @@ def sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collide with the full-corpus ones in the single-entry memos
     cb = _ivf_codebook(spark, f"{sf_dir}::hist", hist)
     _, pq_py = _pq_codebook(spark, f"{sf_dir}::hist", hist)
-    coded = _pq_codes_arrow(
-        _nearest_cells(cb, batch, "v", "cell", 1).withColumn(
-            "cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long"))
-        ),
-        "v",
-        pq_py,
-        ["vec_id", "cell"],
-        "vec_id long, cell long, pq_code long",
+    return _coded_frame(cb, pq_py, batch, ["vec_id", "cell"]).select(
+        "vec_id", "cell", "pq_code"
     )
-    return coded.select("vec_id", "cell", "pq_code")
 
 
 def _sim_index_append_sql() -> str:
@@ -1478,7 +1487,14 @@ def _semantic_top_list(corpus: DataFrame) -> DataFrame:
     80-row post-TakeOrdered head (metadata grain), two windows attach
     the boundary scores to every row and `assert_true` raises mid-job
     when a full candidate list is near-tied at the cut. Lives inside
-    the same 80-row stage — no second corpus scan."""
+    the same 80-row stage — no second corpus scan.
+
+    Known-conservative corner: a corpus with EXACTLY LIST_N + 20
+    non-query rows is fully enumerated (nothing cut, re-rank complete)
+    yet indistinguishable post-LIMIT from a larger corpus, so a
+    near-tied one raises spuriously — a loud false positive on a safe
+    input, never a silent wrong list; distinguishing it would cost a
+    corpus-count aggregate the guard deliberately avoids."""
     from ..functions.vector import dot_double
 
     qv = F.broadcast(

@@ -333,25 +333,29 @@ def kmeans_assign_frame(
     )
 
 
+#: bump when the Lloyd training loop's BEHAVIOR changes without any
+#: hyperparameter moving (quantization, tie-breaks, seeding) — without
+#: it a warm cache would silently serve the old model (r12 review)
+KMEANS_CACHE_VERSION = 1
+
+
 def _kmeans_cache_path(sf_dir: str) -> tuple[str, str]:
     """(cache file path, data fingerprint) for persisting the trained
-    Lloyd model across sessions. The fingerprint is the embeddings
-    parquet's (size, mtime_ns) plus every training hyperparameter —
-    training is bit-deterministic, so an unchanged fingerprint means
-    the persisted centroids ARE what retraining would produce; a
-    regenerated corpus misses and retrains. The cache dir sits under
-    the repo's gitignored .localdata (never under sf_dir — testdata is
-    read-only)."""
-    import hashlib
-    import os
+    Lloyd model across sessions — catalog.model_cache_path with every
+    training hyperparameter plus the training-code version in the
+    fingerprint. Training is bit-deterministic, so an unchanged
+    fingerprint means the persisted centroids ARE what retraining
+    would produce; a regenerated corpus (or a version bump) misses and
+    retrains."""
+    from .catalog import model_cache_path
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    fp = f"{st.st_size}:{st.st_mtime_ns}:{KMEANS_K}:{KMEANS_ITERS}:{KMEANS_SCALE}"
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                             ".localdata", "model_cache")
-    return os.path.join(cache_dir, f"kmeans_{tag}.json"), fp
+    return model_cache_path(
+        sf_dir,
+        "kmeans",
+        "embeddings",
+        f"{KMEANS_K}:{KMEANS_ITERS}:{KMEANS_SCALE}:v{KMEANS_CACHE_VERSION}",
+        ext=".json",
+    )
 
 
 def kmeans_trained_centroids(spark: SparkSession, sf_dir: str) -> list:
@@ -381,7 +385,9 @@ def kmeans_trained_centroids(spark: SparkSession, sf_dir: str) -> list:
             cents = [(int(c), [int(x) for x in v]) for c, v in payload["cents"]]
             _KMEANS_MEMO[memo_key] = cents
             return cents
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError: structurally corrupt payload under a matching fp
+        # (e.g. "cents": 42) must also degrade to retraining
         pass
     # the training loop re-reads the quantized frame once per round —
     # a lazy localCheckpoint materializes it once (stats-blindness is

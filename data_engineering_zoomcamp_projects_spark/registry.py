@@ -111,10 +111,11 @@ _FRONT = [
     "window_moving_average",
     "window_rank_functions",
     "window_running_sum",
-    # (d) filler: the alphabetically-first r8-era rows (20 slots).
-    #     Displaced to r13: the remaining r8 rows from fn_json_suite
-    #     alphabetically onward (fn_json/fn_math/fn_string suites,
-    #     graph family, ml_customer_scores, pipeline_corpus_curation,
+    # (d) filler: the alphabetically-first r8-era rows (18 slots after
+    #     the four index-family entries took theirs). Displaced to r13:
+    #     the remaining r8 rows from fn_json_suite alphabetically
+    #     onward (fn_json/fn_math/fn_string suites, graph_triangle
+    #     _count, ml_customer_scores, pipeline_corpus_curation,
     #     prep_decontaminate, prep_quantize_int8, quality_join_skew
     #     _audit, setop_except/intersect_all/union_*, stream_* batch
     #     rows, text_bpe_*) — all keep cumulative green rows and the

@@ -644,7 +644,9 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
 IDX_APPEND_N_BATCHES = 3
 
 
-def stream_live_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_live_index_append(
+    spark: SparkSession, sf_dir: str, _epoch_log: list | None = None
+) -> DataFrame:
     """TRUE `readStream` continuous ANN-index maintenance — the
     streaming run of `llm.similarity.sim_index_append`: arriving
     vectors (the vec_id % 10 = 7 slice, split into three arrival files
@@ -664,7 +666,12 @@ def stream_live_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-partitioned index table, `.partitionBy("cell")` on the same
     frame). This is the streaming half of the index family's
     build-once/append-forever lifecycle. Reference parity: none —
-    driver-contract C-streaming depth row."""
+    driver-contract C-streaming depth row.
+
+    `_epoch_log` is a test-only hook: a list that collects each
+    foreachBatch epoch id, so pytest can pin that maxFilesPerTrigger=1
+    really produced one micro-batch per arrival file (the row union
+    alone cannot distinguish one batch from three — r12 review)."""
     import atexit
     import glob as globmod
     import os
@@ -673,10 +680,9 @@ def stream_live_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from ..llm.similarity import (
+        _coded_frame,
         _ivf_codebook,
-        _nearest_cells,
         _pq_codebook,
-        _pq_codes_arrow,
         _queries_and_corpus,
     )
 
@@ -704,18 +710,11 @@ def stream_live_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_dir = os.path.join(root, "delta")
 
     def _append_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        coded = _pq_codes_arrow(
-            _nearest_cells(cb, batch_df, "v", "cell", 1).withColumn(
-                "cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long"))
-            ),
-            "v",
-            pq_py,
-            ["vec_id", "cell"],
-            "vec_id long, cell long, pq_code long",
-        )
-        coded.select("vec_id", "cell", "pq_code").write.mode("append").parquet(
-            delta_dir
-        )
+        _coded_frame(cb, pq_py, batch_df, ["vec_id", "cell"]).select(
+            "vec_id", "cell", "pq_code"
+        ).write.mode("append").parquet(delta_dir)
+        if _epoch_log is not None:
+            _epoch_log.append(int(epoch_id))
 
     stream = (
         spark.readStream.schema(arriving.schema)

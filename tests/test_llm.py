@@ -1554,3 +1554,49 @@ def test_hybrid_rrf_runtime_guard_fires_on_near_tie_corpus(spark):
     assert len(ok) == RRF_LIST_N
     # separated corpus: closest vectors (smallest i) rank first
     assert [r["vec_id"] for r in ok[:3]] == [1, 2, 3]
+
+
+def test_index_build_drops_unowned_cell_rows_like_oracle(spark, tmp_path):
+    """r12 review: a vector whose nearest super-centroid owns zero
+    centroids gets a null cell on the Spark side while the oracle's
+    inner-join chain drops it — the certified index entries must agree
+    (rows with the -1 sentinel are filtered out of the table).
+    Constructed corpus: supers are ids 0 and 6 with v6 = 3*v0, so every
+    centroid prefers super 6 and super 0 owns nothing; vec 1 points the
+    other way (negative first dim) and lands on the empty super."""
+    import shutil
+
+    import duckdb
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _sim_index_build_sql,
+        build_ann_index,
+        sim_index_build,
+    )
+
+    from .oracle import compare
+
+    first = {0: 1.0, 3: 2.0, 6: 3.0, 1: -1.0}
+    rows = [
+        (i, [first.get(i, 1.0 + i * 0.1)] + [0.0] * 63, i % 3) for i in range(9)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    try:
+        built = sim_index_build(spark, str(tmp_path))
+        got = {int(r["vec_id"]) for r in built.collect()}
+        assert 1 not in got, "unowned-cell row leaked into the index"
+        assert got == {0, 2, 3, 4, 5, 6, 7, 8}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+        )
+        problems = compare(
+            built, con.execute(_sim_index_build_sql()).fetchdf(), "idx-unowned"
+        )
+        con.close()
+        assert not problems, "\n".join(problems)
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)

@@ -438,8 +438,10 @@ def test_stream_index_append_equals_batch_append(spark, sf_dir):
         stream_live_index_append,
     )
 
-    streamed = stream_live_index_append(spark, sf_dir).collect()
+    epochs: list = []
+    streamed = stream_live_index_append(spark, sf_dir, _epoch_log=epochs).collect()
     batch = sim_index_append(spark, sf_dir).collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
-    groups = {int(r["vec_id"] // 10) % IDX_APPEND_N_BATCHES for r in streamed}
-    assert groups == set(range(IDX_APPEND_N_BATCHES))
+    # one foreachBatch call per arrival file — the row union alone
+    # cannot distinguish one micro-batch from three (r12 review)
+    assert len(epochs) == IDX_APPEND_N_BATCHES, epochs
