@@ -1120,6 +1120,52 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def compact_ann_index(spark: SparkSession, path: str) -> int:
+    """Partition-preserving compaction of a persisted index table —
+    the OPTIMIZE pass a long-running append stream needs: every
+    `stream_live_index_append` micro-batch adds >=1 file per touched
+    cell, and after enough batches listing + task scheduling dominate
+    the serve scan. Rewrites `path`/data with ONE file per cell
+    (repartition on cell before the partitionBy write, exactly the
+    build layout) and returns the data-file count after.
+
+    Unlike `ingest.sinks.compact_parquet` (which this mirrors), the
+    rewrite must KEEP the hive partitioning — a flat rewrite would
+    demote `cell` to a data column and silently break the serve plan's
+    dynamic partition pruning. Same crash discipline: stage to a
+    sibling temp dir, rename-aside swap, so a crash leaves a readable
+    table at the published path or its __old sibling, never neither.
+    Local filesystem only (the deploy equivalent is Iceberg
+    rewrite_data_files under a table lock, jar-gated in
+    lakehouse.py)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            "compact_ann_index swaps directories with local fs calls; "
+            f"got non-local URI {path!r}"
+        )
+    local = path[len("file://"):] if path.startswith("file://") else path
+    data = os.path.join(local.rstrip("/"), "data")
+    src = spark.read.parquet(data)
+    tmp = data + "__compact_tmp"
+    old = data + "__old"
+    (
+        src.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a prior crashed swap
+    os.rename(data, old)
+    os.rename(tmp, data)
+    shutil.rmtree(old)
+    return len(globmod.glob(os.path.join(data, "cell=*", "*.parquet")))
+
+
 def _read_ann_index(spark: SparkSession, path: str) -> DataFrame:
     """The persisted index as sim_topk_ivfpq's corpus_coded shape.
     `cell` comes back as a partition column (directory-encoded int) —

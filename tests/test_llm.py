@@ -1600,3 +1600,57 @@ def test_index_build_drops_unowned_cell_rows_like_oracle(spark, tmp_path):
         assert not problems, "\n".join(problems)
     finally:
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_compact_ann_index_preserves_content_and_partitioning(spark, tmp_path):
+    """r12: index compaction must shrink the per-cell file count to 1,
+    preserve every (vec_id, cell, vnorm, pq_code) row exactly, KEEP the
+    hive cell= layout (a flat rewrite would break the serve plan's
+    dynamic partition pruning), and leave the fingerprint sidecar
+    untouched so the next build_ann_index still reuses the table."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _read_ann_index,
+        build_ann_index,
+        compact_ann_index,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 10) for j in range(64)], i % 3)
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        data = os.path.join(path, "data")
+        # simulate a stream of appends: re-append the table to itself in
+        # 4-way splits twice -> several files per cell (then dedupe the
+        # content expectation by reading BEFORE compaction)
+        idx = _read_ann_index(spark, path)
+        for _ in range(2):
+            (
+                spark.read.parquet(data).repartition(4)
+                .write.mode("append").partitionBy("cell").parquet(data)
+            )
+        before_rows = sorted(map(tuple, spark.read.parquet(data).collect()))
+        before_files = len(glob.glob(os.path.join(data, "cell=*", "*.parquet")))
+        with open(os.path.join(path, "_ann_meta.json")) as fh:
+            meta_before = json.load(fh)
+        n_after = compact_ann_index(spark, path)
+        assert n_after < before_files
+        after_rows = sorted(map(tuple, spark.read.parquet(data).collect()))
+        assert after_rows == before_rows
+        cells = [d for d in os.listdir(data) if d.startswith("cell=")]
+        assert cells, "compaction lost the hive partitioning"
+        for c in cells:
+            assert len(glob.glob(os.path.join(data, c, "*.parquet"))) == 1
+        with open(os.path.join(path, "_ann_meta.json")) as fh:
+            assert json.load(fh) == meta_before
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
