@@ -455,28 +455,33 @@ RESIZE_SCHEMA = (
 
 
 def _resize_payload_frame(
-    spark: SparkSession, sf_dir: str, widen: bool = False
+    spark: SparkSession, sf_dir: str, widen_min_bytes: int | None = None
 ) -> DataFrame:
     """(doc_id, payload) with the synthesized 256-byte raster: 16
     chained md5 blocks — the documents table ships no real rasters;
     same convention as the other multimodal payloads. A real corpus
     reads this column straight from parquet `binary`.
 
-    widen=True repartitions the NARROW doc_id frame to the session's
-    default parallelism BEFORE synthesizing the payload: the documents
-    parquet at bench scale opens as ~2 splits, so everything downstream
-    of the scan — the 16-md5 chain AND any per-row Python codec —
-    otherwise runs 2-wide on a 32-core session. The exchange carries
-    the chain inputs (doc_id + text, ~300 B/row — the 16-md5 chain
-    itself runs post-shuffle at full width); the codec-bearing
-    decode_resize query measured 6.3 -> 1.5 s at sf1. A real binary
-    corpus has maxPartitionBytes-sized splits and skips this."""
+    widen_min_bytes (non-None) repartitions the NARROW doc_id frame to
+    the session's default parallelism BEFORE synthesizing the payload:
+    the documents parquet at bench scale opens as ~2 splits, so
+    everything downstream of the scan — the 16-md5 chain AND any
+    per-row Python codec — otherwise runs 2-wide on a 32-core session.
+    The exchange carries the chain inputs (doc_id + text, ~300 B/row —
+    the 16-md5 chain itself runs post-shuffle at full width). The
+    value is the widen_if_narrow cost statement: the codec-bearing
+    decode_resize passes 0 (per-row Python PNG work dwarfs the
+    exchange at every SF — measured 6.3 -> 1.5 s at sf1); the
+    JVM-only resize passes the default threshold so the ~0.25 MB
+    pruned sf0.1 frame skips the exchange (it measurably lost there,
+    the pipeline_ccnet precedent) while the ~2.5 MB sf1 frame still
+    widens (2.55 -> ~1.1 s warm). A real binary corpus has
+    maxPartitionBytes-sized splits and skips this either way."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    if widen:
+    if widen_min_bytes is not None:
         from ..catalog import widen_if_narrow
 
-        # min_bytes=0: the consumer runs a per-row Python PNG codec
-        d = widen_if_narrow(spark, d, min_bytes=0)
+        d = widen_if_narrow(spark, d, min_bytes=widen_min_bytes)
     return d.select(
         "doc_id", F.unhex(chained_md5_hex(IMG_W * IMG_W // 16)).alias("payload")
     )
@@ -504,11 +509,15 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity: none (no multimodal surface in the reference) —
     driver-contract Part C.
 
-    widen=True (r12): the last unwidened member of the r11 scan-width
+    Widened (r12): the last unwidened member of the r11 scan-width
     finding — the 16-md5 synthesis chain plus the Arrow resize ran
-    2-wide on the single-row-group bench parquet. Same compensation as
-    its decode_resize sibling; no-op on split-able corpora."""
-    return image_resize_arrow_on(_resize_payload_frame(spark, sf_dir, widen=True))
+    2-wide on the single-row-group bench parquet. Unlike the
+    Python-codec decode_resize sibling (min_bytes=0), this JVM-only
+    chain keeps the default MB gate: the exchange lost at sf0.1 and
+    wins at sf1 (2.55 -> ~1.1 s warm) — see _resize_payload_frame. No-op on split-able corpora."""
+    return image_resize_arrow_on(
+        _resize_payload_frame(spark, sf_dir, widen_min_bytes=2 * 1024 * 1024)
+    )
 
 
 def image_resize_arrow_on(img: DataFrame) -> DataFrame:
@@ -613,7 +622,7 @@ def multimodal_image_decode_resize(spark: SparkSession, sf_dir: str) -> DataFram
                 }
             )
 
-    return _resize_payload_frame(spark, sf_dir, widen=True).mapInPandas(
+    return _resize_payload_frame(spark, sf_dir, widen_min_bytes=0).mapInPandas(
         decode_resize, schema=RESIZE_SCHEMA
     )
 
