@@ -875,7 +875,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates codebook, codes, LUT terms, and the PQ cut exactly, so
     the entry is fully hash-checked rather than rows-only.
     Reference parity: none — driver-contract Part C ANN family."""
-    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    _, corpus = _queries_and_corpus(spark, sf_dir)
     cb = _ivf_codebook(spark, sf_dir, corpus)
     _, pq_py = _pq_codebook(spark, sf_dir, corpus)
 
@@ -1102,7 +1102,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     except (OSError, ValueError):
         pass
 
-    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    _, corpus = _queries_and_corpus(spark, sf_dir)
     cb = _ivf_codebook(spark, sf_dir, corpus)
     _, pq_py = _pq_codebook(spark, sf_dir, corpus)
     corpus_coded = _coded_frame(cb, pq_py, corpus, ["vec_id", "cell", "vnorm"])
@@ -1112,7 +1112,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("cell")
         .parquet(os.path.join(path, "data"))
     )
-    os.makedirs(path, exist_ok=True)
+    # the parquet write just created path/data, so path exists
     tmp = f"{meta_path}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump({"fp": fp, "version": ANN_INDEX_VERSION}, fh)
@@ -1211,20 +1211,27 @@ def sim_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sim_index_build_sql() -> str:
-    """Oracle for sim_index_build: the shared index CTEs plus the PQ
-    code chain, packed base-PQ_K exactly like the Spark side
-    (POWER(PQ_K, PQ_M-1-s) is exact in a double up to 16^7)."""
+def _index_table_sql(
+    src: str = "embeddings", assign_src: str = "embeddings"
+) -> str:
+    """The (vec_id, cell, pq_code) index-table oracle: the shared index
+    CTEs plus the PQ code chain, packed base-PQ_K exactly like the
+    Spark side (POWER(PQ_K, PQ_M-1-s) is exact in a double up to 16^7).
+    `src` trains both codebooks, `assign_src` is the relation whose
+    rows get indexed — defaults render sim_index_build's full-corpus
+    oracle; the frozen-model append passes the historical/arriving
+    slices (the whole build/append oracle pair is this one function,
+    r12 simplify pass)."""
     from ..functions.vector import sql_dist_double
 
     sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
     sub_c = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
     return f"""
-WITH {_ivf_index_ctes()},
+WITH {_ivf_index_ctes(src=src, assign_src=assign_src)},
 pqc AS (
   SELECT rp - 1 AS p, cv FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rp, embedding AS cv
-    FROM embeddings
+    FROM {src}
   ) WHERE rp <= {PQ_K}
 ),
 subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
@@ -1278,46 +1285,17 @@ def sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sim_index_append_sql() -> str:
-    """Oracle for sim_index_append: the index CTE chain with the
-    codebook base restricted to the historical slice and assignment
-    over the arriving batch, then the same argmin-code/base-PQ_K
-    packing as sim_index_build's oracle — with pqc likewise drawn from
-    the historical slice (the frozen PQ model)."""
-    from ..functions.vector import sql_dist_double
-
-    hist = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)"
-    batch = "(SELECT * FROM embeddings WHERE vec_id % 10 = 7)"
-    sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
-    sub_c = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
-    return f"""
-WITH {_ivf_index_ctes(src=hist, assign_src=batch)},
-pqc AS (
-  SELECT rp - 1 AS p, cv FROM (
-    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rp, embedding AS cv
-    FROM {hist}
-  ) WHERE rp <= {PQ_K}
-),
-subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
-codes AS (
-  SELECT vec_id, s, p AS code FROM (
-    SELECT e.vec_id, g.s, p.p,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id, g.s
-             ORDER BY {sql_dist_double(sub_e, sub_c, PQ_DSUB)} ASC, p.p ASC
-           ) AS rk
-    FROM corpus_cells e, subsp g, pqc p
-  ) WHERE rk = 1
-)
-SELECT e.vec_id, e.cell,
-       SUM(k.code * CAST(POWER({PQ_K}, {PQ_M - 1} - k.s) AS BIGINT))::BIGINT
-         AS pq_code
-FROM corpus_cells e JOIN codes k ON k.vec_id = e.vec_id
-GROUP BY e.vec_id, e.cell
-"""
+    """Oracle for sim_index_append: the shared index-table oracle with
+    the codebook base restricted to the historical slice (the frozen
+    model, pqc included) and assignment over the arriving batch."""
+    return _index_table_sql(
+        src="(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)",
+        assign_src="(SELECT * FROM embeddings WHERE vec_id % 10 = 7)",
+    )
 
 
 QUERIES["sim_index_build"] = sim_index_build
-ORACLES["sim_index_build"] = _sim_index_build_sql()
+ORACLES["sim_index_build"] = _index_table_sql()
 QUERIES["sim_index_query"] = sim_index_query
 ORACLES["sim_index_query"] = _sim_ivfpq_sql()
 QUERIES["sim_index_append"] = sim_index_append

@@ -1569,7 +1569,7 @@ def test_index_build_drops_unowned_cell_rows_like_oracle(spark, tmp_path):
     import duckdb
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
-        _sim_index_build_sql,
+        _index_table_sql,
         build_ann_index,
         sim_index_build,
     )
@@ -1594,7 +1594,7 @@ def test_index_build_drops_unowned_cell_rows_like_oracle(spark, tmp_path):
             f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
         )
         problems = compare(
-            built, con.execute(_sim_index_build_sql()).fetchdf(), "idx-unowned"
+            built, con.execute(_index_table_sql()).fetchdf(), "idx-unowned"
         )
         con.close()
         assert not problems, "\n".join(problems)
