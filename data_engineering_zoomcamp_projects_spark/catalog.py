@@ -93,12 +93,33 @@ def model_cache_path(
     bit-deterministic derivations). Lives under the repo's gitignored
     .localdata/model_cache, never under sf_dir (testdata is
     read-only). Only collect()ed model state belongs here — in-plan
-    state (logreg weights) must never be cached to disk."""
+    state (logreg weights) must never be cached to disk.
+
+    Spark-written corpora are DIRECTORIES, and a directory's own stat
+    is useless as a content fingerprint (st_size is fs metadata; mtime
+    moves only when entries are added/removed, so an in-place rewrite
+    of a part file under the same name would serve stale model state —
+    r12 ADVICE). For directories the fingerprint folds the sorted
+    (relative name, size, mtime_ns) of every contained data file
+    instead."""
     import hashlib
     import os
 
-    st = os.stat(os.path.join(sf_dir, f"{src_table}.parquet"))
-    fp = f"{st.st_size}:{st.st_mtime_ns}:{params}"
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    if os.path.isdir(src):
+        entries = []
+        for root_dir, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue  # checksums/_SUCCESS markers, not data
+                st = os.stat(os.path.join(root_dir, f))
+                rel = os.path.relpath(os.path.join(root_dir, f), src)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+        digest = hashlib.md5(";".join(sorted(entries)).encode()).hexdigest()
+        fp = f"dir:{digest}:{params}"
+    else:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{st.st_mtime_ns}:{params}"
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return (

@@ -431,7 +431,8 @@ def _py_dot(a, b) -> float:
     return acc
 
 
-#: single-entry memo: (application id, sf_dir) -> codebook frame.
+#: single-entry memo: (application id, sf_dir) -> (codebook frame,
+#: plain cells structure).
 #: The codebook is MODEL STATE, not data — O(k x d) floats
 #: trained/derived once — so both the driver-side collect and the
 #: per-session memo are the correct pattern (the same role as a
@@ -440,7 +441,19 @@ def _py_dot(a, b) -> float:
 #: replaced wholesale on miss, so cycling SparkSessions in a long-lived
 #: process never accumulates frames bound to stopped sessions (last
 #: app+dir only, stale on switch).
-_CODEBOOK_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CODEBOOK_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _cells_frame(spark, cells) -> DataFrame:
+    """The two-level codebook's plain-python cells structure as the
+    one-row broadcast frame every assignment plan cross-joins — shared
+    by the corpus-derived path (`_ivf_model`) and the sidecar-loaded
+    path (`_sidecar_model`), so both ride the identical schema."""
+    return spark.createDataFrame(
+        [([tuple(c) for c in cells],)],
+        "cells array<struct<sc_id:bigint,scv:array<double>,"
+        "mids:array<bigint>,mvecs:array<array<double>>>>",
+    )
 
 
 def _ivf_codebook(spark, sf_dir, corpus):
@@ -464,6 +477,15 @@ def _ivf_codebook(spark, sf_dir, corpus):
     as literal arrays: the literal form re-pays ~1.5s of plan analysis
     on EVERY invocation (measured), while the broadcast keeps the plan
     tree model-size-independent."""
+    return _ivf_model(spark, sf_dir, corpus)[0]
+
+
+def _ivf_model(spark, sf_dir, corpus):
+    """(broadcast cells frame, plain-python cells) — memoized together
+    so `build_ann_index` can persist the SAME trained structure into
+    the index sidecar that the in-session plans broadcast (r12 verdict
+    item 2: the serve half must not need the training corpus to
+    reconstruct the model)."""
     import math
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -496,14 +518,10 @@ def _ivf_codebook(spark, sf_dir, corpus):
         (sid, scv, [c for c, _ in members[sid]], [v for _, v in members[sid]])
         for sid, scv in supers
     ]
-    cb = spark.createDataFrame(
-        [(cells,)],
-        "cells array<struct<sc_id:bigint,scv:array<double>,"
-        "mids:array<bigint>,mvecs:array<array<double>>>>",
-    )
+    model = (_cells_frame(spark, cells), cells)
     _CODEBOOK_MEMO.clear()  # single-entry memo: evict any prior app/dir
-    _CODEBOOK_MEMO[key] = cb
-    return cb
+    _CODEBOOK_MEMO[key] = model
+    return model
 
 
 def _nearest_cells(cb, df, vec_col, out_col, n_probe):
@@ -670,6 +688,13 @@ assert PQ_K**PQ_M < 2**63, "packed PQ code overflows BIGINT; widen the packing"
 _PQ_MEMO: dict[tuple[str, str], tuple] = {}
 
 
+def _pq_frame(spark, pq) -> DataFrame:
+    """The PQ codebook's plain nested list as the one-row broadcast
+    frame LUT plans cross-join — shared by the corpus-derived and
+    sidecar-loaded model paths (same role as `_cells_frame`)."""
+    return spark.createDataFrame([(pq,)], "pq array<array<array<double>>>")
+
+
 def _pq_codebook(spark, sf_dir, corpus):
     """Per-subspace PQ codebook: `pq[s][p] = the p-th centroid's 8-dim
     slice of subspace s`, returned as (one-row broadcast frame, plain
@@ -697,7 +722,7 @@ def _pq_codebook(spark, sf_dir, corpus):
         [cents[p][s * PQ_DSUB : (s + 1) * PQ_DSUB] for p in range(len(cents))]
         for s in range(PQ_M)
     ]
-    cb = (spark.createDataFrame([(pq,)], "pq array<array<array<double>>>"), pq)
+    cb = (_pq_frame(spark, pq), pq)
     _PQ_MEMO.clear()
     _PQ_MEMO[key] = cb
     return cb
@@ -777,7 +802,11 @@ def _pq_codes_arrow(
             out["pq_code"] = packed
             yield _pd.DataFrame(out)
 
-    return df.select(*keep_cols, vec_col).mapInPandas(batches, schema=out_schema)
+    # dedupe: when the caller keeps the raw vector itself (the
+    # self-contained index table), vec_col is already in keep_cols
+    return df.select(*dict.fromkeys([*keep_cols, vec_col])).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def _coded_frame(
@@ -805,11 +834,18 @@ def _coded_frame(
         pq_py,
         keep_cols,
         ", ".join(
-            ("vnorm double" if c == "vnorm" else f"{c} long") for c in keep_cols
+            f"{c} {_CODED_COL_TYPES.get(c, 'long')}" for c in keep_cols
         )
         + ", pq_code long",
     )
     return coded.filter(F.col("cell") != -1)
+
+
+#: output types of the columns `_coded_frame` can carry through the
+#: Arrow code stage; anything unlisted is a long key column. `v` rides
+#: along when the caller persists raw vectors next to the codes (the
+#: self-contained index table's re-rank payload, r13).
+_CODED_COL_TYPES = {"vnorm": "double", "v": "array<double>"}
 
 
 def _pq_lut(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
@@ -875,20 +911,27 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates codebook, codes, LUT terms, and the PQ cut exactly, so
     the entry is fully hash-checked rather than rows-only.
     Reference parity: none — driver-contract Part C ANN family."""
-    _, corpus = _queries_and_corpus(spark, sf_dir)
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
     cb = _ivf_codebook(spark, sf_dir, corpus)
-    _, pq_py = _pq_codebook(spark, sf_dir, corpus)
+    pqcb, pq_py = _pq_codebook(spark, sf_dir, corpus)
 
     # corpus side: cell + packed PQ code + vnorm — the vector itself
     # is dropped before the candidate join (the point of PQ). Arrow
     # code assignment (see _pq_codes_arrow for the 8x A/B vs the HOF
     # twin, which pytest pins output-equal)
     corpus_coded = _coded_frame(cb, pq_py, corpus, ["vec_id", "cell", "vnorm"])
-    return _ivfpq_serve(spark, sf_dir, corpus_coded)
+    return _ivfpq_serve(
+        spark, queries, corpus_coded, (cb, pqcb), corpus=corpus
+    )
 
 
 def _ivfpq_serve(
-    spark: SparkSession, sf_dir: str, corpus_coded: DataFrame
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus_coded: DataFrame,
+    model: tuple,
+    vectors: DataFrame | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF-PQ SERVE chain over any (vec_id, cell, vnorm, pq_code)
     corpus-index frame: per-query LUT + nprobe=2 cell assignment, the
@@ -896,12 +939,24 @@ def _ivfpq_serve(
     decimal re-rank. Factored out of sim_topk_ivfpq (r12) so
     sim_index_query can serve the same chain from the PERSISTED index
     — the two entries share this code AND the oracle, expression for
-    expression."""
-    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    expression.
+
+    ``model`` is the frozen (IVF cells frame, PQ codebook frame) pair
+    — derived from the corpus on the live path, loaded from the index
+    sidecar on the persisted path (r13: serving never re-trains).
+    Exactly one of ``vectors``/``corpus`` supplies the survivor
+    full-vector re-fetch: ``vectors`` is a (vec_id, cell, v, vnorm)
+    frame (the self-contained index table — survivors keep their cell
+    so the re-fetch scan is partition-pruned to the probed cells);
+    ``corpus`` is the live (vec_id, v, ...) relation, where vnorm is
+    recomputed post-join (evaluating the corpus's precomputed vnorm
+    column would run the 64-dim decimal norm for EVERY corpus row
+    below the join)."""
+    if (vectors is None) == (corpus is None):
+        raise ValueError("pass exactly one of vectors/corpus")
     from ..functions.vector import dot_dec
 
-    cb = _ivf_codebook(spark, sf_dir, corpus)
-    pqcb, _ = _pq_codebook(spark, sf_dir, corpus)
+    cb, pqcb = model
 
     # query side: LUT first, THEN the nprobe=2 cell explode — the
     # other order re-evaluates the PQ_M x PQ_K decimal dots once per
@@ -923,26 +978,35 @@ def _ivfpq_serve(
     w_pq = Window.partitionBy("query_id").orderBy(
         F.col("cos_pq").desc(), F.col("vec_id").asc()
     )
+    # survivors keep their cell on the persisted path so the re-fetch
+    # scan of the index table is dynamic-partition-pruned to the probed
+    # cells, exactly like the candidate scan (+8 B/row on a ~(K+20) x
+    # queries exchange — bounded by the query count, not the corpus)
+    surv_cols = ["query_id", "vec_id"] + ([] if vectors is None else ["cell"])
     survivors = (
-        cand.select("query_id", "vec_id", "cos_pq")  # narrow the exchange
+        cand.select(*surv_cols, "cos_pq")  # narrow the exchange
         .withColumn("rk_pq", F.row_number().over(w_pq))
         .filter(F.col("rk_pq") <= TOP_K + 20)
-        .select("query_id", "vec_id")
+        .select(*surv_cols)
     )
     # survivors are ~(K+20) x queries rows: broadcast them onto the
-    # corpus scan to re-fetch full vectors, then attach the query
-    # vectors (both joins map-side). vnorm is computed AFTER the join —
-    # selecting corpus's precomputed vnorm column would evaluate the
-    # 64-dim decimal norm for EVERY corpus row below the join (the
-    # projection can't sink past it); post-join it runs on ~(K+20) x
-    # queries rows only
-    from ..functions.vector import norm as _vnorm
+    # vector source to re-fetch full vectors, then attach the query
+    # vectors (both joins map-side). On the live path vnorm is computed
+    # AFTER the join — see the docstring; the index table already
+    # stores the identical build-time vnorm, so the persisted path
+    # reads it instead of recomputing.
+    if vectors is None:
+        from ..functions.vector import norm as _vnorm
 
-    refetched = (
-        corpus.select("vec_id", "v")
-        .join(F.broadcast(survivors), "vec_id")
-        .withColumn("vnorm", _vnorm(F.col("v")))
-    )
+        refetched = (
+            corpus.select("vec_id", "v")
+            .join(F.broadcast(survivors), "vec_id")
+            .withColumn("vnorm", _vnorm(F.col("v")))
+        )
+    else:
+        refetched = vectors.join(
+            F.broadcast(survivors), ["vec_id", "cell"]
+        ).drop("cell")
     exact = refetched.join(
         F.broadcast(queries), "query_id"
     ).withColumn(
@@ -1059,64 +1123,131 @@ ORACLES["sim_topk_ivfpq"] = _sim_ivfpq_sql()
 
 #: bump to invalidate every persisted index when the layout changes
 #: (v2: unowned-cell rows dropped from the table, r12 review)
-ANN_INDEX_VERSION = 2
+ANN_INDEX_VERSION = 3
 
 
-def _ann_index_path(sf_dir: str) -> tuple[str, str]:
+def _ann_index_path(sf_dir: str, variant: str = "full") -> tuple[str, str]:
     """(index directory, data fingerprint) — catalog.model_cache_path
     with the index geometry + layout version in the fingerprint, so a
     regenerated corpus or a geometry change rebuilds; an unchanged
     fingerprint means the persisted index IS what rebuilding would
-    produce (assignment and codes are bit-deterministic)."""
+    produce (assignment and codes are bit-deterministic). Each variant
+    (full / hist / frag, see build_ann_index) gets its own directory
+    AND its own fingerprint term."""
     from ..catalog import model_cache_path
 
     return model_cache_path(
         sf_dir,
-        "ann_ivfpq",
+        "ann_ivfpq" if variant == "full" else f"ann_ivfpq_{variant}",
         "embeddings",
-        f"{PQ_M}:{PQ_K}:{PQ_DSUB}:v{ANN_INDEX_VERSION}",
+        f"{PQ_M}:{PQ_K}:{PQ_DSUB}:{variant}:v{ANN_INDEX_VERSION}",
     )
 
 
-def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
+def build_ann_index(
+    spark: SparkSession, sf_dir: str, variant: str = "full"
+) -> str:
     """Build (or reuse) the persisted IVF-PQ index for sf_dir's
-    embeddings; returns the index directory. The data is exactly
-    sim_topk_ivfpq's corpus_coded frame, repartitioned BY CELL before
-    the partitionBy write so each cell lands as one file instead of
-    (cells x shuffle-partitions) fragments. A `_ann_meta.json`
-    fingerprint sidecar is written AFTER the parquet commit, so a
-    crashed build is invisible (stale meta -> rebuild)."""
+    embeddings; returns the index directory. The data is
+    sim_topk_ivfpq's corpus_coded frame PLUS the raw vector column
+    (the re-rank refinement payload — the DiskANN/IVFPQR layout: PQ
+    codes drive candidate generation, raw vectors are point-fetched
+    for the ~(K+20) x queries survivors only, so serving never needs
+    the source corpus), repartitioned BY CELL before the partitionBy
+    write so each cell lands as one file instead of (cells x
+    shuffle-partitions) fragments.
+
+    The `_ann_meta.json` sidecar carries the data fingerprint AND the
+    frozen model itself (IVF cells + PQ codebook — bounded O(k x d)
+    floats; JSON round-trips doubles exactly), so a serving session
+    reconstructs broadcast model state from the sidecar alone (r12
+    verdict item 2). It is written AFTER the parquet publish, so a
+    crashed build is invisible (stale meta -> rebuild).
+
+    Variants: "full" = the whole corpus (sim_index_query's table);
+    "hist" = the vec_id % 10 != 7 slice, model trained on that slice
+    (the pre-existing table sim_index_append appends to); "frag" =
+    full-corpus content written as two appends so cells hold multiple
+    files (the compaction entry's worn-table starting state — content
+    is bit-identical to "full", only the file layout differs).
+
+    Concurrency (r12 ADVICE): the parquet write stages into a per-pid
+    temp dir and is renamed into place, so two sessions racing the
+    same cache miss can no longer interleave writes into the live
+    directory — the loser's rename fails and it discards its staging
+    copy (content is bit-identical by determinism either way)."""
     import json
     import os
+    import shutil
 
-    path, fp = _ann_index_path(sf_dir)
+    path, fp = _ann_index_path(sf_dir, variant)
     meta_path = os.path.join(path, "_ann_meta.json")
+    data = os.path.join(path, "data")
     try:
         with open(meta_path) as fh:
             # a surviving meta over a deleted/partial data/ dir must
             # rebuild, not serve a path that can't be read (r12 review)
-            if json.load(fh).get("fp") == fp and os.path.isdir(
-                os.path.join(path, "data")
-            ):
+            meta = json.load(fh)
+            if meta.get("fp") == fp and "model" in meta and os.path.isdir(data):
                 return path
     except (OSError, ValueError):
         pass
 
     _, corpus = _queries_and_corpus(spark, sf_dir)
-    cb = _ivf_codebook(spark, sf_dir, corpus)
-    _, pq_py = _pq_codebook(spark, sf_dir, corpus)
-    corpus_coded = _coded_frame(cb, pq_py, corpus, ["vec_id", "cell", "vnorm"])
-    (
-        corpus_coded.repartition(F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "data"))
+    if variant == "hist":
+        train_src = corpus.filter(F.col("vec_id") % 10 != 7)
+        memo_key = f"{sf_dir}::hist"
+    else:
+        train_src = corpus
+        memo_key = sf_dir
+    cb, cells_py = _ivf_model(spark, memo_key, train_src)
+    pqcb, pq_py = _pq_codebook(spark, memo_key, train_src)
+    coded = _coded_frame(
+        cb, pq_py, train_src, ["vec_id", "cell", "vnorm", "v"]
     )
-    # the parquet write just created path/data, so path exists
-    tmp = f"{meta_path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump({"fp": fp, "version": ANN_INDEX_VERSION}, fh)
-    os.replace(tmp, meta_path)
+
+    # stage -> publish: write into a per-pid temp sibling, swap it in
+    tmp = f"{data}__build_tmp.{os.getpid()}"
+    old = f"{data}__old.{os.getpid()}"
+    for leftover in (tmp, old):
+        shutil.rmtree(leftover, ignore_errors=True)
+    if variant == "frag":
+        for mode, pred in (("overwrite", "!="), ("append", "=")):
+            (
+                coded.filter(F.expr(f"vec_id % 10 {pred} 7"))
+                .repartition(F.col("cell"))
+                .write.mode(mode)
+                .partitionBy("cell")
+                .parquet(tmp)
+            )
+    else:
+        (
+            coded.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+    try:
+        if os.path.isdir(data):
+            os.rename(data, old)
+        os.rename(tmp, data)
+    except OSError:
+        # lost a concurrent-build race: another session published an
+        # identical table between our miss check and our rename
+        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
+    with open(tmp_meta, "w") as fh:
+        json.dump(
+            {
+                "fp": fp,
+                "version": ANN_INDEX_VERSION,
+                "model": {"cells": cells_py, "pq": pq_py},
+            },
+            fh,
+        )
+    os.replace(tmp_meta, meta_path)
     return path
 
 
@@ -1149,6 +1280,13 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
         )
     local = path[len("file://"):] if path.startswith("file://") else path
     data = os.path.join(local.rstrip("/"), "data")
+    # crash recovery (r12 ADVICE): a compaction that died between its
+    # two renames leaves no data dir but a readable __old sibling —
+    # restore it before proceeding instead of failing opaquely. (A
+    # missing-data-no-old state is build_ann_index's rebuild path.)
+    old_crash = data + "__old"
+    if not os.path.isdir(data) and os.path.isdir(old_crash):
+        os.rename(old_crash, data)
     src = spark.read.parquet(data)
     tmp = data + "__compact_tmp"
     old = data + "__old"
@@ -1181,6 +1319,74 @@ def _read_ann_index(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _read_ann_vectors(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted index's raw-vector payload (vec_id, cell, v,
+    vnorm) — the survivor re-fetch source on the self-contained serve
+    path. Keeping `cell` lets the re-fetch join partition-prune to the
+    probed cells; vnorm is the build-time value, bit-identical to what
+    the live path recomputes post-join."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "data")).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "v",
+        "vnorm",
+    )
+
+
+#: single-entry memo, the _CODEBOOK_MEMO discipline: (application id,
+#: index path) -> (cells frame, pq frame, plain pq list) loaded from
+#: the sidecar — reloading is one JSON read + two one-row frames, so
+#: thrash between index variants costs ~ms, never a Spark job
+_SIDECAR_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _sidecar_model(spark: SparkSession, path: str) -> tuple:
+    """The frozen (IVF cells frame, PQ codebook frame, plain pq list)
+    persisted in the index's `_ann_meta.json`. JSON round-trips Python
+    floats exactly (repr-based), so the reconstructed broadcast model
+    is bit-identical to the trained one — pytest-pinned. No corpus
+    scan, no Spark job: this is what lets a serving/appending session
+    run from the index directory alone."""
+    import json
+    import os
+
+    key = (spark.sparkContext.applicationId, path)
+    hit = _SIDECAR_MEMO.get(key)
+    if hit is not None:
+        return hit
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        model = json.load(fh)["model"]
+    out = (
+        _cells_frame(spark, model["cells"]),
+        _pq_frame(spark, model["pq"]),
+        model["pq"],
+    )
+    _SIDECAR_MEMO.clear()
+    _SIDECAR_MEMO[key] = out
+    return out
+
+
+def serve_ann_index(
+    spark: SparkSession, path: str, queries: DataFrame
+) -> DataFrame:
+    """Corpus-free ANN serving — the deploy-facing API: given ONLY a
+    persisted index directory and a (query_id, qv, qnorm) query frame,
+    run the exact IVF-PQ serve chain. Model state comes from the
+    sidecar, candidate codes and the survivor re-rank vectors from the
+    index table; the training corpus is never touched (pytest proves
+    it by serving after the corpus files are moved away)."""
+    cb, pqcb, _ = _sidecar_model(spark, path)
+    return _ivfpq_serve(
+        spark,
+        queries,
+        _read_ann_index(spark, path),
+        (cb, pqcb),
+        vectors=_read_ann_vectors(spark, path),
+    )
+
+
 def sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index BUILD as a certified entry: materialize the IVF-PQ
     index table and return its content — (vec_id, cell, pq_code), every
@@ -1198,17 +1404,36 @@ def sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k SERVED from the persisted index: one parquet scan of
-    the index table (no cell assignment, no code computation — the
-    expensive corpus-side map work was paid once at build; plan-pinned
-    by tests/test_plans.py), then the exact sim_topk_ivfpq candidate ->
+    """ANN top-k SERVED from the persisted index: the index table
+    supplies candidate codes AND the survivor re-rank vectors, the
+    sidecar supplies the frozen model — no cell assignment, no code
+    computation, no codebook re-training, no corpus scan beyond the
+    query rows (r13: fully self-contained serving; plan-pinned by
+    tests/test_plans.py), then the exact sim_topk_ivfpq candidate ->
     survivor -> re-rank chain. Shares sim_topk_ivfpq's oracle verbatim:
     given the same index state the results are identical, and both are
     fully hash-checked. Builds on miss, so the entry is
     self-sufficient on a fresh corpus dir."""
-    return _ivfpq_serve(
-        spark, sf_dir, _read_ann_index(spark, build_ann_index(spark, sf_dir))
-    )
+    path = build_ann_index(spark, sf_dir)
+    queries, _ = _queries_and_corpus(spark, sf_dir)
+    return serve_ann_index(spark, path, queries)
+
+
+def sim_index_query_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-then-serve: the compaction pass certified through the
+    driver (r12 verdict item 3 — content preservation was previously
+    pytest-only). The starting table is the "frag" index variant —
+    bit-identical CONTENT to the full index but written as two appends
+    so cells hold multiple files (the state a long-running
+    stream_live_index_append leaves behind); every call runs a real
+    `compact_ann_index` rewrite-and-swap over it, then serves the
+    exact chain from the compacted table. Shares sim_topk_ivfpq's
+    oracle verbatim — a compaction that dropped, duplicated, or
+    re-coded a single row would hash-diverge."""
+    path = build_ann_index(spark, sf_dir, variant="frag")
+    compact_ann_index(spark, path)
+    queries, _ = _queries_and_corpus(spark, sf_dir)
+    return serve_ann_index(spark, path, queries)
 
 
 def _index_table_sql(
@@ -1271,14 +1496,20 @@ def sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     with them. At 100 TB the append costs O(|batch|) assignment flops
     + one partitioned write; a periodic full rebuild (sim_index_build)
     absorbs model drift. Reference parity: none — driver-contract
-    Part C ANN family."""
+    Part C ANN family.
+
+    r13: the frozen model is LOADED from the historical index's
+    sidecar (`build_ann_index(variant="hist")` — the pre-existing
+    table a production append targets, built/cached once), not
+    re-derived from the historical corpus per run — appending, like
+    serving, needs only the index directory plus the arriving rows.
+    The sidecar model is bit-identical to the corpus derivation
+    (pytest-pinned), so the oracle — which re-derives the frozen
+    codebooks from the historical slice in SQL — is unchanged."""
     _, corpus = _queries_and_corpus(spark, sf_dir)
-    hist = corpus.filter(F.col("vec_id") % 10 != 7)
     batch = corpus.filter(F.col("vec_id") % 10 == 7)
-    # memo keys get a ::hist suffix so the frozen codebooks never
-    # collide with the full-corpus ones in the single-entry memos
-    cb = _ivf_codebook(spark, f"{sf_dir}::hist", hist)
-    _, pq_py = _pq_codebook(spark, f"{sf_dir}::hist", hist)
+    hist_path = build_ann_index(spark, sf_dir, variant="hist")
+    cb, _pqcb, pq_py = _sidecar_model(spark, hist_path)
     return _coded_frame(cb, pq_py, batch, ["vec_id", "cell"]).select(
         "vec_id", "cell", "pq_code"
     )
@@ -1298,6 +1529,8 @@ QUERIES["sim_index_build"] = sim_index_build
 ORACLES["sim_index_build"] = _index_table_sql()
 QUERIES["sim_index_query"] = sim_index_query
 ORACLES["sim_index_query"] = _sim_ivfpq_sql()
+QUERIES["sim_index_query_compacted"] = sim_index_query_compacted
+ORACLES["sim_index_query_compacted"] = _sim_ivfpq_sql()
 QUERIES["sim_index_append"] = sim_index_append
 ORACLES["sim_index_append"] = _sim_index_append_sql()
 

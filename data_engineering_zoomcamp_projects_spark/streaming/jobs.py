@@ -681,9 +681,9 @@ def stream_live_index_append(
 
     from ..llm.similarity import (
         _coded_frame,
-        _ivf_codebook,
-        _pq_codebook,
         _queries_and_corpus,
+        _sidecar_model,
+        build_ann_index,
     )
 
     root = tempfile.mkdtemp(prefix="sg_index_append_")
@@ -691,7 +691,6 @@ def stream_live_index_append(
     in_dir = os.path.join(root, "arrivals")
     os.makedirs(in_dir)
     _, corpus = _queries_and_corpus(spark, sf_dir)
-    hist = corpus.filter(F.col("vec_id") % 10 != 7)
     arriving = corpus.filter(F.col("vec_id") % 10 == 7).select("vec_id", "v")
     base = _time.time() - 3600
     for k in range(IDX_APPEND_N_BATCHES):
@@ -703,10 +702,15 @@ def stream_live_index_append(
         shutil.copyfile(globmod.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
         shutil.rmtree(stage)
         os.utime(dst, (base + 60 * k, base + 60 * k))
-    # frozen model state, derived once OUTSIDE the stream (production:
-    # loaded from the model store) — ::hist memo key per sim_index_append
-    cb = _ivf_codebook(spark, f"{sf_dir}::hist", hist)
-    _, pq_py = _pq_codebook(spark, f"{sf_dir}::hist", hist)
+    # frozen model state, LOADED once OUTSIDE the stream from the
+    # historical index's sidecar (r13 — the real model store: the
+    # stream maintains a pre-existing persisted index, so its frozen
+    # codebooks come from that index's _ann_meta.json, exactly like
+    # sim_index_append's batch twin; bit-identical to the corpus
+    # derivation, so the shared oracle is unchanged)
+    cb, _pqcb, pq_py = _sidecar_model(
+        spark, build_ann_index(spark, sf_dir, variant="hist")
+    )
     delta_dir = os.path.join(root, "delta")
 
     def _append_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -1654,3 +1654,172 @@ def test_compact_ann_index_preserves_content_and_partitioning(spark, tmp_path):
             assert json.load(fh) == meta_before
     finally:
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def _tmp_embeddings_corpus(spark, tmp_path, n=60):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 10) for j in range(64)], i % 3)
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+
+def test_serve_ann_index_is_corpus_free(spark, tmp_path):
+    """r13 (r12 verdict item 2): serving must need ONLY the index
+    directory (table + sidecar model) and the query rows. Proven the
+    hard way: build the index, materialize the query frame, MOVE the
+    training corpus away, and serve — any sidecar gap (codebook
+    re-derivation, corpus-side re-fetch) would fail on the missing
+    files. Results must equal the serve taken while the corpus still
+    existed."""
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _queries_and_corpus,
+        build_ann_index,
+        serve_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=120)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        queries_lazy, _ = _queries_and_corpus(spark, str(tmp_path))
+        queries = spark.createDataFrame(
+            queries_lazy.collect(), queries_lazy.schema
+        )
+        before = sorted(map(tuple, serve_ann_index(spark, path, queries).collect()))
+        assert before, "empty serve result would prove nothing"
+        shutil.move(
+            str(tmp_path / "embeddings.parquet"),
+            str(tmp_path / "embeddings.gone"),
+        )
+        after = sorted(map(tuple, serve_ann_index(spark, path, queries).collect()))
+        assert after == before
+    finally:
+        if (tmp_path / "embeddings.gone").exists():
+            shutil.move(
+                str(tmp_path / "embeddings.gone"),
+                str(tmp_path / "embeddings.parquet"),
+            )
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_sidecar_model_bit_identical_to_training(spark, tmp_path):
+    """The sidecar-persisted model must round-trip bit-for-bit (JSON
+    preserves doubles exactly): cells and PQ codebook loaded by
+    `_sidecar_model` equal the corpus-derived training output — the
+    determinism argument that lets sim_index_query/append share their
+    oracles with the live path."""
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+
+    _tmp_embeddings_corpus(spark, tmp_path)
+    try:
+        path = similarity.build_ann_index(spark, str(tmp_path))
+        _, corpus = similarity._queries_and_corpus(spark, str(tmp_path))
+        _, cells_trained = similarity._ivf_model(spark, str(tmp_path), corpus)
+        _, pq_trained = similarity._pq_codebook(spark, str(tmp_path), corpus)
+        _cbf, _pqf, pq_loaded = similarity._sidecar_model(spark, path)
+        import json
+        import os
+
+        with open(os.path.join(path, "_ann_meta.json")) as fh:
+            cells_loaded = json.load(fh)["model"]["cells"]
+        assert pq_loaded == pq_trained
+        assert [tuple(c) for c in cells_loaded] == [
+            tuple(c) for c in cells_trained
+        ]
+    finally:
+        shutil.rmtree(
+            similarity.build_ann_index(spark, str(tmp_path)), ignore_errors=True
+        )
+
+
+def test_compact_ann_index_recovers_from_crashed_swap(spark, tmp_path):
+    """r12 ADVICE: a compaction crash between its two renames leaves no
+    data dir but a readable __old sibling; the next compact_ann_index
+    must restore __old and proceed instead of failing opaquely."""
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        build_ann_index,
+        compact_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        data = os.path.join(path, "data")
+        before = sorted(map(tuple, spark.read.parquet(data).collect()))
+        os.rename(data, data + "__old")  # simulate the crash window
+        compact_ann_index(spark, path)
+        assert os.path.isdir(data)
+        assert not os.path.isdir(data + "__old")
+        assert sorted(map(tuple, spark.read.parquet(data).collect())) == before
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_build_ann_index_staged_write_cleans_own_leftovers(spark, tmp_path):
+    """r12 ADVICE (concurrency): builds stage into a per-pid temp dir
+    and rename-publish — a leftover staging/old dir from this pid's
+    earlier crashed build is discarded before the rewrite, and the
+    published table is correct."""
+    import json
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        build_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        data = os.path.join(path, "data")
+        rows = sorted(map(tuple, spark.read.parquet(data).collect()))
+        # force a rebuild with crash debris from "our" pid in the way
+        meta = os.path.join(path, "_ann_meta.json")
+        with open(meta, "w") as fh:
+            json.dump({"fp": "stale"}, fh)
+        for debris in (f"{data}__build_tmp.{os.getpid()}",
+                       f"{data}__old.{os.getpid()}"):
+            os.makedirs(os.path.join(debris, "junk"))
+        assert build_ann_index(spark, str(tmp_path)) == path
+        assert sorted(map(tuple, spark.read.parquet(data).collect())) == rows
+        leftovers = [d for d in os.listdir(path) if "__" in d]
+        assert not leftovers, leftovers
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_model_cache_path_fingerprints_directory_contents(tmp_path):
+    """r12 ADVICE: for a Spark-written (directory) corpus the
+    fingerprint must fold the contained data files' (name, size,
+    mtime_ns) — an in-place rewrite of a part file under the same name
+    must invalidate, and _SUCCESS-style markers must not participate."""
+    import os
+
+    from data_engineering_zoomcamp_projects_spark.catalog import model_cache_path
+
+    src = tmp_path / "embeddings.parquet"
+    src.mkdir()
+    part = src / "part-00000.parquet"
+    part.write_bytes(b"x" * 64)
+    (src / "_SUCCESS").write_bytes(b"")
+    _, fp1 = model_cache_path(str(tmp_path), "k", "embeddings", "p")
+    _, fp1_again = model_cache_path(str(tmp_path), "k", "embeddings", "p")
+    assert fp1 == fp1_again
+    # same name, same size, new mtime -> must invalidate
+    st = os.stat(part)
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    _, fp2 = model_cache_path(str(tmp_path), "k", "embeddings", "p")
+    assert fp2 != fp1
+    # marker files don't participate
+    (src / "_SUCCESS").write_bytes(b"yy")
+    _, fp3 = model_cache_path(str(tmp_path), "k", "embeddings", "p")
+    assert fp3 == fp2
