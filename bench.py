@@ -158,6 +158,10 @@ HEADLINE = [
     # against historical codebooks — tracked so the O(|batch|) claim
     # stays measured)
     "sim_index_append",
+    # round-13: OPTIMIZE-then-serve — a real compact_ann_index rewrite
+    # over the fragmented index variant plus the serve chain (tracked
+    # so the compaction cost stays measured next to the serve win)
+    "sim_index_query_compacted",
 ]
 
 

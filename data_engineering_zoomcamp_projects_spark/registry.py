@@ -57,87 +57,80 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # WINDOW TRIAGE round 12 (50 slots). Round 11 closed 50/50 green;
-    # this window is: the 2 new persisted-index entries + every plan
-    # round 12 changed + ALL 21 r7-era refresh rows (the queue the r11
-    # verdict mandated leading with — including the 13 displaced last
-    # round) + the oldest r8-era rows as filler (computed mechanically:
-    # latest driver row per name over CORRECTNESS_r01–r11).
+    # WINDOW TRIAGE round 13 (50 slots). Round 12 closed 50/50 green.
+    # This window = 1 new entry + every plan round 13 touched + the
+    # mart chain (re-certified after the two-phase-distinct A/B kept
+    # the plan, BASELINE ledger) + ALL 20 displaced r8-era rows the
+    # r12 triage queued (registry history comment below) + the oldest
+    # r9-era rows as filler (computed mechanically: latest green
+    # driver row per name over CORRECTNESS_r01-r12).
     #
-    # (a) 3 new-op slots: the persisted ANN index build/query split —
-    #     build materializes (vec_id, cell, pq_code) partitioned by
-    #     cell (inverted-lists layout), query serves sim_topk_ivfpq's
-    #     exact chain from the table with no corpus-side assignment —
-    #     plus the frozen-model incremental append (the ~10% arriving
-    #     batch assigned against historical-corpus codebooks) and its
-    #     TRUE-readStream twin (foreachBatch appends per micro-batch;
-    #     shares the append oracle — order-independent assignment):
+    # (a) 1 new-op slot: OPTIMIZE-then-serve — compact_ann_index
+    #     content preservation hash-checked by the driver through the
+    #     shared ivfpq oracle (r12 verdict item 3):
+    "sim_index_query_compacted",
+    # (b) 5 plans round 13 changed: the self-contained index family
+    #     (sidecar-persisted codebooks; serve re-fetches survivors
+    #     from the index table; append/stream load the frozen model
+    #     from the hist variant's sidecar) + the shared serve-chain
+    #     refactor rippling through sim_topk_ivfpq:
     "sim_index_build",
     "sim_index_query",
     "sim_index_append",
     "stream_live_index_append",
-    # (b) 7 plans round 12 changed: the ivfpq serve-chain refactor +
-    #     PQ_K-derived packing (values identical, re-certify anyway),
-    #     the hybrid-RRF widened corpus scan + runtime near-tie guard,
-    #     the widened image-resize synthesis chain, the null-text guard
-    #     in the quality-model Arrow feature pass, and the k-means
-    #     disk-cached centroid state (bit-identical model, new source):
     "sim_topk_ivfpq",
-    "sim_hybrid_rrf",
-    "multimodal_image_resize",
-    "text_quality_classifier",
-    "text_quality_filter",
-    "dedup_semantic_semdedup",
-    "ml_kmeans_embeddings",
-    # (c) the full r7-era refresh queue (latest driver row = r7):
-    "prep_train_test_split",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "quality_distribution_drift",
-    "sample_importance_weighted",
-    "setop_intersect",
-    "subq_exists_multi_order_days",
-    "text_corpus_rollup",
-    "text_fingerprints",
-    "text_lexicon_score",
-    "text_pretokenize_bpe_style",
-    "text_redact_sensitive",
-    "text_tfidf_top_terms",
-    "text_token_counting",
-    "timeseries_daily_gapfill",
-    "window_lag_lead",
-    "window_moving_average",
-    "window_rank_functions",
-    "window_running_sum",
-    # (d) filler: the alphabetically-first r8-era rows (18 slots after
-    #     the four index-family entries took theirs). Displaced to r13:
-    #     the remaining r8 rows from fn_json_suite alphabetically
-    #     onward (fn_json/fn_math/fn_string suites, graph_triangle
-    #     _count, ml_customer_scores, pipeline_corpus_curation,
-    #     prep_decontaminate, prep_quantize_int8, quality_join_skew
-    #     _audit, setop_except/intersect_all/union_*, stream_* batch
-    #     rows, text_bpe_*) — all keep cumulative green rows and the
-    #     full pytest differential covers them every run:
-    "agg_count_distinct",
-    "agg_cube_status_priority",
-    "agg_distinct_rows",
-    "agg_global_stats",
-    "agg_having_big_suppliers",
-    "agg_min_max_by",
-    "agg_monthly_orders",
-    "agg_pivot_status",
-    "agg_stats_dispersion",
-    "dedup_cluster_census",
-    "dedup_cluster_components",
-    "fn_array_suite",
-    "fn_bitwise_suite",
-    "fn_conditional_suite",
-    "fn_explode_tokens",
-    "graph_degree_distribution",
-    "graph_pagerank_near_dups",
-    "graph_reachability_recursive",
+    # (c) the mart chain (r12 verdict item 4: A/B showed Spark already
+    #     plans the exact two-phase distinct — no Expand; plan kept,
+    #     re-certify the family anyway):
+    "mart_daily_revenue",
+    "mart_customer_activity",
+    "mart_incremental_refresh",
+    # (d) the displaced r8-era refresh queue (r12 triage, verdict
+    #     item 1 — latest driver row r8):
+    "fn_json_suite",
+    "fn_math_suite",
+    "fn_string_suite",
+    "graph_triangle_count",
+    "ml_customer_scores",
+    "pipeline_corpus_curation",
+    "prep_decontaminate",
+    "prep_quantize_int8",
+    "quality_join_skew_audit",
+    "setop_except",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "stream_dedup_summary",
+    "stream_event_type_rates",
+    "stream_funnel_view_purchase",
+    "stream_session_30m",
+    "stream_sliding_15m",
+    "text_bpe_apply",
+    "text_bpe_learn_merges",
+    # (e) filler: the 21 oldest r9-era rows (alphabetical within the
+    #     r9 cohort). Displaced to r14: the r9 rows from
+    #     q12_ship_delay_buckets onward, then the r10 cohort:
+    "agg_boolean",
+    "agg_collect_sets",
+    "agg_percentiles",
+    "join_anti_inactive_customers",
+    "join_cross_region_nation",
+    "join_full_outer_nation_activity",
+    "join_inner_customer_orders",
+    "join_left_outer_orders",
+    "join_right_outer_lineitem",
+    "join_semi_active_customers",
+    "join_theta_supplier_pairs",
+    "ml_segment_zscores",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "multimodal_join_docs_embeddings",
+    "posexplode_tokens",
+    "prep_decontaminate_bloom",
+    "prep_shard_balanced",
+    "prep_vocab_topk",
+    "q10_returned_items",
+    "q11_part_value_share",
 ]
 
 
