@@ -160,8 +160,10 @@ HEADLINE = [
     "sim_index_append",
     # round-13: OPTIMIZE-then-serve — a real compact_ann_index rewrite
     # over the fragmented index variant plus the serve chain (tracked
-    # so the compaction cost stays measured next to the serve win)
+    # so the compaction cost stays measured next to the serve win) —
+    # and serve-after-takedown-deletes (tombstone anti-join cost)
     "sim_index_query_compacted",
+    "sim_index_query_deleted",
 ]
 
 

@@ -1029,7 +1029,7 @@ def _ivfpq_serve(
     )
 
 
-def _sim_ivfpq_sql() -> str:
+def _sim_ivfpq_sql(candidate_pred: str = "TRUE") -> str:
     """Full oracle for sim_topk_ivfpq: the shared index chain plus an
     exact replica of the PQ path — first-PQ_K-by-vec_id codebook,
     per-subspace argmin codes (fold-order-matched double dist ASC,
@@ -1040,7 +1040,13 @@ def _sim_ivfpq_sql() -> str:
     with the same (cos_pq DESC, vec_id ASC) tie-break, then the exact
     decimal cosine re-rank. The oracle keeps (vec_id, s, code) rows
     instead of packing — packing round-trips integers exactly, so both
-    forms score identically."""
+    forms score identically.
+
+    ``candidate_pred`` restricts the CANDIDATE side only (alias `c` in
+    pq_scored) — the tombstone-deletion twin: deleted rows leave the
+    candidate pool while the frozen model (trained before the deletes)
+    and the query set stay full-corpus, exactly the merge-on-read
+    semantics of `delete_from_ann_index`."""
     from ..functions.vector import sql_dist_double, sql_dot_dec, sql_norm
 
     sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
@@ -1073,6 +1079,7 @@ pq_scored AS (
            / ({sql_norm('q.embedding')} * {sql_norm('c.embedding')}) AS cos_pq
   FROM query_cells q
   JOIN corpus_cells c ON c.cell = q.qcell AND c.vec_id <> q.vec_id
+                     AND ({candidate_pred})
   JOIN codes k ON k.vec_id = c.vec_id
   JOIN subsp g ON g.s = k.s
   JOIN pqc p ON p.p = k.code
@@ -1169,7 +1176,11 @@ def build_ann_index(
     (the pre-existing table sim_index_append appends to); "frag" =
     full-corpus content written as two appends so cells hold multiple
     files (the compaction entry's worn-table starting state — content
-    is bit-identical to "full", only the file layout differs).
+    is bit-identical to "full", only the file layout differs); "del" =
+    full-corpus content in its own directory (the deletion entry's
+    table — tombstones mutate per-directory state, so it cannot share
+    "full"'s). A (re)build clears any pending tombstones: a fresh
+    table has no pending deletes.
 
     Concurrency (r12 ADVICE): the parquet write stages into a per-pid
     temp dir and is renamed into place, so two sessions racing the
@@ -1236,6 +1247,7 @@ def build_ann_index(
         # identical table between our miss check and our rename
         shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
 
     tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
     with open(tmp_meta, "w") as fh:
@@ -1287,7 +1299,12 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     old_crash = data + "__old"
     if not os.path.isdir(data) and os.path.isdir(old_crash):
         os.rename(old_crash, data)
-    src = spark.read.parquet(data)
+    # purge pending tombstones in the same rewrite (the merge-on-read
+    # deletes become physical here, then the delete files are cleared;
+    # crash ordering is safe: tombstones are removed only AFTER the
+    # purged table is published, and re-anti-joining already-purged
+    # ids is a no-op)
+    src = _minus_tombstones(spark, local, spark.read.parquet(data))
     tmp = data + "__compact_tmp"
     old = data + "__old"
     (
@@ -1301,6 +1318,9 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     os.rename(data, old)
     os.rename(tmp, data)
     shutil.rmtree(old)
+    # deletes are now physical — clear the merge-on-read delete files
+    shutil.rmtree(os.path.join(local.rstrip("/"), "tombstones"),
+                  ignore_errors=True)
     return len(globmod.glob(os.path.join(data, "cell=*", "*.parquet")))
 
 
@@ -1368,6 +1388,46 @@ def _sidecar_model(spark: SparkSession, path: str) -> tuple:
     return out
 
 
+def delete_from_ann_index(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Tombstone deletion — the takedown/GDPR path of the index
+    lifecycle: append the doomed `vec_id`s as a parquet delete file
+    under `path`/tombstones (O(|delete batch|) — no table rewrite, no
+    touched cells), exactly the merge-on-read delete-file pattern of
+    Iceberg/Delta. Serving anti-joins the tombstone set map-side
+    (broadcast: the set is bounded by the compaction cadence), and the
+    next `compact_ann_index` purges the rows physically and clears the
+    tombstones. At 100 TB a delete is therefore a metadata-sized write
+    at request time plus a ride on the already-scheduled OPTIMIZE
+    rewrite — never a synchronous scan of the corpus."""
+    import os
+
+    ids.select(F.col("vec_id").cast("long")).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "tombstones"))
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The index's pending delete set, or None when there is none."""
+    import glob as globmod
+    import os
+
+    t = os.path.join(path, "tombstones")
+    if not globmod.glob(os.path.join(t, "*.parquet")):
+        return None
+    return spark.read.parquet(t)
+
+
+def _minus_tombstones(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
+    """df with tombstoned vec_ids dropped (broadcast anti-join — the
+    merge-on-read side of delete_from_ann_index); identity when the
+    index has no pending deletes, so tombstone-free serving keeps its
+    exact r12 plan."""
+    tombs = _read_tombstones(spark, path)
+    if tombs is None:
+        return df
+    return df.join(F.broadcast(tombs), "vec_id", "left_anti")
+
+
 def serve_ann_index(
     spark: SparkSession, path: str, queries: DataFrame
 ) -> DataFrame:
@@ -1375,15 +1435,16 @@ def serve_ann_index(
     persisted index directory and a (query_id, qv, qnorm) query frame,
     run the exact IVF-PQ serve chain. Model state comes from the
     sidecar, candidate codes and the survivor re-rank vectors from the
-    index table; the training corpus is never touched (pytest proves
-    it by serving after the corpus files are moved away)."""
+    index table (both minus any pending tombstones); the training
+    corpus is never touched (pytest proves it by serving after the
+    corpus files are moved away)."""
     cb, pqcb, _ = _sidecar_model(spark, path)
     return _ivfpq_serve(
         spark,
         queries,
-        _read_ann_index(spark, path),
+        _minus_tombstones(spark, path, _read_ann_index(spark, path)),
         (cb, pqcb),
-        vectors=_read_ann_vectors(spark, path),
+        vectors=_minus_tombstones(spark, path, _read_ann_vectors(spark, path)),
     )
 
 
@@ -1432,6 +1493,39 @@ def sim_index_query_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-coded a single row would hash-diverge."""
     path = build_ann_index(spark, sf_dir, variant="frag")
     compact_ann_index(spark, path)
+    queries, _ = _queries_and_corpus(spark, sf_dir)
+    return serve_ann_index(spark, path, queries)
+
+
+#: the deletion entry's doomed slice: ~10% of the corpus, disjoint
+#: from the query set (vec_id % 100 == 0 ends in 0, never 3) and
+#: distinct from the append slice (7) so the lifecycle entries compose
+DELETED_SLICE_MOD = 3
+
+
+def sim_index_query_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve AFTER takedown deletes — the remaining index-lifecycle
+    transition certified through the driver: ~10% of the indexed
+    vectors (vec_id % 10 = 3) are tombstoned via
+    `delete_from_ann_index` (an O(|batch|) delete-file append, the
+    Iceberg/Delta merge-on-read shape — no table rewrite at request
+    time), and the serve chain anti-joins the tombstone set map-side,
+    so deleted vectors can never be returned as neighbors while the
+    frozen model (trained before the deletes) keeps serving. The
+    oracle is sim_topk_ivfpq's with the deleted slice excluded from
+    the CANDIDATE pool only — a tombstone that leaked into results, or
+    a filter that dropped a live row, would hash-diverge. The ids come
+    from the index table itself (serving stays corpus-free); the next
+    compaction purges them physically (pytest-pinned)."""
+    path = build_ann_index(spark, sf_dir, variant="del")
+    if _read_tombstones(spark, path) is None:
+        delete_from_ann_index(
+            spark,
+            path,
+            _read_ann_index(spark, path)
+            .filter(F.col("vec_id") % 10 == DELETED_SLICE_MOD)
+            .select("vec_id"),
+        )
     queries, _ = _queries_and_corpus(spark, sf_dir)
     return serve_ann_index(spark, path, queries)
 
@@ -1531,6 +1625,10 @@ QUERIES["sim_index_query"] = sim_index_query
 ORACLES["sim_index_query"] = _sim_ivfpq_sql()
 QUERIES["sim_index_query_compacted"] = sim_index_query_compacted
 ORACLES["sim_index_query_compacted"] = _sim_ivfpq_sql()
+QUERIES["sim_index_query_deleted"] = sim_index_query_deleted
+ORACLES["sim_index_query_deleted"] = _sim_ivfpq_sql(
+    f"c.vec_id % 10 <> {DELETED_SLICE_MOD}"
+)
 QUERIES["sim_index_append"] = sim_index_append
 ORACLES["sim_index_append"] = _sim_index_append_sql()
 

@@ -65,10 +65,13 @@ _FRONT = [
     # r9-era rows as filler (computed mechanically: latest green
     # driver row per name over CORRECTNESS_r01-r12).
     #
-    # (a) 1 new-op slot: OPTIMIZE-then-serve — compact_ann_index
+    # (a) 2 new-op slots: OPTIMIZE-then-serve — compact_ann_index
     #     content preservation hash-checked by the driver through the
-    #     shared ivfpq oracle (r12 verdict item 3):
+    #     shared ivfpq oracle (r12 verdict item 3) — and serve-after-
+    #     takedown-deletes (tombstone merge-on-read; candidate-pred
+    #     variant of the same oracle):
     "sim_index_query_compacted",
+    "sim_index_query_deleted",
     # (b) 5 plans round 13 changed: the self-contained index family
     #     (sidecar-persisted codebooks; serve re-fetches survivors
     #     from the index table; append/stream load the frozen model
@@ -107,9 +110,9 @@ _FRONT = [
     "stream_sliding_15m",
     "text_bpe_apply",
     "text_bpe_learn_merges",
-    # (e) filler: the 21 oldest r9-era rows (alphabetical within the
+    # (e) filler: the 20 oldest r9-era rows (alphabetical within the
     #     r9 cohort). Displaced to r14: the r9 rows from
-    #     q12_ship_delay_buckets onward, then the r10 cohort:
+    #     q11_part_value_share onward, then the r10 cohort:
     "agg_boolean",
     "agg_collect_sets",
     "agg_percentiles",
@@ -130,7 +133,6 @@ _FRONT = [
     "prep_shard_balanced",
     "prep_vocab_topk",
     "q10_returned_items",
-    "q11_part_value_share",
 ]
 
 

@@ -1823,3 +1823,61 @@ def test_model_cache_path_fingerprints_directory_contents(tmp_path):
     (src / "_SUCCESS").write_bytes(b"yy")
     _, fp3 = model_cache_path(str(tmp_path), "k", "embeddings", "p")
     assert fp3 == fp2
+
+
+def test_delete_tombstones_then_compact_purges(spark, tmp_path):
+    """r13 index deletes (merge-on-read): delete_from_ann_index writes
+    an O(|batch|) tombstone file; serving immediately excludes the
+    deleted ids (anti-join) without touching the table; the next
+    compact_ann_index makes the deletes physical, clears the delete
+    files, and keeps the hive layout — and serving is unchanged across
+    the purge (merge-on-read == physical, the Iceberg/Delta
+    equivalence)."""
+    import glob
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _queries_and_corpus,
+        _read_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        serve_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=120)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        queries, _ = _queries_and_corpus(spark, str(tmp_path))
+        doomed = (
+            _read_ann_index(spark, path)
+            .filter(F.col("vec_id") % 10 == 3)
+            .select("vec_id")
+        )
+        doomed_ids = {int(r["vec_id"]) for r in doomed.collect()}
+        assert doomed_ids, "empty delete batch would prove nothing"
+        delete_from_ann_index(spark, path, doomed)
+        assert glob.glob(os.path.join(path, "tombstones", "*.parquet"))
+        served = serve_ann_index(spark, path, queries).collect()
+        assert served, "serve-after-delete returned nothing"
+        assert not {int(r["neighbor_id"]) for r in served} & doomed_ids
+        live = {
+            int(r["vec_id"])
+            for r in _read_ann_index(spark, path).collect()
+        } - doomed_ids
+        # purge: physical rows gone, tombstones cleared, layout kept
+        compact_ann_index(spark, path)
+        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        after_ids = {
+            int(r["vec_id"]) for r in _read_ann_index(spark, path).collect()
+        }
+        assert after_ids == live
+        assert any(
+            d.startswith("cell=")
+            for d in os.listdir(os.path.join(path, "data"))
+        )
+        served_after = serve_ann_index(spark, path, queries).collect()
+        assert sorted(map(tuple, served_after)) == sorted(map(tuple, served))
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)

@@ -294,9 +294,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # index scan with NO assignment crosses (pinned by
         # test_sim_index_query_reuses_persisted_index)
         "sim_index_query",
-        # sim_index_query_compacted: identical serve-chain shape over
-        # the compacted "frag" index variant
+        # sim_index_query_compacted / _deleted: identical serve-chain
+        # shape over the compacted "frag" / tombstoned "del" variants
         "sim_index_query_compacted",
+        "sim_index_query_deleted",
         # sim_index_append: the frozen IVF codebook (1-row broadcast)
         # crossed onto the arriving-batch scan for map-side cell
         # assignment — zero exchanges in the whole plan (the delta is
