@@ -844,8 +844,9 @@ def _coded_frame(
 #: output types of the columns `_coded_frame` can carry through the
 #: Arrow code stage; anything unlisted is a long key column. `v` rides
 #: along when the caller persists raw vectors next to the codes (the
-#: self-contained index table's re-rank payload, r13).
-_CODED_COL_TYPES = {"vnorm": "double", "v": "array<double>"}
+#: self-contained index table's re-rank payload, r13); `label` is the
+#: filterable attribute column of the v4 table (filtered ANN).
+_CODED_COL_TYPES = {"vnorm": "double", "v": "array<double>", "label": "int"}
 
 
 def _pq_lut(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
@@ -1129,8 +1130,10 @@ ORACLES["sim_topk_ivfpq"] = _sim_ivfpq_sql()
 # up to ~10^5 cells.
 
 #: bump to invalidate every persisted index when the layout changes
-#: (v2: unowned-cell rows dropped from the table, r12 review)
-ANN_INDEX_VERSION = 3
+#: (v2: unowned-cell rows dropped from the table, r12 review;
+#: v4: the `label` attribute column rides in the table so serving can
+#: push metadata predicates into the index scan — filtered ANN)
+ANN_INDEX_VERSION = 4
 
 
 def _ann_index_path(sf_dir: str, variant: str = "full") -> tuple[str, str]:
@@ -1214,7 +1217,7 @@ def build_ann_index(
     cb, cells_py = _ivf_model(spark, memo_key, train_src)
     pqcb, pq_py = _pq_codebook(spark, memo_key, train_src)
     coded = _coded_frame(
-        cb, pq_py, train_src, ["vec_id", "cell", "vnorm", "v"]
+        cb, pq_py, train_src, ["vec_id", "cell", "vnorm", "v", "label"]
     )
 
     # stage -> publish: write into a per-pid temp sibling, swap it in
@@ -1324,19 +1327,26 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     return len(globmod.glob(os.path.join(data, "cell=*", "*.parquet")))
 
 
-def _read_ann_index(spark: SparkSession, path: str) -> DataFrame:
+def _read_ann_index(
+    spark: SparkSession, path: str, with_label: bool = False
+) -> DataFrame:
     """The persisted index as sim_topk_ivfpq's corpus_coded shape.
     `cell` comes back as a partition column (directory-encoded int) —
     cast to long to keep the join key type identical to the live
-    path's."""
+    path's. `with_label` adds the v4 attribute column for filtered
+    serving; unfiltered serves leave it out so parquet column pruning
+    keeps their scan exactly as narrow as before."""
     import os
 
-    return spark.read.parquet(os.path.join(path, "data")).select(
+    cols = [
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
         "vnorm",
         "pq_code",
-    )
+    ]
+    if with_label:
+        cols.append(F.col("label"))
+    return spark.read.parquet(os.path.join(path, "data")).select(*cols)
 
 
 def _read_ann_vectors(spark: SparkSession, path: str) -> DataFrame:
@@ -1429,7 +1439,10 @@ def _minus_tombstones(spark: SparkSession, path: str, df: DataFrame) -> DataFram
 
 
 def serve_ann_index(
-    spark: SparkSession, path: str, queries: DataFrame
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """Corpus-free ANN serving — the deploy-facing API: given ONLY a
     persisted index directory and a (query_id, qv, qnorm) query frame,
@@ -1437,12 +1450,28 @@ def serve_ann_index(
     sidecar, candidate codes and the survivor re-rank vectors from the
     index table (both minus any pending tombstones); the training
     corpus is never touched (pytest proves it by serving after the
-    corpus files are moved away)."""
+    corpus files are moved away).
+
+    `candidate_filter` is the filtered-vector-search hook (r13): a
+    boolean Column over the index table's attribute columns (v4
+    persists `label`) applied to the CANDIDATE side before scoring —
+    query rows stay unrestricted, and the survivor re-fetch needs no
+    filter because survivors are drawn from the filtered pool. The
+    predicate evaluates inside the index scan stage, after partition
+    pruning to the probed cells, so a filtered serve reads exactly the
+    same partitions as an unfiltered one and drops rows map-side —
+    never a second pass over the corpus (the attribute lives IN the
+    index, the Qdrant/Vespa filtered-ANN layout)."""
     cb, pqcb, _ = _sidecar_model(spark, path)
+    cand = _read_ann_index(
+        spark, path, with_label=candidate_filter is not None
+    )
+    if candidate_filter is not None:
+        cand = cand.filter(candidate_filter).drop("label")
     return _ivfpq_serve(
         spark,
         queries,
-        _minus_tombstones(spark, path, _read_ann_index(spark, path)),
+        _minus_tombstones(spark, path, cand),
         (cb, pqcb),
         vectors=_minus_tombstones(spark, path, _read_ann_vectors(spark, path)),
     )
@@ -1629,8 +1658,148 @@ QUERIES["sim_index_query_deleted"] = sim_index_query_deleted
 ORACLES["sim_index_query_deleted"] = _sim_ivfpq_sql(
     f"c.vec_id % 10 <> {DELETED_SLICE_MOD}"
 )
+#: the filtered entry's candidate predicate: labels 0-2, ~29% of the
+#: corpus — selective enough that the filter visibly reshapes results,
+#: wide enough that probed cells still hold candidates
+FILTERED_LABEL_MAX = 3
+
+
+def sim_index_query_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search from the persisted index — the other
+    half of production ANN serving (every real retrieval stack serves
+    "top-k among documents matching a metadata predicate": language,
+    license, freshness, tenant). The v4 index table persists the
+    `label` attribute next to the PQ codes, so the predicate
+    (label < 3, ~29% of candidates) evaluates INSIDE the
+    partition-pruned index scan: same probed cells as an unfiltered
+    serve, rows dropped map-side before scoring, no corpus pass and no
+    post-hoc re-query loop. Query vectors stay unrestricted — the
+    filter constrains what may be RETURNED, not who may ask; queries
+    whose probed cells hold fewer than K matching candidates return
+    fewer rows, exactly like the oracle. The oracle is
+    sim_topk_ivfpq's with the complement slice excluded from the
+    candidate pool only — an over- or under-applied filter
+    hash-diverges. Reference parity: none — driver-contract Part C
+    ANN family."""
+    path = build_ann_index(spark, sf_dir)
+    queries, _ = _queries_and_corpus(spark, sf_dir)
+    return serve_ann_index(
+        spark,
+        path,
+        queries,
+        candidate_filter=F.col("label") < FILTERED_LABEL_MAX,
+    )
+
+
+def sim_index_recall_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index QUALITY monitoring: per-query recall@k of the persisted
+    IVF-PQ serve chain against the exact brute-force top-k, over the
+    standing 1% query sample — the number a production index owner
+    watches to decide when nprobe, k, or the codebook need retraining.
+    recall@k = |approx top-k ∩ exact top-k| / k, one row per query
+    (the distribution matters, not just the mean: a healthy average
+    can hide a dead cell's zero-recall queries). Both sides are
+    certified entries already (sim_index_query / sim_topk_bruteforce);
+    this entry certifies their COMPOSITION, so the oracle is their two
+    SQL bodies joined. Scale: the exact side is quadratic in
+    (sample x corpus) BY DESIGN — recall estimation always pays exact
+    search on a sample; the knob is the sample size (here the standing
+    1%), never the corpus. The top-k sets are k x |sample| rows — the
+    join and the group-by are driver-trivial at any corpus size."""
+    path = build_ann_index(spark, sf_dir)
+    queries, _ = _queries_and_corpus(spark, sf_dir)
+    approx = serve_ann_index(spark, path, queries).select(
+        "query_id", "neighbor_id"
+    )
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        approx.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.count("hit") / F.lit(float(TOP_K)), 6).alias(
+                "recall_at_k"
+            )
+        )
+    )
+
+
+def _sim_recall_sql() -> str:
+    """Oracle for sim_index_recall_estimate: the ivfpq and brute-force
+    oracle bodies verbatim as subqueries (DuckDB allows WITH inside a
+    parenthesized subquery), left-joined so zero-overlap queries still
+    produce a 0.0 row."""
+    return f"""
+WITH approx AS (SELECT * FROM ({_sim_ivfpq_sql()}) ap),
+ex AS (SELECT * FROM ({SIM_TOPK_SQL}) bf)
+SELECT a.query_id,
+       ROUND(COUNT(e.neighbor_id) / CAST({TOP_K} AS DOUBLE), 6)
+         AS recall_at_k
+FROM approx a LEFT JOIN ex e
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY a.query_id
+"""
+
+
+def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index LAYOUT monitoring: cell-population statistics of the
+    persisted table — count/min/max/avg cell size plus the balance
+    skew (max/avg), the one-row health readout that schedules
+    retraining and compaction. At 100 TB cell balance IS serve tail
+    latency: candidates per query scale with the PROBED cells'
+    population, so a skewed cell (balance_skew >> 1) makes every query
+    that probes it pay its whole list — the monitoring loop watches
+    this number and retrains the codebook (or splits hot cells) when
+    it drifts. The scan reads zero data columns (cell is the partition
+    directory), the per-cell count is a partial agg, and the final
+    rollup is k rows — the whole entry is metadata-priced. Oracle:
+    the index-table oracle aggregated the same way, so a build that
+    misplaced a single row into the wrong cell hash-diverges."""
+    path = build_ann_index(spark, sf_dir)
+    per_cell = (
+        _read_ann_index(spark, path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_vectors"),
+        F.min("n").alias("min_cell"),
+        F.max("n").alias("max_cell"),
+        F.round(F.avg("n"), 6).alias("avg_cell"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("balance_skew"),
+    )
+
+
+def _sim_index_stats_sql() -> str:
+    """Oracle for sim_index_stats: the shared index-table oracle rolled
+    up to the same one-row summary (SUM over BIGINT widens to HUGEINT
+    in DuckDB — cast back)."""
+    return f"""
+WITH idx AS (SELECT * FROM ({_index_table_sql()}) t),
+per_cell AS (SELECT cell, COUNT(*) AS n FROM idx GROUP BY cell)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_vectors,
+       CAST(MIN(n) AS BIGINT) AS min_cell,
+       CAST(MAX(n) AS BIGINT) AS max_cell,
+       ROUND(AVG(n), 6) AS avg_cell,
+       ROUND(MAX(n) / AVG(n), 6) AS balance_skew
+FROM per_cell
+"""
+
+
 QUERIES["sim_index_append"] = sim_index_append
 ORACLES["sim_index_append"] = _sim_index_append_sql()
+QUERIES["sim_index_query_filtered"] = sim_index_query_filtered
+ORACLES["sim_index_query_filtered"] = _sim_ivfpq_sql(
+    f"c.vec_id IN (SELECT vec_id FROM embeddings"
+    f" WHERE label < {FILTERED_LABEL_MAX})"
+)
+QUERIES["sim_index_recall_estimate"] = sim_index_recall_estimate
+ORACLES["sim_index_recall_estimate"] = _sim_recall_sql()
+QUERIES["sim_index_stats"] = sim_index_stats
+ORACLES["sim_index_stats"] = _sim_index_stats_sql()
 
 
 #: BM25 retrieval parameters (Robertson/Spärck Jones defaults) and the

@@ -65,13 +65,19 @@ _FRONT = [
     # r9-era rows as filler (computed mechanically: latest green
     # driver row per name over CORRECTNESS_r01-r12).
     #
-    # (a) 2 new-op slots: OPTIMIZE-then-serve — compact_ann_index
+    # (a) 5 new-op slots: OPTIMIZE-then-serve — compact_ann_index
     #     content preservation hash-checked by the driver through the
-    #     shared ivfpq oracle (r12 verdict item 3) — and serve-after-
+    #     shared ivfpq oracle (r12 verdict item 3) — serve-after-
     #     takedown-deletes (tombstone merge-on-read; candidate-pred
-    #     variant of the same oracle):
+    #     variant of the same oracle), filtered vector search (v4
+    #     attribute column, candidate-pred variant), the recall@k
+    #     estimator (ivfpq ∘ bruteforce composition oracle), and the
+    #     cell-balance stats rollup (index-table oracle aggregated):
     "sim_index_query_compacted",
     "sim_index_query_deleted",
+    "sim_index_query_filtered",
+    "sim_index_recall_estimate",
+    "sim_index_stats",
     # (b) 5 plans round 13 changed: the self-contained index family
     #     (sidecar-persisted codebooks; serve re-fetches survivors
     #     from the index table; append/stream load the frozen model
@@ -110,9 +116,10 @@ _FRONT = [
     "stream_sliding_15m",
     "text_bpe_apply",
     "text_bpe_learn_merges",
-    # (e) filler: the 20 oldest r9-era rows (alphabetical within the
+    # (e) filler: the oldest r9-era rows (alphabetical within the
     #     r9 cohort). Displaced to r14: the r9 rows from
-    #     q11_part_value_share onward, then the r10 cohort:
+    #     prep_shard_balanced / prep_vocab_topk / q10_returned_items
+    #     and q11_part_value_share onward, then the r10 cohort:
     "agg_boolean",
     "agg_collect_sets",
     "agg_percentiles",
@@ -130,9 +137,6 @@ _FRONT = [
     "multimodal_join_docs_embeddings",
     "posexplode_tokens",
     "prep_decontaminate_bloom",
-    "prep_shard_balanced",
-    "prep_vocab_topk",
-    "q10_returned_items",
 ]
 
 

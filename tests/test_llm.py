@@ -1738,6 +1738,94 @@ def test_sidecar_model_bit_identical_to_training(spark, tmp_path):
         )
 
 
+def test_filtered_serve_respects_candidate_predicate(spark, sf_dir):
+    """r13 filtered vector search: every returned neighbor satisfies
+    the candidate predicate (label < FILTERED_LABEL_MAX), while the
+    unfiltered serve over the same index returns at least one neighbor
+    the filter excludes — proving the predicate constrains the
+    candidate pool and nothing else (query set, k, ranking) changed."""
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        FILTERED_LABEL_MAX,
+        sim_index_query,
+        sim_index_query_filtered,
+    )
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    filtered = sim_index_query_filtered(spark, sf_dir).collect()
+    assert filtered, "empty filtered serve proves nothing"
+    assert all(labels[r["neighbor_id"]] < FILTERED_LABEL_MAX for r in filtered)
+    plain = sim_index_query(spark, sf_dir).collect()
+    assert any(labels[r["neighbor_id"]] >= FILTERED_LABEL_MAX for r in plain), (
+        "unfiltered serve never crosses the predicate — the filter "
+        "assertion above is vacuous on this corpus"
+    )
+
+
+def test_recall_estimate_grain_and_bounds(spark, sf_dir):
+    """r13 recall@k estimator: one row per query in the standing 1%
+    sample, every value in [0, 1] and an exact multiple of 1/k (it is
+    |intersection|/k), and self-consistent with a direct overlap count
+    of the two certified sides."""
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        TOP_K,
+        sim_index_query,
+        sim_index_recall_estimate,
+        sim_topk_bruteforce,
+    )
+
+    rows = sim_index_recall_estimate(spark, sf_dir).collect()
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_index_query(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    assert {r["query_id"] for r in rows} == {q for q, _ in approx}
+    for r in rows:
+        hits = sum(
+            1
+            for q, n in approx & exact
+            if q == r["query_id"]
+        )
+        assert r["recall_at_k"] == round(hits / TOP_K, 6)
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def test_index_stats_consistency(spark, sf_dir):
+    """r13 cell-balance stats: the one-row rollup agrees with a direct
+    recount of the certified index table, and the invariants a
+    monitoring consumer relies on hold (min <= avg <= max,
+    balance_skew = max/avg >= 1)."""
+    from collections import Counter
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        sim_index_build,
+        sim_index_stats,
+    )
+
+    cells = Counter(
+        r["cell"] for r in sim_index_build(spark, sf_dir).collect()
+    )
+    s = sim_index_stats(spark, sf_dir).collect()[0]
+    assert s["n_cells"] == len(cells)
+    assert s["n_vectors"] == sum(cells.values())
+    assert s["min_cell"] == min(cells.values())
+    assert s["max_cell"] == max(cells.values())
+    assert s["min_cell"] <= s["avg_cell"] <= s["max_cell"]
+    assert s["balance_skew"] >= 1.0
+    assert s["balance_skew"] == round(
+        s["max_cell"] / (sum(cells.values()) / len(cells)), 6
+    )
+
+
 def test_compact_ann_index_recovers_from_crashed_swap(spark, tmp_path):
     """r12 ADVICE: a compaction crash between its two renames leaves no
     data dir but a readable __old sibling; the next compact_ann_index

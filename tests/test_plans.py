@@ -298,6 +298,15 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # shape over the compacted "frag" / tombstoned "del" variants
         "sim_index_query_compacted",
         "sim_index_query_deleted",
+        # sim_index_query_filtered: identical serve-chain shape with a
+        # map-side label predicate inside the index scan (r13)
+        "sim_index_query_filtered",
+        # sim_index_recall_estimate: the serve chain's model-state
+        # crosses PLUS sim_topk_bruteforce's non-equi pair join (the
+        # exact side of recall@k — quadratic in sample x corpus by
+        # design, sample-bounded); the final overlap join is a
+        # broadcast hash join on (query_id, neighbor_id)
+        "sim_index_recall_estimate",
         # sim_index_append: the frozen IVF codebook (1-row broadcast)
         # crossed onto the arriving-batch scan for map-side cell
         # assignment — zero exchanges in the whole plan (the delta is
@@ -686,6 +695,36 @@ def test_sim_index_query_reuses_persisted_index(spark, sf_dir):
     bdf = similarity.sim_topk_ivfpq(spark, sf_dir)
     bplan = bdf._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in bplan, "live path lost its Arrow code assignment"
+
+
+def test_filtered_serve_pushes_predicate_into_pruned_index_scan(spark, sf_dir):
+    """r13 filtered vector search: the label predicate must evaluate
+    INSIDE the index scan (PushedFilters on the parquet source — the
+    attribute lives in the v4 table, so filtering costs zero extra
+    passes), while the serve chain keeps its two scale properties: no
+    corpus-side code recomputation (no MapInPandas) and dynamic
+    partition pruning on the probed cells. The unfiltered serve must
+    NOT read the label column at all (column pruning keeps its scan as
+    narrow as v3's)."""
+    import re
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+
+    fdf = similarity.sim_index_query_filtered(spark, sf_dir)
+    fplan = fdf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in fplan, "filtered serve recomputes PQ codes"
+    assert "dynamicpruning" in fplan.lower(), (
+        "filtered serve lost dynamic partition pruning on cell"
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*label", fplan), (
+        "label predicate is not pushed into the index scan"
+    )
+
+    qdf = similarity.sim_index_query(spark, sf_dir)
+    qplan = qdf._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"ReadSchema: [^\n]*label", qplan), (
+        "unfiltered serve reads the label column it never uses"
+    )
 
 
 def test_ann_index_rebuilds_on_fingerprint_change(spark, sf_dir):
