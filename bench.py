@@ -164,6 +164,16 @@ HEADLINE = [
     # and serve-after-takedown-deletes (tombstone anti-join cost)
     "sim_index_query_compacted",
     "sim_index_query_deleted",
+    # round-13 second pass: filtered vector search (attribute predicate
+    # inside the pruned index scan), the recall@k estimator (serve +
+    # exact brute force composed), cell-balance stats (metadata-priced
+    # rollup), the online near-dup ingestion gate (batch-as-queries
+    # serve), and the frozen-model drift monitor (two histograms + TV)
+    "sim_index_query_filtered",
+    "sim_index_recall_estimate",
+    "sim_index_stats",
+    "dedup_online_index_gate",
+    "sim_index_drift_monitor",
 ]
 
 

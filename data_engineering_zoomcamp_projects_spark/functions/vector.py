@@ -3,10 +3,25 @@ higher-order functions only (zip_with + aggregate), no UDFs: the whole
 expression stays inside whole-stage codegen.
 
 Exactness contract: dot products and squared norms accumulate in
-DECIMAL(38,10) so they are order-independent and bit-identical to the
-DuckDB oracle (each elementwise double product is IEEE-deterministic;
+scale-10 decimal so they are order-independent and bit-identical to the
+DuckDB oracle (each elementwise double product is IEEE-deterministic
+and its double->decimal(*,10) cast rounds identically on both engines;
 the decimal sum is exact). Cosine is then a fixed sequence of IEEE
 double ops on identical inputs.
+
+Accumulator precision (r13): the fold accumulates in DECIMAL(28,10),
+NOT (38,10). Spark types (38,10)+(38,10) as (38,9) — precision
+overflows 38, so the bounded-precision rule SHEDS THE 10TH DECIMAL of
+every intermediate sum (HALF_UP per step; a fold of ten 1e-10 terms
+returns literal zero). That made dot_dec quietly non-exact: measured
+against the true decimal sum at sf0.01, 2462/2495 query-corpus pairs
+were off (mean 2.7e-9, max 1e-8) — invisible under the 6-dp output
+rounding until a cosine lands within noise of a rounding boundary
+(sim_index_query_filtered row, r13). At (28,10), addition types as
+(29,10) — no precision overflow, no scale loss — and the cast back to
+(28,10) is value-lossless for |sum| < 10^18, so the fold now equals
+the oracle's list_sum exactly on every pair (pytest-pinned against a
+Python-decimal reference).
 """
 
 from __future__ import annotations
@@ -15,6 +30,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 DEC = "decimal(38,10)"
+#: fold accumulator type — see the module docstring; 18 integral
+#: digits of headroom, scale 10 preserved through every (acc + x)
+ACC = "decimal(28,10)"
 
 
 def as_double_array(col: Column) -> Column:
@@ -22,15 +40,12 @@ def as_double_array(col: Column) -> Column:
 
 
 def dot_dec(a: Column, b: Column) -> Column:
-    """Exact decimal dot product of two double arrays.
-
-    The merge re-casts to DECIMAL(38,10): Spark widens decimal addition
-    to scale 9 which would break aggregate's type contract; since sums
-    of scale-10 values stay at scale 10 the cast is lossless."""
+    """Exact decimal dot product of two double arrays (see the module
+    docstring for why the accumulator is DECIMAL(28,10))."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast(DEC)),
-        F.lit(0).cast(DEC),
-        lambda acc, x: (acc + x).cast(DEC),
+        F.zip_with(a, b, lambda x, y: (x * y).cast(ACC)),
+        F.lit(0).cast(ACC),
+        lambda acc, x: (acc + x).cast(ACC),
     )
 
 

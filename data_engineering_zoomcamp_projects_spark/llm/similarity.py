@@ -294,7 +294,9 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 
 
 def _ivf_index_ctes(
-    src: str = "embeddings", assign_src: str = "embeddings"
+    src: str = "embeddings",
+    assign_src: str = "embeddings",
+    query_src: str | None = None,
 ) -> str:
     """The shared two-level-index CTE chain (stats .. corpus_cells /
     query_cells) — DuckDB rebuilds the codebook from the same
@@ -303,12 +305,47 @@ def _ivf_index_ctes(
     refactor). `src` is the codebook's training base, `assign_src` the
     relation whose rows get cell-assigned — they differ only for the
     frozen-model incremental append (sim_index_append); the defaults
-    render the exact text every certified oracle has always used."""
+    render the exact text every certified oracle has always used.
+    `query_src` (r13) overrides the QUERY side: None keeps the
+    standing 1% sample (every 100th assigned row — verbatim historical
+    text); a relation makes EVERY row of it a query, cell-assigned
+    through its own supercell hop (the online ingestion-gate shape:
+    queries are the arriving batch, candidates the indexed corpus)."""
     from ..functions.vector import sql_dot_double
 
     dot_cs = sql_dot_double("c.cv", "s.scv")
     dot_es = sql_dot_double("e.embedding", "s.scv")
     dot_ec = sql_dot_double("x.embedding", "cc.cv")
+    if query_src is None:
+        query_side = """query_cells AS (
+  SELECT vec_id, embedding, qcell FROM (
+    SELECT x.vec_id, x.embedding, cc.cent_id AS qcell,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id ORDER BY {dot_ec} DESC, cc.cent_id ASC
+           ) AS rk
+    FROM corpus_sc x JOIN cent_owner cc ON cc.sc_id = x.sc_id
+    WHERE x.vec_id % 100 = 0
+  ) WHERE rk <= 2
+)""".format(dot_ec=dot_ec)
+    else:
+        query_side = """query_sc AS (
+  SELECT vec_id, embedding, sc_id FROM (
+    SELECT e.vec_id, e.embedding, s.sc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id ORDER BY {dot_es} DESC, s.sc_id ASC
+           ) AS rk
+    FROM {query_src} e CROSS JOIN supercents s
+  ) WHERE rk = 1
+),
+query_cells AS (
+  SELECT vec_id, embedding, qcell FROM (
+    SELECT x.vec_id, x.embedding, cc.cent_id AS qcell,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id ORDER BY {dot_ec} DESC, cc.cent_id ASC
+           ) AS rk
+    FROM query_sc x JOIN cent_owner cc ON cc.sc_id = x.sc_id
+  ) WHERE rk <= 2
+)""".format(dot_es=dot_es, dot_ec=dot_ec, query_src=query_src)
     return f"""stats AS (
   SELECT GREATEST(1, CAST(CEIL(COUNT(*) / CEIL(SQRT(COUNT(*)))) AS BIGINT)) AS stride
   FROM {src}
@@ -353,16 +390,7 @@ corpus_cells AS (
     FROM corpus_sc x JOIN cent_owner cc ON cc.sc_id = x.sc_id
   ) WHERE rk = 1
 ),
-query_cells AS (
-  SELECT vec_id, embedding, qcell FROM (
-    SELECT x.vec_id, x.embedding, cc.cent_id AS qcell,
-           ROW_NUMBER() OVER (
-             PARTITION BY x.vec_id ORDER BY {dot_ec} DESC, cc.cent_id ASC
-           ) AS rk
-    FROM corpus_sc x JOIN cent_owner cc ON cc.sc_id = x.sc_id
-    WHERE x.vec_id % 100 = 0
-  ) WHERE rk <= 2
-)"""
+{query_side}"""
 
 
 def _sim_ivf_sql() -> str:
@@ -873,9 +901,12 @@ def _pq_lut(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
 
 def _pq_score(code_col: str, lut_col: str) -> Column:
     """Sum_s lut[s][code_s] as exact decimal (left-assoc s=0..7; each
-    term is a DECIMAL(38,10), the running sum re-cast like dot_dec's
-    merge) — the asymmetric inner-product approximation q . x~."""
-    from ..functions.vector import DEC
+    term is a scale-10 decimal, the running sum re-cast like dot_dec's
+    merge — at the (28,10) ACCUMULATOR precision, where addition keeps
+    scale 10; at (38,10) Spark's bounded-precision rule rounds every
+    intermediate to scale 9, see functions/vector.py) — the asymmetric
+    inner-product approximation q . x~."""
+    from ..functions.vector import ACC
 
     score = None
     for s in range(PQ_M):
@@ -884,7 +915,7 @@ def _pq_score(code_col: str, lut_col: str) -> Column:
         term = F.element_at(
             F.element_at(F.col(lut_col), s + 1), code_s + F.lit(1)
         )
-        score = term if score is None else (score + term).cast(DEC)
+        score = term if score is None else (score + term).cast(ACC)
     return score
 
 
@@ -1018,6 +1049,13 @@ def _ivfpq_serve(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
+    # tie-safe final rounding (r13): the filtered entry surfaced
+    # cos_sim values whose millionths digit sits on a round boundary,
+    # where plain double ROUND diverges between engines — the drnd
+    # convention (cast to exact decimal, round the decimal, back to
+    # double) is consistent on true ties; the oracle mirrors it
+    from ..operators.parity import DEC as _DEC
+
     return (
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -1025,12 +1063,19 @@ def _ivfpq_serve(
             "query_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
-            F.round("cos_sim", 6).alias("cos_sim"),
+            F.round(F.col("cos_sim").cast(_DEC), 6)
+            .cast("double")
+            .alias("cos_sim"),
         )
     )
 
 
-def _sim_ivfpq_sql(candidate_pred: str = "TRUE") -> str:
+def _sim_ivfpq_sql(
+    candidate_pred: str = "TRUE",
+    src: str = "embeddings",
+    assign_src: str = "embeddings",
+    query_src: str | None = None,
+) -> str:
     """Full oracle for sim_topk_ivfpq: the shared index chain plus an
     exact replica of the PQ path — first-PQ_K-by-vec_id codebook,
     per-subspace argmin codes (fold-order-matched double dist ASC,
@@ -1047,7 +1092,14 @@ def _sim_ivfpq_sql(candidate_pred: str = "TRUE") -> str:
     pq_scored) — the tombstone-deletion twin: deleted rows leave the
     candidate pool while the frozen model (trained before the deletes)
     and the query set stay full-corpus, exactly the merge-on-read
-    semantics of `delete_from_ann_index`."""
+    semantics of `delete_from_ann_index`.
+
+    ``src``/``assign_src``/``query_src`` (r13) re-target the model
+    training base, the candidate relation, and the query relation —
+    the online ingestion-gate shape (frozen model + candidates from
+    the historical slice, every arriving row a query); the defaults
+    render the exact historical text of every certified serve
+    oracle."""
     from ..functions.vector import sql_dist_double, sql_dot_dec, sql_norm
 
     sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
@@ -1056,11 +1108,11 @@ def _sim_ivfpq_sql(candidate_pred: str = "TRUE") -> str:
     sub_p = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
     cos = sql_cosine("q.embedding", "c.embedding")
     return f"""
-WITH {_ivf_index_ctes()},
+WITH {_ivf_index_ctes(src=src, assign_src=assign_src, query_src=query_src)},
 pqc AS (
   SELECT rp - 1 AS p, cv FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rp, embedding AS cv
-    FROM embeddings
+    FROM {src}
   ) WHERE rp <= {PQ_K}
 ),
 subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
@@ -1097,7 +1149,7 @@ survivors AS (
 )
 SELECT query_id, rank, neighbor_id, cos_sim FROM (
   SELECT s.query_id, c.vec_id AS neighbor_id,
-         ROUND({cos}, 6) AS cos_sim,
+         CAST(ROUND(CAST({cos} AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim,
          ROW_NUMBER() OVER (
            PARTITION BY s.query_id ORDER BY {cos} DESC, c.vec_id ASC
          ) AS rank
@@ -1132,8 +1184,11 @@ ORACLES["sim_topk_ivfpq"] = _sim_ivfpq_sql()
 #: bump to invalidate every persisted index when the layout changes
 #: (v2: unowned-cell rows dropped from the table, r12 review;
 #: v4: the `label` attribute column rides in the table so serving can
-#: push metadata predicates into the index scan — filtered ANN)
-ANN_INDEX_VERSION = 4
+#: push metadata predicates into the index scan — filtered ANN;
+#: v5: stored vnorm recomputed after the dot_dec accumulator fix —
+#: functions/vector.py ACC — so the table's norms equal what the
+#: now-exact fold produces)
+ANN_INDEX_VERSION = 5
 
 
 def _ann_index_path(sf_dir: str, variant: str = "full") -> tuple[str, str]:
@@ -1791,6 +1846,175 @@ FROM per_cell
 
 QUERIES["sim_index_append"] = sim_index_append
 ORACLES["sim_index_append"] = _sim_index_append_sql()
+#: SQL text of the historical / arriving corpus slices (the standing
+#: vec_id % 10 = 7 arriving-batch convention) — the ingestion-gate and
+#: drift-monitor oracles re-target the shared index SQL onto these
+_HIST_SRC = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)"
+_ARRIVING_SRC = "(SELECT * FROM embeddings WHERE vec_id % 10 = 7)"
+
+#: nearest-indexed-neighbor cosine above which an arriving vector is
+#: flagged as a near-duplicate of already-indexed data (median of the
+#: rank-1 distribution on this corpus — a meaningful split either way;
+#: deploy tunes this against labeled dup pairs)
+GATE_DUP_THRESHOLD = 0.3
+
+
+def dedup_online_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE near-dup ingestion gate against the persisted index —
+    the production "dedup before append" flow of a training-data
+    pipeline: every ARRIVING vector (the standing vec_id % 10 = 7
+    batch) is looked up in the HISTORICAL index (hist variant — the
+    pre-existing table), and its nearest indexed neighbor decides
+    whether it enters the corpus (is_dup = cosine >= threshold) or is
+    dropped as a near-duplicate of already-ingested data. The lookup
+    IS `serve_ann_index` with the batch as the query frame — frozen
+    sidecar model, partition-pruned candidate scan, PQ cut, exact
+    re-rank — so the gate costs one O(|batch|) index serve, never a
+    batch x corpus pair scan (the reason index-backed gating is how
+    crawl pipelines dedup at 100 TB: the corpus side is amortized into
+    the index build). The serve chain broadcasts the query side
+    (~1 KB LUT per query), so the broadcast grows with the batch, not
+    the corpus — a deploy run gates arrivals in bounded chunks (the
+    micro-batches stream_live_index_append already demonstrates),
+    keeping each broadcast at the chunk size. Output: one row per
+    gated arrival with its
+    nearest indexed neighbor, the exact cosine, and the keep/drop
+    flag. Oracle: the ivfpq SQL re-targeted — model + candidates from
+    the historical slice, every arriving row a query — cut to rank 1
+    with the same threshold. Reference parity: none — driver-contract
+    Part C dedup x ANN-family composition."""
+    hist_path = build_ann_index(spark, sf_dir, variant="hist")
+    _, corpus = _queries_and_corpus(spark, sf_dir)
+    arriving = corpus.filter(F.col("vec_id") % 10 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    nn = serve_ann_index(spark, hist_path, arriving).filter(
+        F.col("rank") == 1
+    )
+    return nn.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nn_id"),
+        "cos_sim",
+        (F.col("cos_sim") >= GATE_DUP_THRESHOLD).cast("int").alias("is_dup"),
+    )
+
+
+def _online_gate_sql() -> str:
+    """Oracle for dedup_online_index_gate: the serve oracle with the
+    model/candidate base on the historical slice and the query side on
+    the arriving slice, rank-1 row per query, thresholded."""
+    body = _sim_ivfpq_sql(
+        src=_HIST_SRC, assign_src=_HIST_SRC, query_src=_ARRIVING_SRC
+    )
+    return f"""
+SELECT query_id AS vec_id, neighbor_id AS nn_id, cos_sim,
+       CAST(CASE WHEN cos_sim >= {GATE_DUP_THRESHOLD} THEN 1 ELSE 0 END
+            AS INTEGER) AS is_dup
+FROM ({body}) t WHERE rank = 1
+"""
+
+
+def sim_index_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data DRIFT monitor for the persisted index — the retrain
+    trigger a production index owner actually pages on: total
+    variation distance between the indexed corpus's cell distribution
+    and the arriving batch's cell distribution under the FROZEN model
+    (TV = half the L1 gap between the two normalized histograms; 0 =
+    arrivals look like the corpus the codebook was trained on, ->1 =
+    the embedding distribution moved and the frozen cells no longer
+    describe it — time for sim_index_build). Cost is metadata-priced
+    at any corpus size: the indexed histogram reads zero data columns
+    (cell is the partition directory), the batch histogram is one
+    O(|batch|) frozen-model assignment pass, and the TV rollup runs
+    over k cells. The L1 sum goes through the parity decimal-sum
+    convention (order-independent) with /2 folded per-term (exact
+    halving). Oracle: the shared index-table SQL rendered for both
+    slices, histogrammed and folded identically."""
+    from ..operators.parity import DEC
+
+    hist_path = build_ann_index(spark, sf_dir, variant="hist")
+    cb, _pqcb, _pq = _sidecar_model(spark, hist_path)
+    _, corpus = _queries_and_corpus(spark, sf_dir)
+    arriving = corpus.filter(F.col("vec_id") % 10 == 7)
+    assigned = (
+        _nearest_cells(cb, arriving, "v", "cell", 1)
+        .withColumn("cell", F.coalesce(F.col("cell"), F.lit(-1).cast("long")))
+        .filter(F.col("cell") != -1)
+    )
+    p = (
+        _read_ann_index(spark, hist_path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    q = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("nq"))
+    # barrier: tot AND terms both consume j — without the lazy
+    # localCheckpoint the arriving batch's assignment subtree renders
+    # (and runs) once per consumer (the distrank/events_user_rfm
+    # convention; j is a k-cell metadata frame, so the checkpoint is
+    # metadata-priced)
+    j = (
+        p.join(q, "cell", "full_outer")
+        .select(
+            F.coalesce("np", F.lit(0).cast("long")).alias("np"),
+            F.coalesce("nq", F.lit(0).cast("long")).alias("nq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = j.agg(
+        F.sum("np").alias("P"), F.sum("nq").alias("Q")
+    )
+    terms = j.crossJoin(F.broadcast(tot)).select(
+        "P",
+        "Q",
+        (
+            F.abs(F.col("np") / F.col("P") - F.col("nq") / F.col("Q")) / 2
+        ).alias("d"),
+    )
+    return terms.agg(
+        F.max("P").alias("n_hist"),
+        F.max("Q").alias("n_batch"),
+        F.round(F.sum(F.col("d").cast(DEC)), 6)
+        .cast("double")
+        .alias("tv_distance"),
+    )
+
+
+def _drift_monitor_sql() -> str:
+    """Oracle for sim_index_drift_monitor: both cell histograms from
+    the shared index-table SQL (frozen model = historical slice),
+    full-outer joined, TV-folded with the decimal-sum parity
+    convention (SUM over BIGINT widens to HUGEINT in DuckDB — cast)."""
+    hist = _index_table_sql(src=_HIST_SRC, assign_src=_HIST_SRC)
+    arr = _index_table_sql(src=_HIST_SRC, assign_src=_ARRIVING_SRC)
+    return f"""
+WITH hist_cells AS (SELECT * FROM ({hist}) h),
+arr_cells AS (SELECT * FROM ({arr}) a),
+p AS (SELECT cell, COUNT(*) AS np FROM hist_cells GROUP BY cell),
+q AS (SELECT cell, COUNT(*) AS nq FROM arr_cells GROUP BY cell),
+j AS (
+  SELECT COALESCE(p.np, 0) AS np, COALESCE(q.nq, 0) AS nq
+  FROM p FULL OUTER JOIN q USING (cell)
+),
+tot AS (SELECT CAST(SUM(np) AS BIGINT) AS "P",
+               CAST(SUM(nq) AS BIGINT) AS "Q" FROM j),
+terms AS (
+  SELECT "P", "Q",
+         ABS(CAST(np AS DOUBLE) / "P" - CAST(nq AS DOUBLE) / "Q") / 2 AS d
+  FROM j CROSS JOIN tot
+)
+SELECT MAX("P") AS n_hist, MAX("Q") AS n_batch,
+       CAST(ROUND(SUM(CAST(d AS DECIMAL(38,10))), 6) AS DOUBLE)
+         AS tv_distance
+FROM terms
+"""
+
+
+QUERIES["dedup_online_index_gate"] = dedup_online_index_gate
+ORACLES["dedup_online_index_gate"] = _online_gate_sql()
+QUERIES["sim_index_drift_monitor"] = sim_index_drift_monitor
+ORACLES["sim_index_drift_monitor"] = _drift_monitor_sql()
 QUERIES["sim_index_query_filtered"] = sim_index_query_filtered
 ORACLES["sim_index_query_filtered"] = _sim_ivfpq_sql(
     f"c.vec_id IN (SELECT vec_id FROM embeddings"

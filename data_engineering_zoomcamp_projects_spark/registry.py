@@ -78,6 +78,12 @@ _FRONT = [
     "sim_index_query_filtered",
     "sim_index_recall_estimate",
     "sim_index_stats",
+    # (a2) index day-2 operations (r13 second pass): the online
+    #     near-dup ingestion gate (serve oracle re-targeted onto the
+    #     hist/arriving slices) and the cell-distribution drift
+    #     monitor (index-table oracle histogrammed + TV-folded):
+    "dedup_online_index_gate",
+    "sim_index_drift_monitor",
     # (b) 5 plans round 13 changed: the self-contained index family
     #     (sidecar-persisted codebooks; serve re-fetches survivors
     #     from the index table; append/stream load the frozen model
@@ -135,8 +141,6 @@ _FRONT = [
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "multimodal_join_docs_embeddings",
-    "posexplode_tokens",
-    "prep_decontaminate_bloom",
 ]
 
 

@@ -17,6 +17,14 @@ from data_engineering_zoomcamp_projects_spark.catalog import TABLES
 
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
+    # bound the buffer pool: DuckDB's default limit (80% of RAM) over
+    # 32 threads on this no-swap host hits allocator bad_alloc when a
+    # Spark JVM holds most of memory alongside (the ivfpq-shaped
+    # decimal-join oracles are the trigger; same hardening as the
+    # verify recipe's long-lived connection)
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET threads=8")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -1738,6 +1738,60 @@ def test_sidecar_model_bit_identical_to_training(spark, tmp_path):
         )
 
 
+def test_dot_dec_exact_against_python_decimal(spark, sf_dir):
+    """r13: dot_dec must equal the TRUE decimal sum of the 10-dp
+    rounded per-term products — the exactness contract every sim
+    oracle assumes. At a (38,10) accumulator Spark's bounded-precision
+    addition types intermediates as (38,9), shedding the 10th decimal
+    per step (98.7% of sf0.01 pairs were off by ~2.7e-9, surfacing as
+    a 6-dp flip whenever a cosine landed near a rounding boundary —
+    the sim_index_query_filtered row that caught it); the (28,10)
+    accumulator keeps scale 10 through every step. Reference: Python
+    decimal HALF_UP of each product's repr (= both engines' double ->
+    scale-10 cast), summed exactly, over EVERY query x corpus pair."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+    from data_engineering_zoomcamp_projects_spark.functions.vector import (
+        as_double_array,
+        dot_dec,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        as_double_array(F.col("embedding")).alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        as_double_array(F.col("embedding")).alias("v"),
+    )
+    rows = (
+        c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select("qid", "cid", dot_dec(F.col("qv"), F.col("v")).alias("d"))
+        .collect()
+    )
+    assert rows
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.select("vec_id", "embedding").collect()
+    }
+    quantum = decimal.Decimal("1e-10")
+    n_bad = 0
+    for r in rows:
+        exact = sum(
+            decimal.Decimal(repr(x * y)).quantize(
+                quantum, rounding=decimal.ROUND_HALF_UP
+            )
+            for x, y in zip(vecs[r["qid"]], vecs[r["cid"]])
+        )
+        if decimal.Decimal(str(r["d"])) != exact:
+            n_bad += 1
+    assert n_bad == 0, f"{n_bad}/{len(rows)} pairs deviate from exact"
+
+
 def test_filtered_serve_respects_candidate_predicate(spark, sf_dir):
     """r13 filtered vector search: every returned neighbor satisfies
     the candidate predicate (label < FILTERED_LABEL_MAX), while the
@@ -1824,6 +1878,52 @@ def test_index_stats_consistency(spark, sf_dir):
     assert s["balance_skew"] == round(
         s["max_cell"] / (sum(cells.values()) / len(cells)), 6
     )
+
+
+def test_online_index_gate_semantics(spark, sf_dir):
+    """r13 ingestion gate: one row per arriving vector (vec_id % 10 =
+    7), the nearest neighbor is always an INDEXED (historical) vector,
+    and the keep/drop flag is exactly the thresholded cosine."""
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        GATE_DUP_THRESHOLD,
+        dedup_online_index_gate,
+    )
+
+    rows = dedup_online_index_gate(spark, sf_dir).collect()
+    assert rows, "empty gate output proves nothing"
+    for r in rows:
+        assert r["vec_id"] % 10 == 7
+        assert r["nn_id"] % 10 != 7, "gate matched against an arrival"
+        assert r["is_dup"] == int(r["cos_sim"] >= GATE_DUP_THRESHOLD)
+
+
+def test_drift_monitor_bounds_and_grain(spark, sf_dir):
+    """r13 drift monitor: TV distance lives in [0, 1], and the grain
+    fields equal the two slices' owned-cell row counts (the histogram
+    totals a monitoring consumer sanity-checks against ingest
+    volume)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _read_ann_index,
+        build_ann_index,
+        sim_index_drift_monitor,
+    )
+
+    s = sim_index_drift_monitor(spark, sf_dir).collect()[0]
+    assert 0.0 <= s["tv_distance"] <= 1.0
+    hist = build_ann_index(spark, sf_dir, variant="hist")
+    assert s["n_hist"] == _read_ann_index(spark, hist).count()
+    from data_engineering_zoomcamp_projects_spark.catalog import load_table
+
+    n_arrivals = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 7)
+        .count()
+    )
+    # owned-cell arrivals under the frozen model: bounded by the batch
+    # (unowned-supercell rows drop, same rule as _coded_frame)
+    assert 0 < s["n_batch"] <= n_arrivals
 
 
 def test_compact_ann_index_recovers_from_crashed_swap(spark, tmp_path):

@@ -307,6 +307,13 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # design, sample-bounded); the final overlap join is a
         # broadcast hash join on (query_id, neighbor_id)
         "sim_index_recall_estimate",
+        # dedup_online_index_gate: the serve chain's model-state
+        # crosses with the arriving batch as the query frame
+        "dedup_online_index_gate",
+        # sim_index_drift_monitor: the frozen-codebook one-row
+        # broadcast crossed onto the arriving batch (cell assignment)
+        # + the one-row totals frame crossed onto the k-cell histogram
+        "sim_index_drift_monitor",
         # sim_index_append: the frozen IVF codebook (1-row broadcast)
         # crossed onto the arriving-batch scan for map-side cell
         # assignment — zero exchanges in the whole plan (the delta is
@@ -425,6 +432,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # candidate lists (full outer has no broadcast form; both
         # sides are bounded by RRF_LIST_N at any corpus size)
         "sim_hybrid_rrf",
+        # the two cell histograms' full outer join (no broadcast form;
+        # both sides are k-cell metadata frames at any corpus size)
+        "sim_index_drift_monitor",
     }
     id_bearing = __import__("re").compile(r"(_pid|key|_?id($|_))")
     worst = []
