@@ -61,11 +61,36 @@ def widen_if_narrow(
     symspell variant generator burns seconds on a frame the optimizer
     prices under 1 MB after column pruning) pass 0 to widen whenever
     narrow; the default serves JVM-side explode/HOF work where the
-    exchange only pays for itself on MB-scale inputs."""
+    exchange only pays for itself on MB-scale inputs.
+
+    The narrowness probe counts PLANNED splits capped by the scanned
+    files' actual parquet ROW-GROUP count (r13 finding): Spark plans
+    byte-range splits, but a split that contains no row-group start
+    reads zero rows, so a 52 MB single-file corpus with 2 row groups
+    plans "13 partitions" and executes 2-wide — the probe said wide,
+    the BNL pair scan above it ran on 2 of 32 cores for 40+ minutes at
+    sf10. Footer reads are metadata-priced and only attempted when the
+    scan is few-file (a many-file scan is genuinely wide); any probe
+    failure degrades to the planned count (the pre-r13 behavior)."""
     parts = df.rdd.getNumPartitions()
     target = spark.sparkContext.defaultParallelism
     if parts * 4 > target:
-        return df
+        try:
+            files = df.inputFiles()
+            if 0 < len(files) <= 64:
+                import pyarrow.parquet as pq
+
+                row_groups = 0
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        raise ValueError("non-parquet input, skip probe")
+                    local = f[7:] if f.startswith("file://") else f
+                    row_groups += pq.ParquetFile(local).num_row_groups
+                parts = min(parts, row_groups)
+        except Exception:
+            pass
+        if parts * 4 > target:
+            return df
     try:
         # private JVM accessor — version-fragile by nature. If a Spark
         # upgrade moves it, degrade to NOT widening (the pre-r11 plan

@@ -66,15 +66,21 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliver above it — far beyond the corpus's score spacing (and the
     oracle gate would catch it).
 
-    Deliberate quadratic-in-(queries x corpus) oracle baseline for the
-    ANN family (sim_topk_lsh / sim_topk_ivf are the scale paths): with
-    queries at 1% of vectors the cost grows ~n^2/100 — fine through
-    sf1 (the round-5 sweep), but pick the IVF entry when sweeping
-    bigger SFs."""
+    Deliberate quadratic-in-(queries x corpus) COMPUTE baseline for the
+    ANN family (sim_topk_lsh / sim_topk_ivf are the scale paths) — but
+    the EXCHANGE is not quadratic-in-width (r13): the pair stream is
+    narrowed to (query_id, vec_id, cos_fast) ~24 B/row BEFORE the
+    per-query top-(K+20) window, and the survivors re-fetch their full
+    vectors via broadcast joins for the exact decimal re-rank — the
+    _ivfpq_serve survivor discipline. The wide form shuffled ~1 KB/row
+    (both raw vectors riding every pair): at sf10 that is a ~400 GB
+    spill (measured: filled the disk); narrowed it is ~10 GB. Exact
+    recall estimation at scale pays the quadratic FLOPs by design (the
+    sample size is the knob) — it should never pay a quadratic-in-
+    vectors exchange."""
     from ..functions.vector import dot_dec, dot_double
 
     queries, corpus = _queries_and_corpus(spark, sf_dir)
-    denom = F.col("qnorm") * F.col("vnorm")
     # NOTE: the prefilter dot stays the HOF fold here ON PURPOSE: the
     # n x q pair stream comes out of a BroadcastNestedLoopJoin (non-
     # equi condition), which blocks whole-stage codegen, and in the
@@ -82,8 +88,16 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrolled fixed-dim tree (measured at sf1; the unrolled form only
     # wins inside codegen — see sim_topk_ivf's equi-join stream).
     scored_fast = (
-        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_fast", dot_double(F.col("qv"), F.col("v")) / denom)
+        corpus.select("vec_id", "v", "vnorm")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot_double(F.col("qv"), F.col("v"))
+                / (F.col("qnorm") * F.col("vnorm"))
+            ).alias("cos_fast"),
+        )
     )
     w_fast = Window.partitionBy("query_id").orderBy(
         F.col("cos_fast").desc(), F.col("vec_id").asc()
@@ -91,9 +105,16 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         scored_fast.withColumn("rk_fast", F.row_number().over(w_fast))
         .filter(F.col("rk_fast") <= TOP_K + 20)
+        .select("query_id", "vec_id")
     )
-    exact = cand.withColumn(
-        "cos_sim", dot_dec(F.col("qv"), F.col("v")).cast("double") / denom
+    denom = F.col("qnorm") * F.col("vnorm")
+    exact = (
+        corpus.select("vec_id", "v", "vnorm")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "cos_sim", dot_dec(F.col("qv"), F.col("v")).cast("double") / denom
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
