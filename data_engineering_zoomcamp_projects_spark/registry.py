@@ -125,7 +125,18 @@ _FRONT = [
     # (e) filler: the oldest r9-era rows (alphabetical within the
     #     r9 cohort). Displaced to r14: the r9 rows from
     #     prep_shard_balanced / prep_vocab_topk / q10_returned_items
-    #     and q11_part_value_share onward, then the r10 cohort:
+    #     and q11_part_value_share onward, then the r10 cohort.
+    #
+    #     R14 TRIAGE (computed at r13 close from CORRECTNESS_r01-r12
+    #     latest-green + the r13 window; cohort sizes then r9:26
+    #     r10:43 r11:46 r12:45): the 50 oldest =
+    #     posexplode_tokens, prep_decontaminate_bloom,
+    #     prep_shard_balanced, prep_vocab_topk, the remaining r9 q*
+    #     rows (q4, q6-q8, q10-q22), stream_live_ingest_neardup,
+    #     stream_tumbling_hourly, text_langid_profile,
+    #     text_repetition_scores, unpivot_quantities, then the r10
+    #     cohort head (agg_approx_count_distinct .. profile_orders_
+    #     columns alphabetically) — plus whatever r14 changes.
     "agg_boolean",
     "agg_collect_sets",
     "agg_percentiles",
