@@ -36,6 +36,12 @@ TABLES = (
 FIXED_DIMS = ("region", "nation")
 
 
+#: (sorted input files) -> total parquet row groups — footer metadata
+#: of immutable corpus files, probed once per session instead of once
+#: per widen_if_narrow call (the _CODEBOOK_MEMO discipline)
+_ROW_GROUP_MEMO: dict[tuple, int] = {}
+
+
 def widen_if_narrow(
     spark: SparkSession, df: DataFrame, min_bytes: int = 2 * 1024 * 1024
 ) -> DataFrame:
@@ -78,15 +84,19 @@ def widen_if_narrow(
         try:
             files = df.inputFiles()
             if 0 < len(files) <= 64:
-                import pyarrow.parquet as pq
+                key = tuple(sorted(files))
+                if key not in _ROW_GROUP_MEMO:
+                    import pyarrow.parquet as pq
 
-                row_groups = 0
-                for f in files:
-                    if not f.endswith(".parquet"):
-                        raise ValueError("non-parquet input, skip probe")
-                    local = f[7:] if f.startswith("file://") else f
-                    row_groups += pq.ParquetFile(local).num_row_groups
-                parts = min(parts, row_groups)
+                    row_groups = 0
+                    for f in files:
+                        if not f.endswith(".parquet"):
+                            raise ValueError("non-parquet input, skip probe")
+                        local = f[7:] if f.startswith("file://") else f
+                        with pq.ParquetFile(local) as pf:
+                            row_groups += pf.num_row_groups
+                    _ROW_GROUP_MEMO[key] = row_groups
+                parts = min(parts, _ROW_GROUP_MEMO[key])
         except Exception:
             pass
         if parts * 4 > target:

@@ -159,11 +159,13 @@ def dist_dec(a: Column, b: Column) -> Column:
     IEEE-deterministic double, the decimal sum of the per-dim casts is
     exact, so the value is bit-identical across engines and partition
     layouts. Used where a distance decides a comparison that must
-    hash-match (k-means argmin cells)."""
+    hash-match (k-means argmin cells). Accumulates at ACC like
+    dot_dec — see the module docstring (a (38,10) accumulator sheds
+    the 10th decimal per fold step)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(DEC)),
-        F.lit(0).cast(DEC),
-        lambda acc, x: (acc + x).cast(DEC),
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(ACC)),
+        F.lit(0).cast(ACC),
+        lambda acc, x: (acc + x).cast(ACC),
     )
 
 

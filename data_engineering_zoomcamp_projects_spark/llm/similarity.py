@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.vector import as_double_array, cosine, sql_cosine
+from ..operators.parity import drnd
 
 TOP_K = 10
 #: bucket count must track corpus density: 2^6 = 64 buckets keeps
@@ -126,7 +127,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
-            F.round("cos_sim", 6).alias("cos_sim"),
+            drnd(F.col("cos_sim"), "cos_sim", 6),
         )
     )
 
@@ -134,7 +135,8 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_TOPK_SQL = f"""
 SELECT query_id, rank, neighbor_id, cos_sim FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROUND({sql_cosine('q.embedding', 'c.embedding')}, 6) AS cos_sim,
+         CAST(ROUND(CAST({sql_cosine('q.embedding', 'c.embedding')}
+                         AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim,
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id
            ORDER BY {sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id ASC
@@ -223,7 +225,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
-            F.round("cos_sim", 6).alias("cos_sim"),
+            drnd(F.col("cos_sim"), "cos_sim", 6),
         )
     )
 
@@ -303,7 +305,7 @@ WITH bucketed AS (
 )
 SELECT query_id, rank, neighbor_id, cos_sim FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROUND({cos}, 6) AS cos_sim,
+         CAST(ROUND(CAST({cos} AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim,
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC
          ) AS rank
@@ -429,7 +431,7 @@ def _sim_ivf_sql() -> str:
 WITH {_ivf_index_ctes()}
 SELECT query_id, rank, neighbor_id, cos_sim FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROUND({cos}, 6) AS cos_sim,
+         CAST(ROUND(CAST({cos} AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim,
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC
          ) AS rank
@@ -699,7 +701,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
-            F.round("cos_sim", 6).alias("cos_sim"),
+            drnd(F.col("cos_sim"), "cos_sim", 6),
         )
     )
 
@@ -1072,10 +1074,10 @@ def _ivfpq_serve(
     )
     # tie-safe final rounding (r13): the filtered entry surfaced
     # cos_sim values whose millionths digit sits on a round boundary,
-    # where plain double ROUND diverges between engines — the drnd
-    # convention (cast to exact decimal, round the decimal, back to
-    # double) is consistent on true ties; the oracle mirrors it
-    from ..operators.parity import DEC as _DEC
+    # where plain double ROUND diverges between engines — parity.drnd
+    # (cast to exact decimal, round the decimal, back to double) is
+    # consistent on true ties; the oracle mirrors it
+    from ..operators.parity import drnd
 
     return (
         exact.withColumn("rank", F.row_number().over(w))
@@ -1084,9 +1086,7 @@ def _ivfpq_serve(
             "query_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("cos_sim").cast(_DEC), 6)
-            .cast("double")
-            .alias("cos_sim"),
+            drnd(F.col("cos_sim"), "cos_sim", 6),
         )
     )
 
@@ -1843,8 +1843,8 @@ def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_vectors"),
         F.min("n").alias("min_cell"),
         F.max("n").alias("max_cell"),
-        F.round(F.avg("n"), 6).alias("avg_cell"),
-        F.round(F.max("n") / F.avg("n"), 6).alias("balance_skew"),
+        drnd(F.avg("n"), "avg_cell", 6),
+        drnd(F.max("n") / F.avg("n"), "balance_skew", 6),
     )
 
 
@@ -1859,8 +1859,10 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(SUM(n) AS BIGINT) AS n_vectors,
        CAST(MIN(n) AS BIGINT) AS min_cell,
        CAST(MAX(n) AS BIGINT) AS max_cell,
-       ROUND(AVG(n), 6) AS avg_cell,
-       ROUND(MAX(n) / AVG(n), 6) AS balance_skew
+       CAST(ROUND(CAST(AVG(n) AS DECIMAL(38,10)), 6) AS DOUBLE)
+         AS avg_cell,
+       CAST(ROUND(CAST(MAX(n) / AVG(n) AS DECIMAL(38,10)), 6) AS DOUBLE)
+         AS balance_skew
 FROM per_cell
 """
 

@@ -18,11 +18,17 @@ from data_engineering_zoomcamp_projects_spark.catalog import TABLES
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     # bound the buffer pool: DuckDB's default limit (80% of RAM) over
-    # 32 threads on this no-swap host hits allocator bad_alloc when a
+    # 32 threads on a no-swap host hits allocator bad_alloc when a
     # Spark JVM holds most of memory alongside (the ivfpq-shaped
     # decimal-join oracles are the trigger; same hardening as the
-    # verify recipe's long-lived connection)
-    con.execute("SET memory_limit='24GB'")
+    # verify recipe's long-lived connection). Sized from the machine —
+    # ~20% of physical RAM, floor 1 GB — so the bound holds on small
+    # CI hosts too, not just the 128 GiB dev box.
+    import os
+
+    ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    limit_gb = max(1, int(ram / (1 << 30) * 0.2))
+    con.execute(f"SET memory_limit='{limit_gb}GB'")
     con.execute("SET threads=8")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
