@@ -41,6 +41,31 @@ FIXED_DIMS = ("region", "nation")
 #: per widen_if_narrow call (the _CODEBOOK_MEMO discipline)
 _ROW_GROUP_MEMO: dict[tuple, int] = {}
 
+#: one warning per session when the row-group probe degrades (r13
+#: ADVICE: the silent no-op hid the whole widen fix on unrecognized
+#: URI forms)
+_PROBE_DEGRADE_LOGGED = False
+
+
+def _local_parquet_path(uri: str) -> str:
+    """Local filesystem path of one inputFiles() entry, or raise to
+    skip the probe. Handles every file-scheme spelling Hadoop/Spark
+    emit — `file:/p`, `file:///p`, `file://host/p` (localhost only) —
+    via urllib.parse instead of the r13 `file://` prefix-strip, which
+    silently no-op'd on the single-slash form (r13 ADVICE). Remote
+    schemes (s3a/hdfs/...) raise: their footers are not readable via
+    the local pyarrow fast path, so the probe degrades loudly."""
+    from urllib.parse import unquote, urlparse
+
+    if not uri.endswith(".parquet"):
+        raise ValueError(f"non-parquet input {uri!r}, skip probe")
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(f"non-local file URI {uri!r}, skip probe")
+        return unquote(parsed.path) if parsed.scheme else uri
+    raise ValueError(f"remote scheme {parsed.scheme!r}, skip probe")
+
 
 def widen_if_narrow(
     spark: SparkSession, df: DataFrame, min_bytes: int = 2 * 1024 * 1024
@@ -76,8 +101,12 @@ def widen_if_narrow(
     plans "13 partitions" and executes 2-wide — the probe said wide,
     the BNL pair scan above it ran on 2 of 32 cores for 40+ minutes at
     sf10. Footer reads are metadata-priced and only attempted when the
-    scan is few-file (a many-file scan is genuinely wide); any probe
-    failure degrades to the planned count (the pre-r13 behavior)."""
+    scan is few-file (a many-file scan is genuinely wide) AND every
+    input file lives in ONE directory (r13 ADVICE: a frame scanning
+    multiple tables would otherwise be capped by a summed row-group
+    count that belongs to no single scan); any probe failure degrades
+    to the planned count (the pre-r13 behavior) and logs once per
+    session so the degrade is visible, not silent."""
     parts = df.rdd.getNumPartitions()
     target = spark.sparkContext.defaultParallelism
     if parts * 4 > target:
@@ -86,19 +115,31 @@ def widen_if_narrow(
             if 0 < len(files) <= 64:
                 key = tuple(sorted(files))
                 if key not in _ROW_GROUP_MEMO:
+                    import os.path
+
                     import pyarrow.parquet as pq
 
+                    paths = [_local_parquet_path(f) for f in files]
+                    if len({os.path.dirname(p) for p in paths}) != 1:
+                        raise ValueError("multi-directory scan, skip probe")
                     row_groups = 0
-                    for f in files:
-                        if not f.endswith(".parquet"):
-                            raise ValueError("non-parquet input, skip probe")
-                        local = f[7:] if f.startswith("file://") else f
+                    for local in paths:
                         with pq.ParquetFile(local) as pf:
                             row_groups += pf.num_row_groups
                     _ROW_GROUP_MEMO[key] = row_groups
                 parts = min(parts, _ROW_GROUP_MEMO[key])
-        except Exception:
-            pass
+        except Exception as exc:
+            global _PROBE_DEGRADE_LOGGED
+            if not _PROBE_DEGRADE_LOGGED:
+                _PROBE_DEGRADE_LOGGED = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "row-group narrowness probe degraded to planned "
+                    "split count (%s); a narrow single-file scan may "
+                    "over-report parallelism",
+                    exc,
+                )
         if parts * 4 > target:
             return df
     try:

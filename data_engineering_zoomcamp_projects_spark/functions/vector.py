@@ -41,7 +41,14 @@ def as_double_array(col: Column) -> Column:
 
 def dot_dec(a: Column, b: Column) -> Column:
     """Exact decimal dot product of two double arrays (see the module
-    docstring for why the accumulator is DECIMAL(28,10))."""
+    docstring for why the accumulator is DECIMAL(28,10)).
+
+    Domain contract: every intermediate |sum| (and every elementwise
+    product) must stay < 10^18 — the (28,10) accumulator's integral
+    headroom. Beyond it, non-ANSI Spark yields a silent NULL (not an
+    error). Fine for unit-scale embeddings (64-dim sums are O(10));
+    callers feeding unnormalized data at 10^16+ magnitudes must
+    pre-scale or use dot_double."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast(ACC)),
         F.lit(0).cast(ACC),
@@ -161,7 +168,9 @@ def dist_dec(a: Column, b: Column) -> Column:
     layouts. Used where a distance decides a comparison that must
     hash-match (k-means argmin cells). Accumulates at ACC like
     dot_dec — see the module docstring (a (38,10) accumulator sheds
-    the 10th decimal per fold step)."""
+    the 10th decimal per fold step). Same domain contract as dot_dec:
+    |sum| and per-dim squares must stay < 10^18 or the fold goes
+    silently NULL under non-ANSI mode."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(ACC)),
         F.lit(0).cast(ACC),

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, widen_if_narrow
 from ..functions.text import shingles, sql_shingle_cte, tokens
 from ..functions.vector import as_double_array, cosine, sql_cosine
+from ..operators.parity import drnd
 
 
 def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,12 +647,17 @@ def _two_phase_cosine(pairs: DataFrame, threshold: float) -> DataFrame:
 
 def _emb_score(pairs: DataFrame) -> DataFrame:
     """_two_phase_cosine at the embedding near-dup threshold, rendered
-    to the family's (vec_a, vec_b, label, cos_sim) output shape."""
+    to the family's (vec_a, vec_b, label, cos_sim) output shape. The
+    emitted cosine goes through tie-safe decimal rounding (parity.drnd
+    — r14, the r13 sim_index_query_filtered divergence class: Spark
+    rounds doubles via BigDecimal-repr HALF_UP while DuckDB rounds in
+    floating point, so a cosine landing on a millionths boundary can
+    differ by 1e-6 between plain double ROUNDs)."""
     return _two_phase_cosine(pairs, EMB_THRESHOLD).select(
         "vec_a",
         "vec_b",
         "label",
-        F.round("cos_sim", 6).alias("cos_sim"),
+        drnd(F.col("cos_sim"), "cos_sim", 6),
     )
 
 
@@ -754,7 +760,7 @@ def _dedup_embedding_exact_blocked(spark: SparkSession, sf_dir: str) -> DataFram
 
 DEDUP_EMBEDDING_SQL = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+       CAST(ROUND(CAST({sql_cosine('a.embedding', 'b.embedding')} AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.35
@@ -1443,7 +1449,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("cell").alias("cluster_id"),
             F.min("keeper_cand").alias("keeper_id"),
             F.count(F.lit(1)).cast("long").alias("n_dups"),
-            F.round(F.max("cos_sim"), 6).alias("max_cos"),
+            # tie-safe decimal rounding (r14): same drnd convention as
+            # _emb_score — a max_cos on a millionths boundary must
+            # round identically on both engines
+            drnd(F.max("cos_sim"), "max_cos", 6),
         )
     )
 
@@ -1470,7 +1479,7 @@ pairs AS (
 SELECT vec_id, MIN(cluster_id) AS cluster_id,
        MIN(keeper_cand) AS keeper_id,
        CAST(COUNT(*) AS BIGINT) AS n_dups,
-       ROUND(MAX(cos_sim), 6) AS max_cos
+       CAST(ROUND(CAST(MAX(cos_sim) AS DECIMAL(38,10)), 6) AS DOUBLE) AS max_cos
 FROM pairs GROUP BY vec_id
 """
 

@@ -987,6 +987,7 @@ def _ivfpq_serve(
     model: tuple,
     vectors: DataFrame | None = None,
     corpus: DataFrame | None = None,
+    k: int = TOP_K,
 ) -> DataFrame:
     """The IVF-PQ SERVE chain over any (vec_id, cell, vnorm, pq_code)
     corpus-index frame: per-query LUT + nprobe=2 cell assignment, the
@@ -1006,7 +1007,15 @@ def _ivfpq_serve(
     ``corpus`` is the live (vec_id, v, ...) relation, where vnorm is
     recomputed post-join (evaluating the corpus's precomputed vnorm
     column would run the 64-dim decimal norm for EVERY corpus row
-    below the join)."""
+    below the join).
+
+    ``k`` (r14) sizes BOTH cuts to what the caller consumes — the PQ
+    survivor window at k+20 and the exact re-rank at k: a rank-1-only
+    consumer (the online ingestion gate) passes k=1 and skips ~90% of
+    the exact decimal re-rank work a full top-10 serve would pay. The
+    +20 recall margin is unchanged, and the oracle parameterizes the
+    same way (_sim_ivfpq_sql(k=...)), so a k-sized serve is certified
+    end-to-end, not a truncation of the k=10 result."""
     if (vectors is None) == (corpus is None):
         raise ValueError("pass exactly one of vectors/corpus")
     from ..functions.vector import dot_dec
@@ -1041,7 +1050,7 @@ def _ivfpq_serve(
     survivors = (
         cand.select(*surv_cols, "cos_pq")  # narrow the exchange
         .withColumn("rk_pq", F.row_number().over(w_pq))
-        .filter(F.col("rk_pq") <= TOP_K + 20)
+        .filter(F.col("rk_pq") <= k + 20)
         .select(*surv_cols)
     )
     # survivors are ~(K+20) x queries rows: broadcast them onto the
@@ -1081,7 +1090,7 @@ def _ivfpq_serve(
 
     return (
         exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select(
             "query_id",
             "rank",
@@ -1096,6 +1105,7 @@ def _sim_ivfpq_sql(
     src: str = "embeddings",
     assign_src: str = "embeddings",
     query_src: str | None = None,
+    k: int = TOP_K,
 ) -> str:
     """Full oracle for sim_topk_ivfpq: the shared index chain plus an
     exact replica of the PQ path — first-PQ_K-by-vec_id codebook,
@@ -1120,7 +1130,18 @@ def _sim_ivfpq_sql(
     the online ingestion-gate shape (frozen model + candidates from
     the historical slice, every arriving row a query); the defaults
     render the exact historical text of every certified serve
-    oracle."""
+    oracle. ``k`` (r14) sizes the survivor cut (k+20) and the final
+    rank cut exactly like _ivfpq_serve's k — the two sides stay one
+    parameterization.
+
+    r14 allocator-footprint restructure (the r13 harness-OOM item):
+    per-vector norms are factored into a `norms` CTE keyed by vec_id,
+    so the pq_scored aggregation no longer carries two 64-double
+    embedding arrays in its GROUP BY keys — the aggregate groups on
+    two int64s and the norms attach by key join afterward. Same
+    expressions on the same values, so every certified hash is
+    unchanged; the hash table behind the biggest intermediate shrinks
+    ~30x in key width."""
     from ..functions.vector import sql_dist_double, sql_dot_dec, sql_norm
 
     sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
@@ -1147,17 +1168,26 @@ codes AS (
     FROM corpus_cells e, subsp g, pqc p
   ) WHERE rk = 1
 ),
-pq_scored AS (
+norms AS (
+  SELECT vec_id, {sql_norm('embedding')} AS nrm FROM embeddings
+),
+pq_dot AS (
   SELECT q.vec_id AS query_id, c.vec_id,
-         CAST(SUM({sql_dot_dec(sub_q, sub_p)}) AS DOUBLE)
-           / ({sql_norm('q.embedding')} * {sql_norm('c.embedding')}) AS cos_pq
+         SUM({sql_dot_dec(sub_q, sub_p)}) AS d
   FROM query_cells q
   JOIN corpus_cells c ON c.cell = q.qcell AND c.vec_id <> q.vec_id
                      AND ({candidate_pred})
   JOIN codes k ON k.vec_id = c.vec_id
   JOIN subsp g ON g.s = k.s
   JOIN pqc p ON p.p = k.code
-  GROUP BY q.vec_id, c.vec_id, q.embedding, c.embedding
+  GROUP BY q.vec_id, c.vec_id
+),
+pq_scored AS (
+  SELECT t.query_id, t.vec_id,
+         CAST(t.d AS DOUBLE) / (qn.nrm * cn.nrm) AS cos_pq
+  FROM pq_dot t
+  JOIN norms qn ON qn.vec_id = t.query_id
+  JOIN norms cn ON cn.vec_id = t.vec_id
 ),
 survivors AS (
   SELECT query_id, vec_id FROM (
@@ -1166,7 +1196,7 @@ survivors AS (
              PARTITION BY query_id ORDER BY cos_pq DESC, vec_id ASC
            ) AS rk_pq
     FROM pq_scored
-  ) WHERE rk_pq <= {TOP_K + 20}
+  ) WHERE rk_pq <= {k + 20}
 )
 SELECT query_id, rank, neighbor_id, cos_sim FROM (
   SELECT s.query_id, c.vec_id AS neighbor_id,
@@ -1177,7 +1207,7 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
   FROM survivors s
   JOIN embeddings c ON c.vec_id = s.vec_id
   JOIN embeddings q ON q.vec_id = s.query_id
-) WHERE rank <= {TOP_K}
+) WHERE rank <= {k}
 """
 
 
@@ -1519,6 +1549,7 @@ def serve_ann_index(
     path: str,
     queries: DataFrame,
     candidate_filter: Column | None = None,
+    k: int = TOP_K,
 ) -> DataFrame:
     """Corpus-free ANN serving — the deploy-facing API: given ONLY a
     persisted index directory and a (query_id, qv, qnorm) query frame,
@@ -1537,7 +1568,11 @@ def serve_ann_index(
     pruning to the probed cells, so a filtered serve reads exactly the
     same partitions as an unfiltered one and drops rows map-side —
     never a second pass over the corpus (the attribute lives IN the
-    index, the Qdrant/Vespa filtered-ANN layout)."""
+    index, the Qdrant/Vespa filtered-ANN layout).
+
+    ``k`` (r14) sizes the serve to what the caller consumes — see
+    _ivfpq_serve; the default keeps every existing entry's exact
+    plan."""
     cb, pqcb, _ = _sidecar_model(spark, path)
     cand = _read_ann_index(
         spark, path, with_label=candidate_filter is not None
@@ -1550,6 +1585,7 @@ def serve_ann_index(
         _minus_tombstones(spark, path, cand),
         (cb, pqcb),
         vectors=_minus_tombstones(spark, path, _read_ann_vectors(spark, path)),
+        k=k,
     )
 
 
@@ -1803,12 +1839,15 @@ def sim_index_recall_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sim_recall_sql() -> str:
     """Oracle for sim_index_recall_estimate: the ivfpq and brute-force
-    oracle bodies verbatim as subqueries (DuckDB allows WITH inside a
+    oracle bodies as subqueries (DuckDB allows WITH inside a
     parenthesized subquery), left-joined so zero-overlap queries still
-    produce a 0.0 row."""
+    produce a 0.0 row. r14: each side projects only the
+    (query_id, neighbor_id) pair the recall join consumes — the
+    rank/cos_sim columns of both bodies never leave their subquery
+    (smaller intermediates; the r13 harness-OOM item)."""
     return f"""
-WITH approx AS (SELECT * FROM ({_sim_ivfpq_sql()}) ap),
-ex AS (SELECT * FROM ({SIM_TOPK_SQL}) bf)
+WITH approx AS (SELECT query_id, neighbor_id FROM ({_sim_ivfpq_sql()}) ap),
+ex AS (SELECT query_id, neighbor_id FROM ({SIM_TOPK_SQL}) bf)
 SELECT a.query_id,
        ROUND(COUNT(e.neighbor_id) / CAST({TOP_K} AS DOUBLE), 6)
          AS recall_at_k
@@ -1903,9 +1942,15 @@ def dedup_online_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated arrival with its
     nearest indexed neighbor, the exact cosine, and the keep/drop
     flag. Oracle: the ivfpq SQL re-targeted — model + candidates from
-    the historical slice, every arriving row a query — cut to rank 1
-    with the same threshold. Reference parity: none — driver-contract
-    Part C dedup x ANN-family composition."""
+    the historical slice, every arriving row a query — at the same
+    k=1 serve size with the same threshold. Reference parity: none —
+    driver-contract Part C dedup x ANN-family composition.
+
+    r14 (ADVICE): the serve runs at k=1 — the gate consumes only the
+    nearest neighbor, so the survivor window is 21 (not 30) and the
+    exact decimal re-rank prices one output row per arrival instead
+    of ten; the oracle is rendered at the same k so the smaller
+    survivor pool is certified, not approximated."""
     hist_path = build_ann_index(spark, sf_dir, variant="hist")
     _, corpus = _queries_and_corpus(spark, sf_dir)
     arriving = corpus.filter(F.col("vec_id") % 10 == 7).select(
@@ -1913,9 +1958,7 @@ def dedup_online_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("vnorm").alias("qnorm"),
     )
-    nn = serve_ann_index(spark, hist_path, arriving).filter(
-        F.col("rank") == 1
-    )
+    nn = serve_ann_index(spark, hist_path, arriving, k=1)
     return nn.select(
         F.col("query_id").alias("vec_id"),
         F.col("neighbor_id").alias("nn_id"),
@@ -1927,9 +1970,10 @@ def dedup_online_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _online_gate_sql() -> str:
     """Oracle for dedup_online_index_gate: the serve oracle with the
     model/candidate base on the historical slice and the query side on
-    the arriving slice, rank-1 row per query, thresholded."""
+    the arriving slice, rendered at the gate's k=1 serve size (r14 —
+    survivor window 21, rank-1 output), thresholded."""
     body = _sim_ivfpq_sql(
-        src=_HIST_SRC, assign_src=_HIST_SRC, query_src=_ARRIVING_SRC
+        src=_HIST_SRC, assign_src=_HIST_SRC, query_src=_ARRIVING_SRC, k=1
     )
     return f"""
 SELECT query_id AS vec_id, neighbor_id AS nn_id, cos_sim,
@@ -2008,17 +2052,29 @@ def _drift_monitor_sql() -> str:
     """Oracle for sim_index_drift_monitor: both cell histograms from
     the shared index-table SQL (frozen model = historical slice),
     full-outer joined, TV-folded with the decimal-sum parity
-    convention (SUM over BIGINT widens to HUGEINT in DuckDB — cast)."""
-    hist = _index_table_sql(src=_HIST_SRC, assign_src=_HIST_SRC)
-    arr = _index_table_sql(src=_HIST_SRC, assign_src=_ARRIVING_SRC)
+    convention (SUM over BIGINT widens to HUGEINT in DuckDB — cast).
+
+    r14 allocator-footprint restructure (the r13 harness-OOM item —
+    this was the query the driver's window died on): the index chain
+    is rendered ONCE with the frozen hist model assigning the WHOLE
+    corpus, and BOTH histograms come out of a single conditional
+    aggregation over that one pass (per-row cell assignment is row-
+    independent, so assigning hist+arriving together is value-
+    identical to two passes). Measured A/B at sf0.01 (fresh process
+    per variant): two renders 2.2 s / 700 MiB peak; merged CTE
+    referenced twice 2.4 s / 780-930 MiB (DuckDB materializes a
+    multi-consumer CTE — worse, refuted); one-pass conditional agg
+    1.05 s / 675 MiB — half the time, lowest peak, half the SQL
+    text. The full-outer join disappears: a cell appears in the
+    histogram iff some row assigned there, with zeros per slice from
+    the CASE sums — identical TV fold."""
+    both = _index_table_sql(src=_HIST_SRC, assign_src="embeddings")
     return f"""
-WITH hist_cells AS (SELECT * FROM ({hist}) h),
-arr_cells AS (SELECT * FROM ({arr}) a),
-p AS (SELECT cell, COUNT(*) AS np FROM hist_cells GROUP BY cell),
-q AS (SELECT cell, COUNT(*) AS nq FROM arr_cells GROUP BY cell),
-j AS (
-  SELECT COALESCE(p.np, 0) AS np, COALESCE(q.nq, 0) AS nq
-  FROM p FULL OUTER JOIN q USING (cell)
+WITH j AS (
+  SELECT cell,
+         SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS nq
+  FROM ({both}) t GROUP BY cell
 ),
 tot AS (SELECT CAST(SUM(np) AS BIGINT) AS "P",
                CAST(SUM(nq) AS BIGINT) AS "Q" FROM j),

@@ -57,7 +57,95 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # WINDOW TRIAGE round 13 (50 slots). Round 12 closed 50/50 green.
+    # WINDOW TRIAGE round 14 (50 slots). The r13 window died of
+    # harness resource exhaustion after certifying only its first 6
+    # slots (the new index-family entries) — the engine was green (the
+    # judge's independent full-registry run passed 212/212), but the
+    # r8-era refresh queue went a thirteenth round without a DRIVER
+    # row. Layout consequences (r13 verdict item 1):
+    #
+    #   (i) the 20 r8-era rows occupy the first ~26 slots, INTERLEAVED
+    #       with the heavy index-family oracles (never two heavies
+    #       adjacent, one heavy per ~3 cheap rows) — if the harness
+    #       dies mid-window again, the starved queue is certified
+    #       before the death point instead of after it;
+    #  (ii) the index-family oracle bodies were restructured for
+    #       allocator footprint (similarity.py r14 notes: norms-CTE
+    #       pq_scored, one-pass conditional-agg drift histograms,
+    #       column-cut recall join) — every serve-family entry whose
+    #       oracle text changed re-certifies here;
+    # (iii) r14 plan changes ride along: tie-safe decimal cos_sim in
+    #       the dedup emitters (dedup_embedding_cosine /
+    #       dedup_semantic_semdedup), the k=1 gate serve
+    #       (dedup_online_index_gate);
+    #  (iv) the r13-errored re-certs (mart chain, sim_index_build/
+    #       query/append, stream_live_index_append, sim_topk_ivfpq,
+    #       sim_index_drift_monitor) fill the heavy slots;
+    #   (v) remaining filler from the recorded r14 triage:
+    #       posexplode_tokens, prep_decontaminate_bloom,
+    #       prep_shard_balanced, prep_vocab_topk, then the oldest r9
+    #       q* rows (q4, q6-q8, q10-q15). Displaced to r15: the rest
+    #       of the r9 q* rows (q16-q22), stream_live_ingest_neardup,
+    #       stream_tumbling_hourly, text_langid_profile,
+    #       text_repetition_scores, unpivot_quantities, then the r10
+    #       cohort head (agg_approx_count_distinct ..
+    #       profile_orders_columns alphabetically) — plus whatever
+    #       r15 changes.
+    "fn_json_suite",
+    "fn_math_suite",
+    "fn_string_suite",
+    "sim_index_build",
+    "setop_except",
+    "setop_intersect_all",
+    "setop_union_all",
+    "sim_index_query",
+    "setop_union_distinct",
+    "stream_dedup_summary",
+    "stream_event_type_rates",
+    "sim_index_query_compacted",
+    "stream_funnel_view_purchase",
+    "stream_session_30m",
+    "stream_sliding_15m",
+    "sim_index_query_deleted",
+    "text_bpe_apply",
+    "text_bpe_learn_merges",
+    "graph_triangle_count",
+    "sim_index_query_filtered",
+    "ml_customer_scores",
+    "pipeline_corpus_curation",
+    "prep_decontaminate",
+    "sim_index_append",
+    "prep_quantize_int8",
+    "quality_join_skew_audit",
+    "mart_daily_revenue",
+    "stream_live_index_append",
+    "mart_customer_activity",
+    "mart_incremental_refresh",
+    "posexplode_tokens",
+    "sim_topk_ivfpq",
+    "prep_decontaminate_bloom",
+    "prep_shard_balanced",
+    "prep_vocab_topk",
+    "sim_index_recall_estimate",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "dedup_online_index_gate",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_part_value_share",
+    "sim_index_drift_monitor",
+    "q12_ship_delay_buckets",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "dedup_embedding_cosine",
+    "q15_top_supplier",
+    "dedup_semantic_semdedup",
+]
+
+_FRONT_R13 = [
+    # WINDOW TRIAGE round 13 (50 slots, historical record — the r13
+    # harness certified only the first 6). Round 12 closed 50/50 green.
     # This window = 1 new entry + every plan round 13 touched + the
     # mart chain (re-certified after the two-phase-distinct A/B kept
     # the plan, BASELINE ledger) + ALL 20 displaced r8-era rows the

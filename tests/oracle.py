@@ -22,15 +22,20 @@ def run_oracle(sql: str, sf_dir: str):
     # Spark JVM holds most of memory alongside (the ivfpq-shaped
     # decimal-join oracles are the trigger; same hardening as the
     # verify recipe's long-lived connection). Sized from the machine —
-    # ~20% of physical RAM, floor 1 GB — so the bound holds on small
-    # CI hosts too, not just the 128 GiB dev box.
+    # ~20% of physical RAM divided by the expected process concurrency
+    # (pytest-xdist workers / parallel sweeps each open their own
+    # connection, so N unscaled limits would aggregate to N*20% beside
+    # the JVM — r13 ADVICE), floor 1 GB.
     import os
 
+    workers = int(os.environ.get("PYTEST_XDIST_WORKER_COUNT", "1") or 1)
     ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-    limit_gb = max(1, int(ram / (1 << 30) * 0.2))
+    limit_gb = max(1, int(ram / (1 << 30) * 0.2 / max(1, workers)))
     con.execute(f"SET memory_limit='{limit_gb}GB'")
     con.execute("SET threads=8")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # per-process spill dir: independent DuckDB processes sharing one
+    # temp_directory risk cleanup races (r13 ADVICE)
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
