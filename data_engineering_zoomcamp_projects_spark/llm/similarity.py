@@ -132,17 +132,24 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: r14: the pair cosine projects to a scalar BEFORE the rank window
+#: (one evaluation instead of two, and no embedding lists flow through
+#: the window materialization — the vm.max_map_count churn fix, see
+#: _ivf_index_ctes)
 SIM_TOPK_SQL = f"""
-SELECT query_id, rank, neighbor_id, cos_sim FROM (
+WITH pair_scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(ROUND(CAST({sql_cosine('q.embedding', 'c.embedding')}
-                         AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim,
-         ROW_NUMBER() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY {sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id ASC
-         ) AS rank
+         {sql_cosine('q.embedding', 'c.embedding')} AS cosd
   FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
   WHERE q.vec_id % 100 = 0
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROUND(CAST(cosd AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosd DESC, neighbor_id ASC
+         ) AS rank
+  FROM pair_scored
 ) WHERE rank <= {TOP_K}
 """
 
@@ -330,87 +337,133 @@ def _ivf_index_ctes(
     frozen-model incremental append (sim_index_append); the defaults
     render the exact text every certified oracle has always used.
     `query_src` (r13) overrides the QUERY side: None keeps the
-    standing 1% sample (every 100th assigned row — verbatim historical
-    text); a relation makes EVERY row of it a query, cell-assigned
-    through its own supercell hop (the online ingestion-gate shape:
-    queries are the arriving batch, candidates the indexed corpus)."""
+    standing 1% sample (every 100th assigned row); a relation makes
+    EVERY row of it a query, cell-assigned through its own supercell
+    hop (the online ingestion-gate shape: queries are the arriving
+    batch, candidates the indexed corpus).
+
+    r14 allocator-hygiene restructure (the r13 harness-death root
+    cause): every ROW_NUMBER window in this chain now sorts SCALAR
+    rows only — each assignment's dot product is projected to a
+    scalar column in a derived table first, and the window
+    partitions/orders over (ids, dot). DuckDB's window operator
+    materializes its input rows, and list columns (64-double
+    embeddings) flowing through that materialization churn jemalloc
+    extents until the process hits vm.max_map_count (65530 on this
+    host) — at which point a failed mmap surfaces as 'Failed to
+    allocate block of N bytes (bad allocation)' at ~1 GB RSS
+    (measured: a single list-window codes CTE retains ~25k mappings;
+    the scalar-window form retains ~545). Embeddings re-attach by
+    vec_id joins against the base table afterward — every slice of
+    `embeddings` carries identical vectors per vec_id, so all dots,
+    tie-breaks, and assignments are value-identical and every
+    certified hash is unchanged. corpus_cells/query_cells now emit
+    (vec_id, cell) scalars only; consumers join `embeddings` when
+    they need the vectors."""
     from ..functions.vector import sql_dot_double
 
     dot_cs = sql_dot_double("c.cv", "s.scv")
     dot_es = sql_dot_double("e.embedding", "s.scv")
-    dot_ec = sql_dot_double("x.embedding", "cc.cv")
+    dot_ec = sql_dot_double("e.embedding", "cc.cv")
     if query_src is None:
         query_side = """query_cells AS (
-  SELECT vec_id, embedding, qcell FROM (
-    SELECT x.vec_id, x.embedding, cc.cent_id AS qcell,
+  SELECT vec_id, qcell FROM (
+    SELECT vec_id, cent_id AS qcell,
            ROW_NUMBER() OVER (
-             PARTITION BY x.vec_id ORDER BY {dot_ec} DESC, cc.cent_id ASC
+             PARTITION BY vec_id ORDER BY dot DESC, cent_id ASC
            ) AS rk
-    FROM corpus_sc x JOIN cent_owner cc ON cc.sc_id = x.sc_id
-    WHERE x.vec_id % 100 = 0
+    FROM (
+      SELECT x.vec_id, cc.cent_id, {dot_ec} AS dot
+      FROM corpus_sc x
+      JOIN embeddings e ON e.vec_id = x.vec_id
+      JOIN cent_owner cc ON cc.sc_id = x.sc_id
+      WHERE x.vec_id % 100 = 0
+    ) d
   ) WHERE rk <= 2
 )""".format(dot_ec=dot_ec)
     else:
         query_side = """query_sc AS (
-  SELECT vec_id, embedding, sc_id FROM (
-    SELECT e.vec_id, e.embedding, s.sc_id,
+  SELECT vec_id, sc_id FROM (
+    SELECT vec_id, sc_id,
            ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id ORDER BY {dot_es} DESC, s.sc_id ASC
+             PARTITION BY vec_id ORDER BY dot DESC, sc_id ASC
            ) AS rk
-    FROM {query_src} e CROSS JOIN supercents s
+    FROM (
+      SELECT e.vec_id, s.sc_id, {dot_es} AS dot
+      FROM {query_src} e CROSS JOIN supercents s
+    ) d
   ) WHERE rk = 1
 ),
 query_cells AS (
-  SELECT vec_id, embedding, qcell FROM (
-    SELECT x.vec_id, x.embedding, cc.cent_id AS qcell,
+  SELECT vec_id, qcell FROM (
+    SELECT vec_id, cent_id AS qcell,
            ROW_NUMBER() OVER (
-             PARTITION BY x.vec_id ORDER BY {dot_ec} DESC, cc.cent_id ASC
+             PARTITION BY vec_id ORDER BY dot DESC, cent_id ASC
            ) AS rk
-    FROM query_sc x JOIN cent_owner cc ON cc.sc_id = x.sc_id
+    FROM (
+      SELECT x.vec_id, cc.cent_id, {dot_ec} AS dot
+      FROM query_sc x
+      JOIN embeddings e ON e.vec_id = x.vec_id
+      JOIN cent_owner cc ON cc.sc_id = x.sc_id
+    ) d
   ) WHERE rk <= 2
 )""".format(dot_es=dot_es, dot_ec=dot_ec, query_src=query_src)
     return f"""stats AS (
   SELECT GREATEST(1, CAST(CEIL(COUNT(*) / CEIL(SQRT(COUNT(*)))) AS BIGINT)) AS stride
   FROM {src}
 ),
-cents AS (
-  SELECT cent_id, cv,
-         ROW_NUMBER() OVER (ORDER BY cent_id) AS crk,
+cent_ids AS (
+  SELECT cent_id, ROW_NUMBER() OVER (ORDER BY cent_id) AS crk,
          COUNT(*) OVER () AS k
-  FROM (
-    SELECT vec_id AS cent_id, embedding AS cv FROM {src}, stats
-    WHERE vec_id % stride = 0
-  )
+  FROM (SELECT vec_id AS cent_id FROM {src}, stats WHERE vec_id % stride = 0)
+),
+cents AS (
+  SELECT i.cent_id, e.embedding AS cv, i.crk, i.k
+  FROM cent_ids i JOIN embeddings e ON e.vec_id = i.cent_id
 ),
 supercents AS (
   SELECT cent_id AS sc_id, cv AS scv FROM cents
   WHERE (crk - 1) % GREATEST(1, CAST(CEIL(SQRT(k)) AS BIGINT)) = 0
 ),
 cent_owner AS (
-  SELECT cent_id, cv, sc_id FROM (
-    SELECT c.cent_id, c.cv, s.sc_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY c.cent_id ORDER BY {dot_cs} DESC, s.sc_id ASC
-           ) AS rk
-    FROM cents c CROSS JOIN supercents s
-  ) WHERE rk = 1
+  SELECT d.cent_id, e.embedding AS cv, d.sc_id
+  FROM (
+    SELECT cent_id, sc_id FROM (
+      SELECT cent_id, sc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cent_id ORDER BY dot DESC, sc_id ASC
+             ) AS rk
+      FROM (
+        SELECT c.cent_id, s.sc_id, {dot_cs} AS dot
+        FROM cents c CROSS JOIN supercents s
+      ) t
+    ) WHERE rk = 1
+  ) d JOIN embeddings e ON e.vec_id = d.cent_id
 ),
 corpus_sc AS (
-  SELECT vec_id, embedding, sc_id FROM (
-    SELECT e.vec_id, e.embedding, s.sc_id,
+  SELECT vec_id, sc_id FROM (
+    SELECT vec_id, sc_id,
            ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id ORDER BY {dot_es} DESC, s.sc_id ASC
+             PARTITION BY vec_id ORDER BY dot DESC, sc_id ASC
            ) AS rk
-    FROM {assign_src} e CROSS JOIN supercents s
+    FROM (
+      SELECT e.vec_id, s.sc_id, {dot_es} AS dot
+      FROM {assign_src} e CROSS JOIN supercents s
+    ) d
   ) WHERE rk = 1
 ),
 corpus_cells AS (
-  SELECT vec_id, embedding, cell FROM (
-    SELECT x.vec_id, x.embedding, cc.cent_id AS cell,
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cent_id AS cell,
            ROW_NUMBER() OVER (
-             PARTITION BY x.vec_id ORDER BY {dot_ec} DESC, cc.cent_id ASC
+             PARTITION BY vec_id ORDER BY dot DESC, cent_id ASC
            ) AS rk
-    FROM corpus_sc x JOIN cent_owner cc ON cc.sc_id = x.sc_id
+    FROM (
+      SELECT x.vec_id, cc.cent_id, {dot_ec} AS dot
+      FROM corpus_sc x
+      JOIN embeddings e ON e.vec_id = x.vec_id
+      JOIN cent_owner cc ON cc.sc_id = x.sc_id
+    ) d
   ) WHERE rk = 1
 ),
 {query_side}"""
@@ -428,15 +481,21 @@ def _sim_ivf_sql() -> str:
     same-cell candidates by the decimal-exact cosine."""
     cos = sql_cosine("q.embedding", "c.embedding")
     return f"""
-WITH {_ivf_index_ctes()}
+WITH {_ivf_index_ctes()},
+scored AS (
+  SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id, {cos} AS cosd
+  FROM query_cells qc JOIN corpus_cells cc
+    ON cc.cell = qc.qcell AND cc.vec_id <> qc.vec_id
+  JOIN embeddings q ON q.vec_id = qc.vec_id
+  JOIN embeddings c ON c.vec_id = cc.vec_id
+)
 SELECT query_id, rank, neighbor_id, cos_sim FROM (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(ROUND(CAST({cos} AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim,
+  SELECT query_id, neighbor_id,
+         CAST(ROUND(CAST(cosd AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim,
          ROW_NUMBER() OVER (
-           PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC
+           PARTITION BY query_id ORDER BY cosd DESC, neighbor_id ASC
          ) AS rank
-  FROM query_cells q JOIN corpus_cells c
-    ON c.cell = q.qcell AND c.vec_id <> q.vec_id
+  FROM scored
 ) WHERE rank <= {TOP_K}
 """
 
@@ -1141,45 +1200,65 @@ def _sim_ivfpq_sql(
     two int64s and the norms attach by key join afterward. Same
     expressions on the same values, so every certified hash is
     unchanged; the hash table behind the biggest intermediate shrinks
-    ~30x in key width."""
+    ~30x in key width. The subspace slices materialize once into
+    esub/psub/qsub columns instead of re-slicing per expression
+    reference — the jemalloc extent-churn fix that keeps the oracle
+    process under vm.max_map_count (see _index_table_sql's r14
+    note; that churn is what killed the r13 driver window)."""
     from ..functions.vector import sql_dist_double, sql_dot_dec, sql_norm
 
-    sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
-    sub_c = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
-    sub_q = "list_slice(q.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
-    sub_p = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
     cos = sql_cosine("q.embedding", "c.embedding")
     return f"""
 WITH {_ivf_index_ctes(src=src, assign_src=assign_src, query_src=query_src)},
 pqc AS (
-  SELECT rp - 1 AS p, cv FROM (
-    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rp, embedding AS cv
-    FROM {src}
-  ) WHERE rp <= {PQ_K}
+  SELECT r.rp - 1 AS p, e.embedding AS cv
+  FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rp FROM {src}
+  ) r JOIN embeddings e ON e.vec_id = r.vec_id
+  WHERE r.rp <= {PQ_K}
 ),
 subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+esub AS (
+  SELECT c.vec_id, g.s,
+         list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8) AS ev
+  FROM corpus_cells c JOIN embeddings e ON e.vec_id = c.vec_id, subsp g
+),
+psub AS (
+  SELECT p.p, g.s,
+         list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8) AS pv
+  FROM pqc p, subsp g
+),
 codes AS (
   SELECT vec_id, s, p AS code FROM (
-    SELECT e.vec_id, g.s, p.p,
+    SELECT vec_id, s, p,
            ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id, g.s
-             ORDER BY {sql_dist_double(sub_e, sub_c, PQ_DSUB)} ASC, p.p ASC
+             PARTITION BY vec_id, s ORDER BY dist ASC, p ASC
            ) AS rk
-    FROM corpus_cells e, subsp g, pqc p
+    FROM (
+      SELECT e.vec_id, e.s, p.p,
+             {sql_dist_double('e.ev', 'p.pv', PQ_DSUB)} AS dist
+      FROM esub e JOIN psub p ON p.s = e.s
+    ) d
   ) WHERE rk = 1
 ),
 norms AS (
   SELECT vec_id, {sql_norm('embedding')} AS nrm FROM embeddings
 ),
+qsub AS (
+  SELECT x.vec_id, g.s,
+         list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8) AS qv
+  FROM (SELECT DISTINCT vec_id FROM query_cells) x
+  JOIN embeddings e ON e.vec_id = x.vec_id, subsp g
+),
 pq_dot AS (
   SELECT q.vec_id AS query_id, c.vec_id,
-         SUM({sql_dot_dec(sub_q, sub_p)}) AS d
+         SUM({sql_dot_dec('qs.qv', 'p.pv')}) AS d
   FROM query_cells q
   JOIN corpus_cells c ON c.cell = q.qcell AND c.vec_id <> q.vec_id
                      AND ({candidate_pred})
   JOIN codes k ON k.vec_id = c.vec_id
-  JOIN subsp g ON g.s = k.s
-  JOIN pqc p ON p.p = k.code
+  JOIN qsub qs ON qs.vec_id = q.vec_id AND qs.s = k.s
+  JOIN psub p ON p.s = k.s AND p.p = k.code
   GROUP BY q.vec_id, c.vec_id
 ),
 pq_scored AS (
@@ -1197,16 +1276,20 @@ survivors AS (
            ) AS rk_pq
     FROM pq_scored
   ) WHERE rk_pq <= {k + 20}
-)
-SELECT query_id, rank, neighbor_id, cos_sim FROM (
-  SELECT s.query_id, c.vec_id AS neighbor_id,
-         CAST(ROUND(CAST({cos} AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim,
-         ROW_NUMBER() OVER (
-           PARTITION BY s.query_id ORDER BY {cos} DESC, c.vec_id ASC
-         ) AS rank
+),
+rescored AS (
+  SELECT s.query_id, c.vec_id AS neighbor_id, {cos} AS cosd
   FROM survivors s
   JOIN embeddings c ON c.vec_id = s.vec_id
   JOIN embeddings q ON q.vec_id = s.query_id
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROUND(CAST(cosd AS DECIMAL(38,10)), 6) AS DOUBLE) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosd DESC, neighbor_id ASC
+         ) AS rank
+  FROM rescored
 ) WHERE rank <= {k}
 """
 
@@ -1681,28 +1764,54 @@ def _index_table_sql(
     rows get indexed — defaults render sim_index_build's full-corpus
     oracle; the frozen-model append passes the historical/arriving
     slices (the whole build/append oracle pair is this one function,
-    r12 simplify pass)."""
+    r12 simplify pass).
+
+    r14 allocator-hygiene restructure (the r13 harness-death root
+    cause, diagnosed this round): each subspace slice is materialized
+    ONCE into a column (esub/psub) instead of re-sliced inside every
+    expression reference — the unrolled 8-dim distance referenced its
+    two list_slice args 32 times per row, and the resulting jemalloc
+    extent churn drove the ORACLE PROCESS's memory-map count into
+    vm.max_map_count (65530), where a failed mmap surfaces as
+    DuckDB's 'Failed to allocate block of N bytes (bad allocation)'
+    and py4j's 'can't start new thread' at ~1 GB RSS on a 126-GB-free
+    host — the exact r13 driver-window death signature, reproduced
+    and then eliminated locally (maps 53-64k -> bounded; see
+    BASELINE r14). Same slices, same IEEE comparisons — every
+    certified hash is unchanged."""
     from ..functions.vector import sql_dist_double
 
-    sub_e = "list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8)"
-    sub_c = "list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8)"
     return f"""
 WITH {_ivf_index_ctes(src=src, assign_src=assign_src)},
 pqc AS (
-  SELECT rp - 1 AS p, cv FROM (
-    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rp, embedding AS cv
-    FROM {src}
-  ) WHERE rp <= {PQ_K}
+  SELECT r.rp - 1 AS p, e.embedding AS cv
+  FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rp FROM {src}
+  ) r JOIN embeddings e ON e.vec_id = r.vec_id
+  WHERE r.rp <= {PQ_K}
 ),
 subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+esub AS (
+  SELECT c.vec_id, g.s,
+         list_slice(e.embedding::DOUBLE[], g.s*8+1, g.s*8+8) AS ev
+  FROM corpus_cells c JOIN embeddings e ON e.vec_id = c.vec_id, subsp g
+),
+psub AS (
+  SELECT p.p, g.s,
+         list_slice(p.cv::DOUBLE[], g.s*8+1, g.s*8+8) AS pv
+  FROM pqc p, subsp g
+),
 codes AS (
   SELECT vec_id, s, p AS code FROM (
-    SELECT e.vec_id, g.s, p.p,
+    SELECT vec_id, s, p,
            ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id, g.s
-             ORDER BY {sql_dist_double(sub_e, sub_c, PQ_DSUB)} ASC, p.p ASC
+             PARTITION BY vec_id, s ORDER BY dist ASC, p ASC
            ) AS rk
-    FROM corpus_cells e, subsp g, pqc p
+    FROM (
+      SELECT e.vec_id, e.s, p.p,
+             {sql_dist_double('e.ev', 'p.pv', PQ_DSUB)} AS dist
+      FROM esub e JOIN psub p ON p.s = e.s
+    ) d
   ) WHERE rk = 1
 )
 SELECT e.vec_id, e.cell,
