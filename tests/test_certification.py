@@ -86,3 +86,52 @@ def test_no_query_returns_raw_timestamp_columns(spark, sf_dir):
             if dtype.startswith("timestamp"):
                 offenders.append((name, col, dtype))
     assert not offenders, offenders
+
+
+def test_oracle_map_churn_bounded():
+    """Regression pin for the r13 harness death (BASELINE §29): the
+    ivfpq-family oracle SQL must not churn memory mappings. Pre-fix,
+    ONE execution of the index-table / serve oracles retained 25-48k
+    jemalloc extent mappings (list columns flowing through DuckDB
+    window materialization), so a few window slots drove the driver
+    process into vm.max_map_count (65530) and every later slot died
+    with bad_alloc / can't-start-new-thread at ~1 GB RSS. Post-fix
+    (scalar-only window inputs) the same two oracles retain well
+    under 10k together. The bound is ~5x the measured post-fix
+    growth and ~6x under the pre-fix growth of a single execution —
+    loose enough for allocator noise, tight enough that a list
+    column reintroduced into any window input fails loudly here
+    instead of killing the grading driver mid-window."""
+    import sys
+
+    import pytest
+
+    if not sys.platform.startswith("linux"):
+        pytest.skip("map-count accounting reads /proc (linux-only)")
+    import duckdb
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _index_table_sql,
+        _sim_ivfpq_sql,
+    )
+
+    def maps() -> int:
+        with open("/proc/self/maps") as fh:
+            return sum(1 for _ in fh)
+
+    con = duckdb.connect()  # DEFAULT settings - the driver's shape
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    before = maps()
+    con.execute(_index_table_sql()).fetchall()
+    con.execute(_sim_ivfpq_sql()).fetchall()
+    growth = maps() - before
+    con.close()
+    assert growth < 10_000, (
+        f"oracle map churn regressed: {growth} new mappings for one "
+        "index-table + one serve execution (pre-r14-fix: ~25-48k each; "
+        "post-fix: <2k) - a list column is probably flowing through a "
+        "window operator again, see BASELINE.md §29"
+    )
