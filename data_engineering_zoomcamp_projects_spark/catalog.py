@@ -47,6 +47,29 @@ _ROW_GROUP_MEMO: dict[tuple, int] = {}
 _PROBE_DEGRADE_LOGGED = False
 
 
+class _BenignProbeSkip(Exception):
+    """Probe skip that is correct behavior, not a degrade — e.g. a
+    multi-relation frame, where a summed row-group count belongs to no
+    single scan. Distinct from real failures so it neither logs nor
+    consumes the once-per-session degrade-warning slot (r14 review:
+    a benign multi-table frame must not silence a later genuine
+    degrade)."""
+
+
+def _table_root(path: str) -> str:
+    """Directory of `path` with trailing hive-style partition segments
+    (name=value) stripped — the single-RELATION identity the probe
+    groups by: a hive-partitioned table scans one file per cell=N
+    directory but is still one relation whose row-group total is
+    meaningful (the repo's own ANN index layout; r14 review)."""
+    import os.path
+
+    d = os.path.dirname(path)
+    while "=" in os.path.basename(d):
+        d = os.path.dirname(d)
+    return d
+
+
 def _local_parquet_path(uri: str) -> str:
     """Local filesystem path of one inputFiles() entry, or raise to
     skip the probe. Handles every file-scheme spelling Hadoop/Spark
@@ -102,11 +125,14 @@ def widen_if_narrow(
     the BNL pair scan above it ran on 2 of 32 cores for 40+ minutes at
     sf10. Footer reads are metadata-priced and only attempted when the
     scan is few-file (a many-file scan is genuinely wide) AND every
-    input file lives in ONE directory (r13 ADVICE: a frame scanning
-    multiple tables would otherwise be capped by a summed row-group
-    count that belongs to no single scan); any probe failure degrades
-    to the planned count (the pre-r13 behavior) and logs once per
-    session so the degrade is visible, not silent."""
+    input file belongs to ONE relation — same table root after
+    stripping hive partition segments (r13 ADVICE + r14 review: a
+    frame scanning multiple tables would otherwise be capped by a
+    summed row-group count that belongs to no single scan, while a
+    hive-partitioned single table must keep the protection); a
+    multi-relation frame skips silently (correct behavior), any real
+    probe failure degrades to the planned count (the pre-r13
+    behavior) and logs once per session so the degrade is visible."""
     parts = df.rdd.getNumPartitions()
     target = spark.sparkContext.defaultParallelism
     if parts * 4 > target:
@@ -115,19 +141,19 @@ def widen_if_narrow(
             if 0 < len(files) <= 64:
                 key = tuple(sorted(files))
                 if key not in _ROW_GROUP_MEMO:
-                    import os.path
-
                     import pyarrow.parquet as pq
 
                     paths = [_local_parquet_path(f) for f in files]
-                    if len({os.path.dirname(p) for p in paths}) != 1:
-                        raise ValueError("multi-directory scan, skip probe")
+                    if len({_table_root(p) for p in paths}) != 1:
+                        raise _BenignProbeSkip
                     row_groups = 0
                     for local in paths:
                         with pq.ParquetFile(local) as pf:
                             row_groups += pf.num_row_groups
                     _ROW_GROUP_MEMO[key] = row_groups
                 parts = min(parts, _ROW_GROUP_MEMO[key])
+        except _BenignProbeSkip:
+            pass
         except Exception as exc:
             global _PROBE_DEGRADE_LOGGED
             if not _PROBE_DEGRADE_LOGGED:

@@ -1068,13 +1068,15 @@ def _ivfpq_serve(
     column would run the 64-dim decimal norm for EVERY corpus row
     below the join).
 
-    ``k`` (r14) sizes BOTH cuts to what the caller consumes — the PQ
-    survivor window at k+20 and the exact re-rank at k: a rank-1-only
-    consumer (the online ingestion gate) passes k=1 and skips ~90% of
-    the exact decimal re-rank work a full top-10 serve would pay. The
-    +20 recall margin is unchanged, and the oracle parameterizes the
-    same way (_sim_ivfpq_sql(k=...)), so a k-sized serve is certified
-    end-to-end, not a truncation of the k=10 result."""
+    ``k`` (r14) sizes BOTH cuts — the PQ survivor window at k+20 and
+    the exact re-rank at k — and the oracle parameterizes the same
+    way (_sim_ivfpq_sql(k=...)), so a k-sized serve is certifiable
+    end-to-end. CAVEAT: the survivor pool is a RECALL margin, so
+    shrinking k below TOP_K trades recall, not just output size — the
+    online gate's k=1 A/B measured real nearest-neighbor flips for
+    zero sf10 cost savings and was reverted (gate docstring /
+    BASELINE §29); callers opting into small k accept that trade
+    knowingly."""
     if (vectors is None) == (corpus is None):
         raise ValueError("pass exactly one of vectors/corpus")
     from ..functions.vector import dot_dec
@@ -2051,15 +2053,21 @@ def dedup_online_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated arrival with its
     nearest indexed neighbor, the exact cosine, and the keep/drop
     flag. Oracle: the ivfpq SQL re-targeted — model + candidates from
-    the historical slice, every arriving row a query — at the same
-    k=1 serve size with the same threshold. Reference parity: none —
-    driver-contract Part C dedup x ANN-family composition.
+    the historical slice, every arriving row a query — cut to rank 1
+    with the same threshold. Reference parity: none — driver-contract
+    Part C dedup x ANN-family composition.
 
-    r14 (ADVICE): the serve runs at k=1 — the gate consumes only the
-    nearest neighbor, so the survivor window is 21 (not 30) and the
-    exact decimal re-rank prices one output row per arrival instead
-    of ten; the oracle is rendered at the same k so the smaller
-    survivor pool is certified, not approximated."""
+    r14 A/B, REFUTED (the r13 ADVICE k=1 suggestion): serving the
+    gate at k=1 shrinks the PQ survivor pool 30 -> 21, and the pool
+    is a RECALL margin, not an output size — measured at sf0.001,
+    5/50 arrivals flipped to a worse nearest neighbor and one true
+    near-dup (exact cos 0.3099 >= the 0.3 threshold, PQ rank 22-30)
+    was admitted into the corpus; at sf10 the serve cost was PARITY
+    (60.0 s vs the r13 55-62.6 s) because the gate is candidate-scan
+    bound, so k=1 bought a measured recall loss for nothing. The gate
+    therefore serves the full k=10 margin and takes rank 1 from it;
+    the k parameter stays on serve_ann_index for callers whose
+    latency/recall tradeoff differs (BASELINE §29)."""
     hist_path = build_ann_index(spark, sf_dir, variant="hist")
     _, corpus = _queries_and_corpus(spark, sf_dir)
     arriving = corpus.filter(F.col("vec_id") % 10 == 7).select(
@@ -2067,7 +2075,9 @@ def dedup_online_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("vnorm").alias("qnorm"),
     )
-    nn = serve_ann_index(spark, hist_path, arriving, k=1)
+    nn = serve_ann_index(spark, hist_path, arriving).filter(
+        F.col("rank") == 1
+    )
     return nn.select(
         F.col("query_id").alias("vec_id"),
         F.col("neighbor_id").alias("nn_id"),
@@ -2079,10 +2089,10 @@ def dedup_online_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _online_gate_sql() -> str:
     """Oracle for dedup_online_index_gate: the serve oracle with the
     model/candidate base on the historical slice and the query side on
-    the arriving slice, rendered at the gate's k=1 serve size (r14 —
-    survivor window 21, rank-1 output), thresholded."""
+    the arriving slice, rank-1 row per full-margin serve (the k=1
+    rendering is refuted — see the gate docstring), thresholded."""
     body = _sim_ivfpq_sql(
-        src=_HIST_SRC, assign_src=_HIST_SRC, query_src=_ARRIVING_SRC, k=1
+        src=_HIST_SRC, assign_src=_HIST_SRC, query_src=_ARRIVING_SRC
     )
     return f"""
 SELECT query_id AS vec_id, neighbor_id AS nn_id, cos_sim,

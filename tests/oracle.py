@@ -28,14 +28,28 @@ def run_oracle(sql: str, sf_dir: str):
     # the JVM — r13 ADVICE), floor 1 GB.
     import os
 
-    workers = int(os.environ.get("PYTEST_XDIST_WORKER_COUNT", "1") or 1)
+    # (parallel sweeps don't reach this path — sweep_registry.py runs
+    # queries with the noop sink and never opens DuckDB — so xdist
+    # workers are the only real concurrent run_oracle users; an
+    # explicit SPARK_GRAFT_ORACLE_PROCS override covers anything else)
+    workers = int(
+        os.environ.get("SPARK_GRAFT_ORACLE_PROCS")
+        or os.environ.get("PYTEST_XDIST_WORKER_COUNT", "1")
+        or 1
+    )
     ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
     limit_gb = max(1, int(ram / (1 << 30) * 0.2 / max(1, workers)))
     con.execute(f"SET memory_limit='{limit_gb}GB'")
     con.execute("SET threads=8")
-    # per-process spill dir: independent DuckDB processes sharing one
-    # temp_directory risk cleanup races (r13 ADVICE)
-    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
+    # per-call private spill dir: independent DuckDB processes sharing
+    # one temp_directory risk cleanup races (r13 ADVICE), and a bare
+    # per-pid dir would litter /tmp across hundreds of process
+    # launches — mkdtemp + rmtree leaves nothing behind
+    import shutil
+    import tempfile
+
+    spill = tempfile.mkdtemp(prefix="duckdb_spill_")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -44,6 +58,7 @@ def run_oracle(sql: str, sf_dir: str):
         return con.execute(sql).fetchdf()
     finally:
         con.close()
+        shutil.rmtree(spill, ignore_errors=True)
 
 
 def _canon_cell(v):

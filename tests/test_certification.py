@@ -119,10 +119,15 @@ def test_oracle_map_churn_bounded():
         with open("/proc/self/maps") as fh:
             return sum(1 for _ in fh)
 
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip(f"no embeddings parquet under {sf}")
     con = duckdb.connect()  # DEFAULT settings - the driver's shape
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+        f"read_parquet('{sf}/embeddings.parquet')"
     )
     before = maps()
     con.execute(_index_table_sql()).fetchall()

@@ -1938,7 +1938,9 @@ def test_online_index_gate_chunked_equals_one_shot(spark, sf_dir):
     n_chunks = 3
     for i in range(n_chunks):
         chunk = arriving.filter(F.col("query_id") % n_chunks == i)
-        nn = serve_ann_index(spark, hist_path, chunk, k=1)
+        nn = serve_ann_index(spark, hist_path, chunk).filter(
+            F.col("rank") == 1
+        )
         chunks.extend(
             nn.select(
                 F.col("query_id").alias("vec_id"),
