@@ -1370,7 +1370,12 @@ def build_ann_index(
     (the pre-existing table sim_index_append appends to); "frag" =
     full-corpus content written as two appends so cells hold multiple
     files (the compaction entry's worn-table starting state — content
-    is bit-identical to "full", only the file layout differs); "del" =
+    is bit-identical to "full", only the file layout differs);
+    "fragcell" (r14) = full-corpus content with only the ~1%
+    vec_id % 100 == 7 slice appended second, so only the cells that
+    slice lands in are fragmented — the incremental-compaction
+    entry's starting state (most of a production table is already
+    compacted; today's append fragmented a few cells); "del" =
     full-corpus content in its own directory (the deletion entry's
     table — tombstones mutate per-directory state, so it cannot share
     "full"'s). A (re)build clears any pending tombstones: a fresh
@@ -1416,10 +1421,11 @@ def build_ann_index(
     old = f"{data}__old.{os.getpid()}"
     for leftover in (tmp, old):
         shutil.rmtree(leftover, ignore_errors=True)
-    if variant == "frag":
+    if variant in ("frag", "fragcell"):
+        mod = 10 if variant == "frag" else 100
         for mode, pred in (("overwrite", "!="), ("append", "=")):
             (
-                coded.filter(F.expr(f"vec_id % 10 {pred} 7"))
+                coded.filter(F.expr(f"vec_id % {mod} {pred} 7"))
                 .repartition(F.col("cell"))
                 .write.mode(mode)
                 .partitionBy("cell")
@@ -1516,6 +1522,109 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     shutil.rmtree(os.path.join(local.rstrip("/"), "tombstones"),
                   ignore_errors=True)
     return len(globmod.glob(os.path.join(data, "cell=*", "*.parquet")))
+
+
+def compact_ann_index_incremental(
+    spark: SparkSession, path: str, min_files: int = 2
+) -> tuple[int, int]:
+    """CELL-SELECTIVE compaction — the pass a 100 TB table actually
+    schedules. `compact_ann_index` rewrites the whole table, which is
+    the certification-friendly worst case but a non-starter at scale:
+    compaction cost must be proportional to the FRAGMENTED data, not
+    the table (Delta OPTIMIZE / Iceberg rewrite_data_files both select
+    files by fragmentation predicate). This rewrites only the cells
+    that need it and leaves every other cell's bytes untouched
+    (pytest-pinned by file mtime/inode identity):
+
+    - cells holding >= `min_files` data files (the append-worn set);
+    - plus every cell containing a tombstoned row, regardless of file
+      count — merge-on-read deletes can only be cleared when ALL
+      tombstoned rows are physically purged, so the delete files are
+      retained unless the rewrite set covers them (the Iceberg
+      delete-file retention rule). With no pending deletes, untouched
+      cells stay untouched.
+
+    One Spark job stages every target cell (partition-pruned scan —
+    the isin predicate on the partition column prunes to target
+    cells; tombstone anti-join applied in the same pass), then a
+    driver-side loop swaps each cell directory atomically: the old
+    cell renames ASIDE to `data__cellold/cell=N` — outside data/, so
+    a crash never leaves a `cell=N__old` directory that hive
+    partition parsing would read as a bogus partition value — the
+    staged cell renames in, and a cell whose rows were all tombstoned
+    is simply not replaced (purged). Crash anywhere mid-loop leaves
+    every cell either old or new (both readable; tombstones are
+    cleared only after ALL swaps land, and re-anti-joining purged ids
+    is a no-op); the next call restores any set-aside cell that never
+    got its replacement. Returns (cells_rewritten, data_files_after).
+    Local filesystem only, like compact_ann_index."""
+    import glob as globmod
+    import os
+    import shutil
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            "compact_ann_index_incremental swaps directories with "
+            f"local fs calls; got non-local URI {path!r}"
+        )
+    local = path[len("file://"):] if path.startswith("file://") else path
+    data = os.path.join(local.rstrip("/"), "data")
+    oldroot = data + "__cellold"
+    # crash recovery: restore any cell set aside by a died swap loop
+    # that never published its replacement
+    if os.path.isdir(oldroot):
+        for cd in os.listdir(oldroot):
+            if not os.path.isdir(os.path.join(data, cd)):
+                os.rename(os.path.join(oldroot, cd), os.path.join(data, cd))
+        shutil.rmtree(oldroot, ignore_errors=True)
+    per_cell: dict[str, int] = {}
+    for f in globmod.glob(os.path.join(data, "cell=*", "*.parquet")):
+        cd = os.path.basename(os.path.dirname(f))
+        per_cell[cd] = per_cell.get(cd, 0) + 1
+    targets = {c for c, n in per_cell.items() if n >= min_files}
+    tombs = _read_tombstones(spark, local)
+    if tombs is not None:
+        tomb_cells = (
+            spark.read.parquet(data)
+            .select("vec_id", "cell")
+            .join(F.broadcast(tombs), "vec_id")
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+        targets |= {f"cell={r['cell']}" for r in tomb_cells}
+    n_targets = len(targets)
+    if targets:
+        cell_vals = sorted(int(c.split("=", 1)[1]) for c in targets)
+        src = _minus_tombstones(spark, local, spark.read.parquet(data))
+        stage = data + "__stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            src.filter(F.col("cell").isin(cell_vals))
+            .repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(stage)
+        )
+        os.makedirs(oldroot, exist_ok=True)
+        for c in sorted(targets):
+            os.rename(os.path.join(data, c), os.path.join(oldroot, c))
+            staged = os.path.join(stage, c)
+            if os.path.isdir(staged):
+                os.rename(staged, os.path.join(data, c))
+            # else: every row of this cell was tombstoned — purged
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(oldroot, ignore_errors=True)
+        if tombs is not None:
+            # every tombstoned cell was in the rewrite set, so the
+            # purge is complete — the delete files can go
+            shutil.rmtree(
+                os.path.join(local.rstrip("/"), "tombstones"),
+                ignore_errors=True,
+            )
+    return n_targets, len(
+        globmod.glob(os.path.join(data, "cell=*", "*.parquet"))
+    )
 
 
 def _read_ann_index(
@@ -1723,6 +1832,31 @@ def sim_index_query_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_ann_index(spark, path, queries)
 
 
+def sim_index_query_compacted_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL OPTIMIZE-then-serve — the compaction pass a
+    production table actually schedules (r14). The starting table is
+    the "fragcell" variant: full-corpus content where only the cells
+    the ~1% vec_id % 100 == 7 append slice landed in hold two files —
+    the state a mostly-compacted table is in after one day's append.
+    `compact_ann_index_incremental` rewrites ONLY those cells (cost
+    proportional to the fragmented data, never the table — the Delta
+    OPTIMIZE / Iceberg rewrite_data_files selection rule; at sf0.01
+    that is ~5 of ~23 cells, at sf10 ~180 of ~447) and the serve runs
+    the exact chain over the result. Shares sim_topk_ivfpq's oracle
+    verbatim — an incremental pass that dropped, duplicated, or
+    re-coded a single row in EITHER the rewritten or the untouched
+    cells would hash-diverge; the untouched-bytes property is
+    pytest-pinned by file mtime identity
+    (test_incremental_compaction_selective). Reference parity: none —
+    driver-contract Part C ANN index day-2 family."""
+    path = build_ann_index(spark, sf_dir, variant="fragcell")
+    compact_ann_index_incremental(spark, path)
+    queries, _ = _queries_and_corpus(spark, sf_dir)
+    return serve_ann_index(spark, path, queries)
+
+
 #: the deletion entry's doomed slice: ~10% of the corpus, disjoint
 #: from the query set (vec_id % 100 == 0 ends in 0, never 3) and
 #: distinct from the append slice (7) so the lifecycle entries compose
@@ -1877,6 +2011,10 @@ QUERIES["sim_index_query"] = sim_index_query
 ORACLES["sim_index_query"] = _sim_ivfpq_sql()
 QUERIES["sim_index_query_compacted"] = sim_index_query_compacted
 ORACLES["sim_index_query_compacted"] = _sim_ivfpq_sql()
+QUERIES["sim_index_query_compacted_incremental"] = (
+    sim_index_query_compacted_incremental
+)
+ORACLES["sim_index_query_compacted_incremental"] = _sim_ivfpq_sql()
 QUERIES["sim_index_query_deleted"] = sim_index_query_deleted
 ORACLES["sim_index_query_deleted"] = _sim_ivfpq_sql(
     f"c.vec_id % 10 <> {DELETED_SLICE_MOD}"

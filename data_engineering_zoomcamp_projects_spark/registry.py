@@ -84,14 +84,16 @@ _FRONT = [
     #   (v) remaining filler from the recorded r14 triage:
     #       posexplode_tokens, prep_decontaminate_bloom,
     #       prep_shard_balanced, prep_vocab_topk, then the oldest r9
-    #       q* rows (q4, q6-q8, q10-q12). Self-review swap: the last
-    #       three filler slots go to sim_topk_bruteforce /
-    #       sim_topk_ivf / sim_index_stats instead of q13-q15 —
-    #       their oracle TEXT also changed in the r14 allocator
-    #       restructure (SIM_TOPK_SQL scalar-window, _sim_ivf_sql
-    #       scalar-window, _index_table_sql inside the stats rollup),
-    #       and rule (ii) says every changed oracle re-certifies.
-    #       Displaced to r15: q13-q22, stream_live_ingest_neardup,
+    #       q* rows (q4, q6-q8, q10-q11). Self-review swap: three
+    #       filler slots go to sim_topk_bruteforce / sim_topk_ivf /
+    #       sim_index_stats instead of q13-q15 — their oracle TEXT
+    #       also changed in the r14 allocator restructure
+    #       (SIM_TOPK_SQL scalar-window, _sim_ivf_sql scalar-window,
+    #       _index_table_sql inside the stats rollup), and rule (ii)
+    #       says every changed oracle re-certifies; the q12 slot goes
+    #       to the NEW r14 entry sim_index_query_compacted_incremental
+    #       (new oracle-backed names must sit in the current window).
+    #       Displaced to r15: q12-q22, stream_live_ingest_neardup,
     #       stream_tumbling_hourly, text_langid_profile,
     #       text_repetition_scores, unpivot_quantities, then the r10
     #       cohort head (agg_approx_count_distinct ..
@@ -141,7 +143,11 @@ _FRONT = [
     "q10_returned_items",
     "q11_part_value_share",
     "sim_index_drift_monitor",
-    "q12_ship_delay_buckets",
+    # r14 second pass: the new incremental-compaction entry takes the
+    # q12 filler slot (new oracle-backed names MUST sit in the current
+    # window; q12 is cumulatively green since r9 and heads the r15
+    # displaced queue)
+    "sim_index_query_compacted_incremental",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "dedup_embedding_cosine",

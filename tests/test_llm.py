@@ -1897,6 +1897,121 @@ def test_online_index_gate_semantics(spark, sf_dir):
         assert r["is_dup"] == int(r["cos_sim"] >= GATE_DUP_THRESHOLD)
 
 
+def test_incremental_compaction_selective(spark, tmp_path):
+    """r14 incremental compaction: only fragmented cells are
+    rewritten. Build the fragcell variant (only the vec_id % 100 == 7
+    append slice's cells hold 2 files), snapshot every data file's
+    (path, mtime_ns), run compact_ann_index_incremental, and require
+    (a) content exactly preserved, (b) every previously-fragmented
+    cell now holds one file, (c) every single-file cell's file is THE
+    SAME file — identical path and mtime_ns, untouched bytes, the
+    property that makes compaction cost proportional to fragmentation
+    instead of table size, and (d) a second pass is a no-op (0 cells
+    rewritten)."""
+    import glob
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        build_ann_index,
+        compact_ann_index_incremental,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=300)
+    try:
+        path = build_ann_index(spark, str(tmp_path), variant="fragcell")
+        data = os.path.join(path, "data")
+        before = sorted(map(tuple, spark.read.parquet(data).collect()))
+
+        def stat_files():
+            out = {}
+            for f in glob.glob(os.path.join(data, "cell=*", "*.parquet")):
+                out[f] = os.stat(f).st_mtime_ns
+            return out
+
+        pre = stat_files()
+        frag_cells = {
+            os.path.dirname(f)
+            for f in pre
+            if sum(1 for g in pre if os.path.dirname(g) == os.path.dirname(f)) >= 2
+        }
+        single_files = {
+            f: m for f, m in pre.items() if os.path.dirname(f) not in frag_cells
+        }
+        assert frag_cells, "fixture produced no fragmented cells"
+        assert single_files, "fixture fragmented every cell"
+        n_rewritten, n_files = compact_ann_index_incremental(spark, path)
+        assert n_rewritten == len(frag_cells)
+        post = stat_files()
+        assert sorted(map(tuple, spark.read.parquet(data).collect())) == before
+        for cell_dir in frag_cells:
+            files = [f for f in post if os.path.dirname(f) == cell_dir]
+            assert len(files) == 1, cell_dir
+        for f, mtime in single_files.items():
+            assert post.get(f) == mtime, f"untouched cell rewritten: {f}"
+        again, _ = compact_ann_index_incremental(spark, path)
+        assert again == 0, "second pass must be a no-op"
+    finally:
+        shutil.rmtree(
+            build_ann_index(spark, str(tmp_path), variant="fragcell"),
+            ignore_errors=True,
+        )
+
+
+def test_incremental_compaction_purges_tombstoned_cells(spark, tmp_path):
+    """r14: merge-on-read deletes force their cells into the rewrite
+    set even when those cells are not fragmented — the delete files
+    may only be cleared once every tombstoned row is physically gone
+    (the Iceberg delete-file retention rule). Deleting rows from a
+    fully-compacted table must (a) purge them physically via the
+    incremental pass, (b) clear the tombstone files, and (c) leave
+    tombstone-free cells untouched (mtime identity)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _read_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        compact_ann_index_incremental,
+        delete_from_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=300)
+    try:
+        path = build_ann_index(spark, str(tmp_path), variant="fragcell")
+        compact_ann_index(spark, path)  # start fully compacted
+        data = os.path.join(path, "data")
+        idx = _read_ann_index(spark, path)
+        doomed_cell = idx.groupBy("cell").count().orderBy("cell").first()["cell"]
+        doomed = idx.filter(F.col("cell") == doomed_cell).select("vec_id")
+        doomed_ids = {r["vec_id"] for r in doomed.collect()}
+        delete_from_ann_index(spark, path, doomed)
+        pre = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(os.path.join(data, "cell=*", "*.parquet"))
+        }
+        n_rewritten, _ = compact_ann_index_incremental(spark, path)
+        assert n_rewritten == 1  # exactly the tombstoned cell
+        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        left = {r["vec_id"] for r in _read_ann_index(spark, path).select("vec_id").collect()}
+        assert not (left & doomed_ids), "tombstoned rows survived the purge"
+        for f, mtime in pre.items():
+            if f"cell={doomed_cell}" + os.sep in f or f.endswith(
+                f"cell={doomed_cell}"
+            ):
+                continue
+            assert os.stat(f).st_mtime_ns == mtime, f"clean cell rewritten: {f}"
+    finally:
+        shutil.rmtree(
+            build_ann_index(spark, str(tmp_path), variant="fragcell"),
+            ignore_errors=True,
+        )
+
+
 def test_online_index_gate_chunked_equals_one_shot(spark, sf_dir):
     """Bounded-chunk online gating (r13 verdict item 3 — the deploy
     shape the gate's docstring claims): the serve chain broadcasts the

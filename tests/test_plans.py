@@ -297,6 +297,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # sim_index_query_compacted / _deleted: identical serve-chain
         # shape over the compacted "frag" / tombstoned "del" variants
         "sim_index_query_compacted",
+        # sim_index_query_compacted_incremental (r14): identical
+        # serve-chain shape over the cell-selectively compacted
+        # "fragcell" variant
+        "sim_index_query_compacted_incremental",
         "sim_index_query_deleted",
         # sim_index_query_filtered: identical serve-chain shape with a
         # map-side label predicate inside the index scan (r13)
