@@ -163,6 +163,11 @@ HEADLINE = [
     # so the compaction cost stays measured next to the serve win) —
     # and serve-after-takedown-deletes (tombstone anti-join cost)
     "sim_index_query_compacted",
+    # round-14: cell-selective compaction-then-serve (rewrite cost
+    # proportional to the fragmented cells, not the table — tracked
+    # next to the full-OPTIMIZE entry so the selection win stays
+    # measured)
+    "sim_index_query_compacted_incremental",
     "sim_index_query_deleted",
     # round-13 second pass: filtered vector search (attribute predicate
     # inside the pruned index scan), the recall@k estimator (serve +
