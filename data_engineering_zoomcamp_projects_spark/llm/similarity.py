@@ -1323,8 +1323,12 @@ ORACLES["sim_topk_ivfpq"] = _sim_ivfpq_sql()
 #: push metadata predicates into the index scan — filtered ANN;
 #: v5: stored vnorm recomputed after the dot_dec accumulator fix —
 #: functions/vector.py ACC — so the table's norms equal what the
-#: now-exact fold produces)
-ANN_INDEX_VERSION = 5
+#: now-exact fold produces;
+#: v6: delete files carry the cell partition column (r14 — Iceberg-
+#: style metadata-priced tombstone-cell discovery); the bump retires
+#: any cached vec_id-only tombstone dirs so one directory never mixes
+#: both schemas)
+ANN_INDEX_VERSION = 6
 
 
 def _ann_index_path(sf_dir: str, variant: str = "full") -> tuple[str, str]:
@@ -1463,6 +1467,95 @@ def build_ann_index(
     return path
 
 
+def _ann_local_data(path: str, fn: str) -> tuple[str, str]:
+    """(local index dir, data dir) for the directory-swapping
+    maintenance ops, rejecting non-local URIs — shared by both
+    compactors (r14 review: the guard existed in three verbatim
+    copies)."""
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"{fn} swaps directories with local fs calls; "
+            f"got non-local URI {path!r}"
+        )
+    local = path[len("file://"):] if path.startswith("file://") else path
+    return local, os.path.join(local.rstrip("/"), "data")
+
+
+def _debris_pid_dead(name: str) -> bool:
+    """True when a staging/aside dir's owning process is gone — the
+    trailing `.<pid>` suffix names the owner; a bare r13-era name has
+    no owner and is always debris. Recovery must NEVER touch a LIVE
+    pass's dirs (r14 review: a concurrent pass's aside dir looked
+    like crash debris and restoring it could resurrect purged rows
+    mid-swap)."""
+    import os
+
+    tail = name.rsplit(".", 1)
+    if len(tail) != 2 or not tail[1].isdigit():
+        return True
+    try:
+        os.kill(int(tail[1]), 0)
+        return False
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # exists, owned by another uid — treat as live
+
+
+def _recover_compactor_debris(data: str) -> None:
+    """Shared crash recovery for both compactors, run at entry:
+
+    - data missing + dead __old* sibling(s): restore the FRESHEST by
+      mtime (r14 review: lexicographic choice could restore a stale
+      pre-purge copy and resurrect deleted rows whose tombstone files
+      a later pass already cleared);
+    - dead __cellold* aside dirs: restore any cell that never got its
+      replacement (the incremental pass's per-cell crash window);
+    - every remaining dead-pid staging/aside dir is swept, so a crash
+      after publish can no longer leak a full pre-compaction table
+      copy per pid (r14 review).
+
+    Live pids' dirs are untouched — see _debris_pid_dead. Glob
+    patterns escape the data path (a cache path containing glob
+    metacharacters must not silently disable recovery)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    esc = globmod.escape(data)
+    debris = [
+        d
+        for suffix in ("__old", "__compact_tmp", "__stage", "__cellold",
+                       "__build_tmp")
+        for d in globmod.glob(f"{esc}{suffix}*")
+        if os.path.isdir(d)
+    ]
+    dead = [d for d in debris if _debris_pid_dead(os.path.basename(d))]
+    if not os.path.isdir(data):
+        olds = sorted(
+            (os.path.getmtime(d), d)
+            for d in dead
+            if "__old" in os.path.basename(d)
+            and "__cellold" not in os.path.basename(d)
+        )
+        if olds:
+            restored = olds[-1][1]
+            os.rename(restored, data)
+            dead.remove(restored)
+    if os.path.isdir(data):
+        for d in dead:
+            if "__cellold" in os.path.basename(d):
+                for cd in os.listdir(d):
+                    if not os.path.isdir(os.path.join(data, cd)):
+                        os.rename(
+                            os.path.join(d, cd), os.path.join(data, cd)
+                        )
+    for d in dead:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def compact_ann_index(spark: SparkSession, path: str) -> int:
     """Partition-preserving compaction of a persisted index table —
     the OPTIMIZE pass a long-running append stream needs: every
@@ -1498,24 +1591,13 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     import os
     import shutil
 
-    if "://" in path and not path.startswith("file://"):
-        raise ValueError(
-            "compact_ann_index swaps directories with local fs calls; "
-            f"got non-local URI {path!r}"
-        )
-    local = path[len("file://"):] if path.startswith("file://") else path
-    data = os.path.join(local.rstrip("/"), "data")
-    # crash recovery (r12 ADVICE): a compaction that died between its
-    # two renames leaves no data dir but a readable __old sibling —
-    # restore it before proceeding instead of failing opaquely. (A
+    local, data = _ann_local_data(path, "compact_ann_index")
+    # crash recovery (r12 ADVICE, r14 shared/owner-aware): a
+    # compaction that died between its two renames leaves no data dir
+    # but a readable __old sibling — restore the freshest dead-pid
+    # one and sweep the rest instead of failing opaquely. (A
     # missing-data-no-old state is build_ann_index's rebuild path.)
-    # r14: staging names are per-pid (below), so the recovery scan
-    # accepts any __old form — the bare r13 name or a pid-suffixed one.
-    if not os.path.isdir(data):
-        for old_crash in sorted(globmod.glob(data + "__old*")):
-            if os.path.isdir(old_crash):
-                os.rename(old_crash, data)
-                break
+    _recover_compactor_debris(data)
     # purge pending tombstones in the same rewrite (the merge-on-read
     # deletes become physical here, then the delete files are cleared;
     # crash ordering is safe: tombstones are removed only AFTER the
@@ -1595,44 +1677,56 @@ def compact_ann_index_incremental(
     import os
     import shutil
 
-    if "://" in path and not path.startswith("file://"):
-        raise ValueError(
-            "compact_ann_index_incremental swaps directories with "
-            f"local fs calls; got non-local URI {path!r}"
-        )
-    local = path[len("file://"):] if path.startswith("file://") else path
-    data = os.path.join(local.rstrip("/"), "data")
+    local, data = _ann_local_data(path, "compact_ann_index_incremental")
     # per-pid staging, like compact_ann_index (r14): concurrent
-    # passes must not collide on shared sibling names; the crash-
-    # recovery scan accepts any pid's leftover aside dir
+    # passes must not collide on shared sibling names
     oldroot = f"{data}__cellold.{os.getpid()}"
-    # crash recovery: restore any cell set aside by a died swap loop
-    # that never published its replacement
-    for any_oldroot in globmod.glob(data + "__cellold*"):
-        if os.path.isdir(any_oldroot):
-            for cd in os.listdir(any_oldroot):
-                if not os.path.isdir(os.path.join(data, cd)):
-                    os.rename(
-                        os.path.join(any_oldroot, cd),
-                        os.path.join(data, cd),
-                    )
-            shutil.rmtree(any_oldroot, ignore_errors=True)
+    # shared owner-aware crash recovery (also restores a whole-table
+    # __old left by a crashed FULL compaction — r14 review: the two
+    # compactors must honor the same crash contract)
+    _recover_compactor_debris(data)
     per_cell: dict[str, int] = {}
-    for f in globmod.glob(os.path.join(data, "cell=*", "*.parquet")):
+    for f in globmod.glob(
+        os.path.join(globmod.escape(data), "cell=*", "*.parquet")
+    ):
         cd = os.path.basename(os.path.dirname(f))
         per_cell[cd] = per_cell.get(cd, 0) + 1
     targets = {c for c, n in per_cell.items() if n >= min_files}
     tombs = _read_tombstones(spark, local)
     if tombs is not None:
-        tomb_cells = (
-            spark.read.parquet(data)
-            .select("vec_id", "cell")
-            .join(F.broadcast(tombs), "vec_id")
-            .select("cell")
-            .distinct()
-            .collect()
-        )
-        targets |= {f"cell={r['cell']}" for r in tomb_cells}
+        if "cell" in tombs.columns and tombs.filter(
+            F.col("cell").isNull()
+        ).limit(1).count() == 0:
+            # metadata-priced discovery (r14 review): the delete files
+            # carry the partition like Iceberg's — no table scan; a
+            # replayed takedown may target already-purged rows, which
+            # costs a wasted (correct) rewrite of its cells at most
+            tomb_cells = tombs.select("cell").distinct().collect()
+        else:
+            # legacy vec_id-only delete files: one table scan fallback
+            tomb_cells = (
+                spark.read.parquet(data)
+                .select("vec_id", "cell")
+                .join(F.broadcast(tombs.select("vec_id")), "vec_id")
+                .select("cell")
+                .distinct()
+                .collect()
+            )
+        live = {f"cell={r['cell']}" for r in tomb_cells} & set(per_cell)
+        if live:
+            targets |= live
+        else:
+            # nothing the delete files point at exists any more (a
+            # replay after a completed purge, or a crash after the
+            # swap loop but before the tombstone clear): the purge is
+            # already complete — clear the files now instead of
+            # taxing every future serve with a dead anti-join
+            # (r14 review)
+            shutil.rmtree(
+                os.path.join(local.rstrip("/"), "tombstones"),
+                ignore_errors=True,
+            )
+            tombs = None
     n_targets = len(targets)
     if targets:
         cell_vals = sorted(int(c.split("=", 1)[1]) for c in targets)
@@ -1650,12 +1744,12 @@ def compact_ann_index_incremental(
         for c in sorted(targets):
             try:
                 os.rename(os.path.join(data, c), os.path.join(oldroot, c))
+                staged = os.path.join(stage, c)
+                if os.path.isdir(staged):
+                    os.rename(staged, os.path.join(data, c))
+                # else: every row of this cell was tombstoned — purged
             except OSError:
                 continue  # lost this cell to a concurrent pass
-            staged = os.path.join(stage, c)
-            if os.path.isdir(staged):
-                os.rename(staged, os.path.join(data, c))
-            # else: every row of this cell was tombstoned — purged
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(oldroot, ignore_errors=True)
         if tombs is not None:
@@ -1754,9 +1848,15 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids: DataFrame) -> Non
     rewrite — never a synchronous scan of the corpus."""
     import os
 
-    ids.select(F.col("vec_id").cast("long")).coalesce(1).write.mode(
-        "append"
-    ).parquet(os.path.join(path, "tombstones"))
+    cols = [F.col("vec_id").cast("long")]
+    if "cell" in ids.columns:
+        # carry the partition like Iceberg's delete files do (r14):
+        # the incremental compactor then discovers tombstoned cells
+        # from this metadata instead of scanning the table
+        cols.append(F.col("cell").cast("long"))
+    ids.select(*cols).coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
 
 
 def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
@@ -1778,7 +1878,9 @@ def _minus_tombstones(spark: SparkSession, path: str, df: DataFrame) -> DataFram
     tombs = _read_tombstones(spark, path)
     if tombs is None:
         return df
-    return df.join(F.broadcast(tombs), "vec_id", "left_anti")
+    return df.join(
+        F.broadcast(tombs.select("vec_id")), "vec_id", "left_anti"
+    )
 
 
 def serve_ann_index(
@@ -1927,7 +2029,7 @@ def sim_index_query_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
             _read_ann_index(spark, path)
             .filter(F.col("vec_id") % 10 == DELETED_SLICE_MOD)
-            .select("vec_id"),
+            .select("vec_id", "cell"),
         )
     queries, _ = _queries_and_corpus(spark, sf_dir)
     return serve_ann_index(spark, path, queries)

@@ -2005,6 +2005,35 @@ def test_incremental_compaction_purges_tombstoned_cells(spark, tmp_path):
             ):
                 continue
             assert os.stat(f).st_mtime_ns == mtime, f"clean cell rewritten: {f}"
+        # replayed takedown of already-purged ids (legacy vec_id-only
+        # delete file): nothing is live, so the pass must clear the
+        # stale tombstones WITHOUT rewriting anything (r14 review —
+        # otherwise every future serve pays a dead anti-join forever)
+        delete_from_ann_index(
+            spark, path, spark.createDataFrame(
+                [(int(i),) for i in sorted(doomed_ids)], "vec_id long")
+        )
+        n2, _ = compact_ann_index_incremental(spark, path)
+        assert n2 == 0
+        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        # metadata-priced discovery: a (vec_id, cell)-carrying delete
+        # of one LIVE cell rewrites exactly that cell again
+        idx2 = _read_ann_index(spark, path)
+        cell2 = idx2.groupBy("cell").count().orderBy(F.col("cell").desc()).first()["cell"]
+        delete_from_ann_index(
+            spark, path,
+            idx2.filter(F.col("cell") == cell2).select("vec_id", "cell"),
+        )
+        n3, _ = compact_ann_index_incremental(spark, path)
+        assert n3 == 1
+        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        # a LIVE concurrent pass's aside dir must never be treated as
+        # crash debris (r14 review): pid 1 is always alive
+        live_aside = os.path.join(path, "data__cellold.1")
+        os.makedirs(os.path.join(live_aside, "cell=999999"), exist_ok=True)
+        compact_ann_index_incremental(spark, path)
+        assert os.path.isdir(live_aside), "live pass's aside dir swept"
+        shutil.rmtree(live_aside, ignore_errors=True)
     finally:
         shutil.rmtree(
             build_ann_index(spark, str(tmp_path), variant="fragcell"),
