@@ -1489,11 +1489,22 @@ def _debris_pid_dead(name: str) -> bool:
     no owner and is always debris. Recovery must NEVER touch a LIVE
     pass's dirs (r14 review: a concurrent pass's aside dir looked
     like crash debris and restoring it could resurrect purged rows
-    mid-swap)."""
+    mid-swap).
+
+    Debris suffixed with THIS process's own pid is always dead (r14
+    ADVICE, pid-reuse hole): recovery runs at compactor entry before
+    the pass creates anything, so a dir carrying os.getpid() can only
+    belong to a crashed prior run whose pid number was recycled —
+    common in containers, where pid numbering restarts. Without this,
+    such debris is neither restored nor swept, and the incremental
+    pass's makedirs(oldroot) would silently adopt it and later rmtree
+    aside cells whose replacements never landed."""
     import os
 
     tail = name.rsplit(".", 1)
     if len(tail) != 2 or not tail[1].isdigit():
+        return True
+    if int(tail[1]) == os.getpid():
         return True
     try:
         os.kill(int(tail[1]), 0)
@@ -1712,9 +1723,9 @@ def compact_ann_index_incremental(
                 .distinct()
                 .collect()
             )
-        live = {f"cell={r['cell']}" for r in tomb_cells} & set(per_cell)
-        if live:
-            targets |= live
+        tomb_dirs = {f"cell={r['cell']}" for r in tomb_cells} & set(per_cell)
+        if tomb_dirs:
+            targets |= tomb_dirs
         else:
             # nothing the delete files point at exists any more (a
             # replay after a completed purge, or a crash after the
@@ -1727,6 +1738,9 @@ def compact_ann_index_incremental(
                 ignore_errors=True,
             )
             tombs = None
+            tomb_dirs = set()
+    else:
+        tomb_dirs = set()
     n_targets = len(targets)
     if targets:
         cell_vals = sorted(int(c.split("=", 1)[1]) for c in targets)
@@ -1741,6 +1755,9 @@ def compact_ann_index_incremental(
             .parquet(stage)
         )
         os.makedirs(oldroot, exist_ok=True)
+        # cells whose swap fully landed — replaced with staged content
+        # or intentionally purged (every row tombstoned)
+        landed: set[str] = set()
         for c in sorted(targets):
             try:
                 os.rename(os.path.join(data, c), os.path.join(oldroot, c))
@@ -1748,16 +1765,49 @@ def compact_ann_index_incremental(
                 if os.path.isdir(staged):
                     os.rename(staged, os.path.join(data, c))
                 # else: every row of this cell was tombstoned — purged
+                landed.add(c)
             except OSError:
-                continue  # lost this cell to a concurrent pass
+                continue  # lost this cell to a concurrent pass,
+                # or a non-race rename failure (EACCES/ENOSPC/EXDEV)
+        # r14 ADVICE: a non-race failure between the two renames
+        # leaves the only copy of a cell in the aside dir — restore
+        # it before the sweep below destroys it. Only non-landed
+        # cells restore: a landed cell absent from data/ was an
+        # intentional purge, not a failed swap.
+        if os.path.isdir(oldroot):
+            for cd in os.listdir(oldroot):
+                if cd not in landed and not os.path.isdir(
+                    os.path.join(data, cd)
+                ):
+                    try:
+                        os.rename(
+                            os.path.join(oldroot, cd),
+                            os.path.join(data, cd),
+                        )
+                    except OSError:
+                        pass
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(oldroot, ignore_errors=True)
-        if tombs is not None:
-            # every tombstoned cell was in the rewrite set, so the
-            # purge is complete — the delete files can go
+        if tombs is not None and tomb_dirs <= landed:
+            # every tombstoned cell's swap landed, so the purge is
+            # physically complete — the delete files can go
             shutil.rmtree(
                 os.path.join(local.rstrip("/"), "tombstones"),
                 ignore_errors=True,
+            )
+        elif tombs is not None:
+            # r14 ADVICE: a tombstoned cell's swap did not land
+            # (lost race or non-race failure) — RETAIN the delete
+            # files (the serve-side anti-join keeps results correct;
+            # the next compaction retries the purge) instead of
+            # letting deleted rows reappear. Surface it.
+            import warnings
+
+            warnings.warn(
+                "compact_ann_index_incremental: swap did not land for "
+                f"tombstoned cell(s) {sorted(tomb_dirs - landed)}; "
+                "delete files retained, purge deferred to next pass",
+                stacklevel=2,
             )
     return n_targets, len(
         globmod.glob(os.path.join(data, "cell=*", "*.parquet"))

@@ -49,12 +49,15 @@ def run_oracle(sql: str, sf_dir: str):
     import tempfile
 
     spill = tempfile.mkdtemp(prefix="duckdb_spill_")
-    con.execute(f"SET temp_directory='{spill}'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    # view creation sits INSIDE the try: a failure there (e.g. missing
+    # parquet) must still close the connection and reap the spill dir
+    # (r14 ADVICE — the leak the private spill dir was meant to avoid)
     try:
+        con.execute(f"SET temp_directory='{spill}'")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
         return con.execute(sql).fetchdf()
     finally:
         con.close()

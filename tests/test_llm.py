@@ -1913,6 +1913,7 @@ def test_incremental_compaction_selective(spark, tmp_path):
     import shutil
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_index_path,
         build_ann_index,
         compact_ann_index_incremental,
     )
@@ -1952,8 +1953,11 @@ def test_incremental_compaction_selective(spark, tmp_path):
         again, _ = compact_ann_index_incremental(spark, path)
         assert again == 0, "second pass must be a no-op"
     finally:
+        # derive the cleanup path without re-running the build (r14
+        # ADVICE: a failed test's teardown must not rebuild the index
+        # or mask the original failure)
         shutil.rmtree(
-            build_ann_index(spark, str(tmp_path), variant="fragcell"),
+            _ann_index_path(str(tmp_path), "fragcell")[0],
             ignore_errors=True,
         )
 
@@ -1973,6 +1977,7 @@ def test_incremental_compaction_purges_tombstoned_cells(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_index_path,
         _read_ann_index,
         build_ann_index,
         compact_ann_index,
@@ -2035,8 +2040,142 @@ def test_incremental_compaction_purges_tombstoned_cells(spark, tmp_path):
         assert os.path.isdir(live_aside), "live pass's aside dir swept"
         shutil.rmtree(live_aside, ignore_errors=True)
     finally:
+        # derive the cleanup path without re-running the build (r14
+        # ADVICE: teardown must not rebuild or mask the real failure)
         shutil.rmtree(
-            build_ann_index(spark, str(tmp_path), variant="fragcell"),
+            _ann_index_path(str(tmp_path), "fragcell")[0],
+            ignore_errors=True,
+        )
+
+
+def test_compactor_recovery_own_pid_debris_is_dead(spark, tmp_path):
+    """r14 ADVICE (pid-reuse hole): a container restart can hand a new
+    compactor the SAME pid a crashed prior run used. Debris suffixed
+    with os.getpid() cannot belong to a live concurrent pass (recovery
+    runs at entry, before this process creates anything), so it must
+    be treated as dead: an aside cell whose replacement never landed
+    is RESTORED, not adopted by makedirs and then rmtree'd — which
+    would silently destroy the only copy of that cell's rows."""
+    import glob
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_index_path,
+        build_ann_index,
+        compact_ann_index_incremental,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=300)
+    try:
+        path = build_ann_index(spark, str(tmp_path), variant="fragcell")
+        data = os.path.join(path, "data")
+        before = sorted(map(tuple, spark.read.parquet(data).collect()))
+        # simulate a crashed prior run that HAD OUR PID: one cell was
+        # set aside but its replacement never landed
+        cells = sorted(
+            {os.path.basename(os.path.dirname(f))
+             for f in glob.glob(os.path.join(data, "cell=*", "*.parquet"))}
+        )
+        victim = cells[0]
+        debris = f"{data}__cellold.{os.getpid()}"
+        os.makedirs(debris, exist_ok=True)
+        os.rename(os.path.join(data, victim), os.path.join(debris, victim))
+        compact_ann_index_incremental(spark, path)
+        assert not os.path.isdir(debris), "own-pid debris not swept"
+        assert os.path.isdir(os.path.join(data, victim)), (
+            "aside cell with no landed replacement was not restored"
+        )
+        after = sorted(map(tuple, spark.read.parquet(data).collect()))
+        assert after == before, "rows lost through pid-reuse debris"
+    finally:
+        shutil.rmtree(
+            _ann_index_path(str(tmp_path), "fragcell")[0],
+            ignore_errors=True,
+        )
+
+
+def test_incremental_compaction_retains_tombstones_on_failed_swap(
+    spark, tmp_path, monkeypatch
+):
+    """r14 ADVICE: a NON-race swap failure (EACCES/ENOSPC/EXDEV) on a
+    tombstoned cell must (a) not destroy the cell (the aside copy is
+    restored before the sweep), and (b) RETAIN the delete files — the
+    Iceberg retention rule says they may only be cleared once every
+    tombstoned row is physically gone; the serve-side anti-join keeps
+    results correct meanwhile, and the next pass retries the purge."""
+    import os
+    import shutil
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_index_path,
+        _minus_tombstones,
+        _read_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        compact_ann_index_incremental,
+        delete_from_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=300)
+    try:
+        path = build_ann_index(spark, str(tmp_path), variant="fragcell")
+        compact_ann_index(spark, path)
+        data = os.path.join(path, "data")
+        idx = _read_ann_index(spark, path)
+        doomed_cell = idx.groupBy("cell").count().orderBy("cell").first()["cell"]
+        # PARTIAL delete: the cell must keep live rows so the staged
+        # replacement exists and the second rename is actually
+        # attempted (a fully-tombstoned cell takes the purge path and
+        # never renames a staged dir in)
+        in_cell = idx.filter(F.col("cell") == doomed_cell).select("vec_id")
+        n_cell = in_cell.count()
+        doomed = in_cell.orderBy("vec_id").limit(n_cell // 2)
+        n_doomed = doomed.count()
+        assert 0 < n_doomed < n_cell
+        delete_from_ann_index(spark, path, doomed)
+        before = sorted(
+            map(tuple, spark.read.parquet(data).collect())
+        )
+        real_rename = os.rename
+
+        def failing_rename(src, dst):
+            # the staged replacement for the doomed cell never lands
+            if (
+                "__stage." in src
+                and os.path.basename(src) == f"cell={doomed_cell}"
+            ):
+                raise PermissionError(13, "injected non-race failure", src)
+            return real_rename(src, dst)
+
+        monkeypatch.setattr("os.rename", failing_rename)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            compact_ann_index_incremental(spark, path)
+        monkeypatch.setattr("os.rename", real_rename)
+        assert any(
+            "delete files retained" in str(w.message) for w in caught
+        ), "failed tombstoned-cell swap was not surfaced"
+        # (a) the cell's bytes survived: the aside copy was restored
+        assert os.path.isdir(os.path.join(data, f"cell={doomed_cell}"))
+        assert sorted(map(tuple, spark.read.parquet(data).collect())) == before
+        # (b) delete files retained → the serve-side anti-join still
+        # excludes the (physically present) tombstoned rows
+        assert os.path.isdir(os.path.join(path, "tombstones"))
+        served = _minus_tombstones(spark, path, _read_ann_index(spark, path))
+        left = {r["vec_id"] for r in served.select("vec_id").collect()}
+        doomed_ids = {r["vec_id"] for r in doomed.collect()}
+        assert not (left & doomed_ids), "deleted rows reappeared"
+        # next (unsabotaged) pass completes the purge and clears them
+        n_retry, _ = compact_ann_index_incremental(spark, path)
+        assert n_retry >= 1
+        assert not os.path.isdir(os.path.join(path, "tombstones"))
+    finally:
+        shutil.rmtree(
+            _ann_index_path(str(tmp_path), "fragcell")[0],
             ignore_errors=True,
         )
 
