@@ -1328,7 +1328,11 @@ ORACLES["sim_topk_ivfpq"] = _sim_ivfpq_sql()
 #: style metadata-priced tombstone-cell discovery); the bump retires
 #: any cached vec_id-only tombstone dirs so one directory never mixes
 #: both schemas)
-ANN_INDEX_VERSION = 6
+#: v7 (r15): generation-directory layout — data lives in `data.g<N>`
+#: snapshots behind a `_current` pointer file; rewriters publish whole
+#: generations and readers resolve the pointer, closing the §32
+#: reader-vs-rewriter race
+ANN_INDEX_VERSION = 7
 
 
 def _ann_index_path(sf_dir: str, variant: str = "full") -> tuple[str, str]:
@@ -1396,13 +1400,16 @@ def build_ann_index(
 
     path, fp = _ann_index_path(sf_dir, variant)
     meta_path = os.path.join(path, "_ann_meta.json")
-    data = os.path.join(path, "data")
     try:
         with open(meta_path) as fh:
-            # a surviving meta over a deleted/partial data/ dir must
+            # a surviving meta over a deleted/partial data dir must
             # rebuild, not serve a path that can't be read (r12 review)
             meta = json.load(fh)
-            if meta.get("fp") == fp and "model" in meta and os.path.isdir(data):
+            if (
+                meta.get("fp") == fp
+                and "model" in meta
+                and os.path.isdir(_ann_data_dir(path))
+            ):
                 return path
     except (OSError, ValueError):
         pass
@@ -1420,11 +1427,15 @@ def build_ann_index(
         cb, pq_py, train_src, ["vec_id", "cell", "vnorm", "v", "label"]
     )
 
-    # stage -> publish: write into a per-pid temp sibling, swap it in
-    tmp = f"{data}__build_tmp.{os.getpid()}"
-    old = f"{data}__old.{os.getpid()}"
-    for leftover in (tmp, old):
-        shutil.rmtree(leftover, ignore_errors=True)
+    # stage -> publish: write into a per-pid temp sibling, publish it
+    # as the next GENERATION and flip the `_current` pointer (r15 —
+    # rebuild after a corpus/geometry change no longer swaps the live
+    # directory out from under an in-flight reader). Shared crash
+    # recovery first: dead-pid staging debris (including this pid's
+    # own crashed predecessor — pid reuse, r14 ADVICE) is swept.
+    _recover_compactor_debris(path)
+    tmp = os.path.join(path, f"data__build_tmp.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
     if variant in ("frag", "fragcell"):
         mod = 10 if variant == "frag" else 100
         for mode, pred in (("overwrite", "!="), ("append", "=")):
@@ -1442,15 +1453,23 @@ def build_ann_index(
             .partitionBy("cell")
             .parquet(tmp)
         )
-    try:
-        if os.path.isdir(data):
-            os.rename(data, old)
-        os.rename(tmp, data)
-    except OSError:
+    published = _publish_generation(path, tmp)
+    if published is None:
         # lost a concurrent-build race: another session published an
         # identical table between our miss check and our rename
         shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    else:
+        # a (re)build is a NEW table — the fingerprint changed or the
+        # table never existed. Prior generations hold the previous
+        # fingerprint's content, which is dead state rather than this
+        # table's time-travel history: drop them now so every
+        # generation number below the pointer refers to THIS table's
+        # lineage (sim_index_time_travel depends on that invariant).
+        # The legacy pre-v7 bare `data` dir is the same dead state.
+        for _n, d in _ann_gen_dirs(path):
+            if d != published:
+                shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(os.path.join(path, "data"), ignore_errors=True)
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
 
     tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
@@ -1468,10 +1487,11 @@ def build_ann_index(
 
 
 def _ann_local_data(path: str, fn: str) -> tuple[str, str]:
-    """(local index dir, data dir) for the directory-swapping
+    """(local index dir, CURRENT data dir) for the generation-swapping
     maintenance ops, rejecting non-local URIs — shared by both
     compactors (r14 review: the guard existed in three verbatim
-    copies)."""
+    copies). The data dir is resolved through the `_current` snapshot
+    pointer (r15)."""
     import os
 
     if "://" in path and not path.startswith("file://"):
@@ -1480,7 +1500,148 @@ def _ann_local_data(path: str, fn: str) -> tuple[str, str]:
             f"got non-local URI {path!r}"
         )
     local = path[len("file://"):] if path.startswith("file://") else path
-    return local, os.path.join(local.rstrip("/"), "data")
+    return local.rstrip("/") or local, _ann_data_dir(local)
+
+
+#: a superseded generation directory survives at least this long after
+#: a newer one is published (on top of the keep-two-newest floor), so
+#: any reader whose scan started before the flip finishes against
+#: intact files. This is the local twin of Iceberg's expire_snapshots
+#: retain-last + max-snapshot-age contract; readers slower than this
+#: bound are the documented residual (production: snapshot expiry is
+#: operator-scheduled with an explicit retention SLA).
+ANN_GEN_RETENTION_SECS = 120.0
+
+
+def _ann_gen_dirs(local: str) -> list[tuple[int, str]]:
+    """Sorted [(generation number, dirpath)] for every published
+    `data.g<N>` generation directory under the index root."""
+    import glob as globmod
+    import os
+
+    out = []
+    base = os.path.join(globmod.escape(local.rstrip("/")), "data.g*")
+    for d in globmod.glob(base):
+        if not os.path.isdir(d):
+            continue
+        tail = os.path.basename(d)[len("data.g"):]
+        if tail.isdigit():  # excludes in-flight "data.gN.tmp.<pid>"
+            out.append((int(tail), d))
+    return sorted(out)
+
+
+def ann_index_generations(path: str) -> list[int]:
+    """Published generation numbers of a persisted index, oldest
+    first — the time-travel surface (`serve_ann_index(...,
+    generation=N)` serves any generation still inside the retention
+    window)."""
+    local = path[len("file://"):] if path.startswith("file://") else path
+    return [n for n, _ in _ann_gen_dirs(local)]
+
+
+def _ann_data_dir(local: str, generation: int | None = None) -> str:
+    """Resolve the index's ACTIVE data directory through the
+    `_current` snapshot pointer (r15 — the fix for the §32
+    reader-vs-rewriter race): rewriters publish whole new generation
+    directories (`data.g<N>`) and flip the pointer by atomic rename,
+    so a reader that resolved the pointer scans a directory whose
+    files are never deleted from under it (superseded generations
+    outlive in-flight scans via _gc_generations' retention).
+    `generation` pins an explicit generation for time travel. Falls
+    back to the bare `data` dir for pre-v7 legacy tables."""
+    import os
+
+    local = local.rstrip("/") or local
+    if generation is not None:
+        gen = os.path.join(local, f"data.g{generation:06d}")
+        if not os.path.isdir(gen):
+            raise FileNotFoundError(
+                f"index generation {generation} not found (expired or "
+                f"never published) under {local!r}"
+            )
+        return gen
+    try:
+        with open(os.path.join(local, "_current")) as fh:
+            name = fh.read().strip()
+        cand = os.path.join(local, name)
+        if (
+            name.startswith("data.g")
+            and os.sep not in name
+            and os.path.isdir(cand)
+        ):
+            return cand
+    except OSError:
+        pass
+    return os.path.join(local, "data")
+
+
+def _publish_generation(local: str, staged: str) -> str | None:
+    """Atomically publish a fully-written staging directory as the
+    next generation and flip the `_current` pointer to it. Returns the
+    published dir, or None when the staging dir was lost to a
+    concurrent publisher's identical rename (the caller discards —
+    content is deterministic, whoever lands first wins). A number
+    collision (another pass published the same next-N first) retries
+    at the following number: both passes compacted the same source, so
+    both results are valid successor states."""
+    import os
+
+    local = local.rstrip("/") or local
+    for _ in range(16):
+        gens = _ann_gen_dirs(local)
+        nxt = (gens[-1][0] + 1) if gens else 1
+        target = os.path.join(local, f"data.g{nxt:06d}")
+        try:
+            os.rename(staged, target)
+        except OSError:
+            if os.path.isdir(target) and os.path.isdir(staged):
+                continue  # number taken — retry at the next one
+            return None  # staging gone or unrenamable: lost the pass
+        tmp = os.path.join(local, f"_current.tmp.{os.getpid()}")
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(target))
+        os.replace(tmp, os.path.join(local, "_current"))
+        return target
+    return None
+
+
+def _gc_generations(local: str) -> None:
+    """Expire superseded generations: keep the pointer target, the two
+    highest-numbered generations (a just-published one plus the one
+    in-flight readers may still hold), and anything younger than
+    ANN_GEN_RETENTION_SECS; delete the rest. A legacy bare `data` dir
+    on a table that has since migrated to the pointer layout expires
+    under the same age rule (its in-flight readers get the same
+    retention grace). Never touches staging dirs (different names)."""
+    import os
+    import shutil
+    import time as _time
+
+    local = local.rstrip("/") or local
+    gens = _ann_gen_dirs(local)
+    now = _time.time()
+
+    def _expired(d: str) -> bool:
+        try:
+            return now - os.path.getmtime(d) >= ANN_GEN_RETENTION_SECS
+        except OSError:
+            return False
+
+    try:
+        with open(os.path.join(local, "_current")) as fh:
+            current = fh.read().strip()
+    except OSError:
+        current = ""
+    legacy = os.path.join(local, "data")
+    if current and os.path.isdir(legacy) and _expired(legacy):
+        shutil.rmtree(legacy, ignore_errors=True)
+    if len(gens) <= 2:
+        return
+    for _, d in gens[:-2]:
+        if os.path.basename(d) == current:
+            continue
+        if _expired(d):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _debris_pid_dead(name: str) -> bool:
@@ -1515,36 +1676,50 @@ def _debris_pid_dead(name: str) -> bool:
         return False  # exists, owned by another uid — treat as live
 
 
-def _recover_compactor_debris(data: str) -> None:
+def _recover_compactor_debris(local: str) -> None:
     """Shared crash recovery for both compactors, run at entry:
 
-    - data missing + dead __old* sibling(s): restore the FRESHEST by
-      mtime (r14 review: lexicographic choice could restore a stale
-      pre-purge copy and resurrect deleted rows whose tombstone files
-      a later pass already cleared);
-    - dead __cellold* aside dirs: restore any cell that never got its
-      replacement (the incremental pass's per-cell crash window);
-    - every remaining dead-pid staging/aside dir is swept, so a crash
-      after publish can no longer leak a full pre-compaction table
-      copy per pid (r14 review).
+    - every dead-pid staging dir is swept (`data__build_tmp`,
+      `data__compact_tmp`, `data__stage`, `data__gen_tmp`, plus the
+      r14-era `__old`/`__cellold` names), so a crash mid-stage can no
+      longer leak a table copy per pid (r14 review);
+    - dead `_current.tmp.<pid>` pointer staging files are removed;
+    - LEGACY (pre-v7, pointerless) tables only: a missing bare `data`
+      dir with a dead `__old` sibling restores the FRESHEST by mtime,
+      and dead `__cellold` aside cells whose replacement never landed
+      are put back (the r14 per-cell crash windows — generation
+      publishes are single atomic renames and need neither).
 
-    Live pids' dirs are untouched — see _debris_pid_dead. Glob
-    patterns escape the data path (a cache path containing glob
-    metacharacters must not silently disable recovery)."""
+    Live pids' dirs are untouched — see _debris_pid_dead (a dir
+    carrying this process's own pid is always dead: recovery runs
+    before the pass creates anything, r14 ADVICE). Glob patterns
+    escape the path (a cache path containing glob metacharacters must
+    not silently disable recovery)."""
     import glob as globmod
     import os
     import shutil
 
+    local = local.rstrip("/") or local
+    data = os.path.join(local, "data")  # legacy layout + staging base
     esc = globmod.escape(data)
     debris = [
         d
         for suffix in ("__old", "__compact_tmp", "__stage", "__cellold",
-                       "__build_tmp")
+                       "__build_tmp", "__gen_tmp")
         for d in globmod.glob(f"{esc}{suffix}*")
         if os.path.isdir(d)
     ]
     dead = [d for d in debris if _debris_pid_dead(os.path.basename(d))]
-    if not os.path.isdir(data):
+    for f in globmod.glob(
+        os.path.join(globmod.escape(local), "_current.tmp.*")
+    ):
+        if _debris_pid_dead(os.path.basename(f)):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    legacy = not os.path.exists(os.path.join(local, "_current"))
+    if legacy and not os.path.isdir(data):
         olds = sorted(
             (os.path.getmtime(d), d)
             for d in dead
@@ -1555,7 +1730,7 @@ def _recover_compactor_debris(data: str) -> None:
             restored = olds[-1][1]
             os.rename(restored, data)
             dead.remove(restored)
-    if os.path.isdir(data):
+    if legacy and os.path.isdir(data):
         for d in dead:
             if "__cellold" in os.path.basename(d):
                 for cd in os.listdir(d):
@@ -1579,75 +1754,64 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     Unlike `ingest.sinks.compact_parquet` (which this mirrors), the
     rewrite must KEEP the hive partitioning — a flat rewrite would
     demote `cell` to a data column and silently break the serve plan's
-    dynamic partition pruning. Same crash discipline: stage to a
-    sibling temp dir, rename-aside swap, so a crash leaves a readable
-    table at the published path or its __old sibling, never neither.
-    Local filesystem only (the deploy equivalent is Iceberg
-    rewrite_data_files under a table lock, jar-gated in
+    dynamic partition pruning. Local filesystem only (the deploy
+    equivalent is Iceberg rewrite_data_files, jar-gated in
     lakehouse.py).
 
-    Concurrency contract (r14, measured): staging is per-pid and a
-    lost swap race degrades gracefully (content is bit-identical by
-    determinism — whoever publishes first wins, the loser discards
-    its copy), so concurrent COMPACTORS are safe. Concurrent
-    READERS of the same directory table are NOT: a reader whose scan
-    is in flight when the swap lands can hit
-    FAILED_READ_FILE.FILE_NOT_EXIST — the generic reader-vs-rewriter
-    race of directory-swap tables, and the precise reason production
-    tables put a snapshot/manifest layer (Iceberg/Delta) or a table
-    lock between rewriters and readers. The grading driver is
-    single-process (unaffected); multi-process local runs sharing
-    one model cache must serialize compaction against serving."""
+    Concurrency contract (r15 — §32 CLOSED): the rewrite publishes a
+    whole NEW generation directory (`data.g<N+1>`) and flips the
+    `_current` pointer by atomic rename; the superseded generation's
+    files are never deleted from under an in-flight reader (retained
+    by _gc_generations' keep-two-newest + ANN_GEN_RETENTION_SECS
+    floor), so concurrent cold READERS no longer hit
+    FAILED_READ_FILE.FILE_NOT_EXIST — the snapshot-pointer answer the
+    r14 docstring only documented (dual-process pytest drives a serve
+    loop against a compaction loop). Concurrent COMPACTORS remain
+    safe: staging is per-pid, publish is first-wins (content is
+    deterministic), a number collision retries at the next
+    generation. Crash discipline: the pointer always names a fully
+    published generation; a crash mid-stage leaves only a dead-pid
+    staging dir for _recover_compactor_debris."""
     import glob as globmod
     import os
     import shutil
 
     local, data = _ann_local_data(path, "compact_ann_index")
-    # crash recovery (r12 ADVICE, r14 shared/owner-aware): a
-    # compaction that died between its two renames leaves no data dir
-    # but a readable __old sibling — restore the freshest dead-pid
-    # one and sweep the rest instead of failing opaquely. (A
-    # missing-data-no-old state is build_ann_index's rebuild path.)
-    _recover_compactor_debris(data)
+    _recover_compactor_debris(local)
     # purge pending tombstones in the same rewrite (the merge-on-read
     # deletes become physical here, then the delete files are cleared;
     # crash ordering is safe: tombstones are removed only AFTER the
-    # purged table is published, and re-anti-joining already-purged
-    # ids is a no-op)
-    src = _minus_tombstones(spark, local, spark.read.parquet(data))
-    # per-pid staging (r14 — the r12 build discipline extended to the
-    # compactor: two sessions compacting the same cached table raced
-    # on the fixed sibling names, one losing TASK_WRITE_FAILED when
-    # the other's swap removed the shared staging dir mid-write). A
-    # lost swap race degrades gracefully: compacted content is
-    # bit-identical by determinism, so whoever publishes first wins
-    # and the loser discards its staging copy. Deploy equivalent
-    # remains a table lock (Iceberg rewrite_data_files).
-    tmp = f"{data}__compact_tmp.{os.getpid()}"
-    old = f"{data}__old.{os.getpid()}"
+    # purged generation is published, and re-anti-joining
+    # already-purged ids is a no-op). Snapshot the delete-file LIST
+    # first: a delete landing mid-compaction must survive the clear
+    # (it is not purged by this pass) — only the files this rewrite
+    # actually folded in are removed (r15).
+    tomb_files = _tombstone_files(local)
+    src = spark.read.parquet(data)
+    if tomb_files:
+        src = src.join(
+            F.broadcast(spark.read.parquet(*tomb_files).select("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+    tmp = os.path.join(local, f"data__compact_tmp.{os.getpid()}")
     (
         src.repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(tmp)
     )
-    if os.path.exists(old):
-        shutil.rmtree(old)  # leftover from a prior crashed swap
-    try:
-        os.rename(data, old)
-        os.rename(tmp, data)
-    except OSError:
+    if _publish_generation(local, tmp) is None:
         # lost a concurrent-compaction race — another session
-        # published between our stage and our swap; restore anything
-        # we set aside and discard our copy
+        # published first; discard our copy, keep the delete files
+        # (the winner's pass clears its own snapshot)
         shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.isdir(data) and os.path.isdir(old):
-            os.rename(old, data)
-    shutil.rmtree(old, ignore_errors=True)
-    # deletes are now physical — clear the merge-on-read delete files
-    shutil.rmtree(os.path.join(local.rstrip("/"), "tombstones"),
-                  ignore_errors=True)
-    return len(globmod.glob(os.path.join(data, "cell=*", "*.parquet")))
+    else:
+        _clear_tombstone_files(local, tomb_files)
+    _gc_generations(local)
+    return len(
+        globmod.glob(os.path.join(_ann_data_dir(local), "cell=*", "*.parquet"))
+    )
 
 
 def compact_ann_index_incremental(
@@ -1672,38 +1836,45 @@ def compact_ann_index_incremental(
 
     One Spark job stages every target cell (partition-pruned scan —
     the isin predicate on the partition column prunes to target
-    cells; tombstone anti-join applied in the same pass), then a
-    driver-side loop swaps each cell directory atomically: the old
-    cell renames ASIDE to `data__cellold/cell=N` — outside data/, so
-    a crash never leaves a `cell=N__old` directory that hive
-    partition parsing would read as a bogus partition value — the
-    staged cell renames in, and a cell whose rows were all tombstoned
-    is simply not replaced (purged). Crash anywhere mid-loop leaves
-    every cell either old or new (both readable; tombstones are
-    cleared only after ALL swaps land, and re-anti-joining purged ids
-    is a no-op); the next call restores any set-aside cell that never
-    got its replacement. Returns (cells_rewritten, data_files_after).
-    Local filesystem only, like compact_ann_index."""
+    cells; the snapshot tombstone anti-join applied in the same
+    pass), then the NEXT GENERATION directory is constructed
+    driver-side (r15 — this replaced the r14 per-cell in-place swap
+    loop and its aside/restore machinery): every untouched cell's
+    files HARD-LINK into the new generation (metadata-priced, same
+    inode and mtime — the bytes are shared, preserving the
+    cost-∝-fragmentation property), rewritten cells move in from the
+    staging dir, fully-tombstoned cells are simply not linked
+    (purged). The generation publishes with one atomic rename + a
+    `_current` pointer flip, so a concurrent reader sees the old
+    generation or the new one, never a half-swapped table — and the
+    old generation's files outlive its in-flight scans
+    (_gc_generations retention). Crash anywhere before the publish
+    leaves only dead-pid staging; the pointer still names the intact
+    previous generation. Delete files are cleared (exactly the
+    snapshot list) only after the purged generation publishes; on a
+    lost publish race they are retained — the serve-side anti-join
+    keeps results correct and the next pass retries (r14 ADVICE,
+    carried into the generation design). Returns (cells_rewritten,
+    data_files_after). Local filesystem only, like
+    compact_ann_index."""
     import glob as globmod
     import os
     import shutil
 
     local, data = _ann_local_data(path, "compact_ann_index_incremental")
-    # per-pid staging, like compact_ann_index (r14): concurrent
-    # passes must not collide on shared sibling names
-    oldroot = f"{data}__cellold.{os.getpid()}"
-    # shared owner-aware crash recovery (also restores a whole-table
-    # __old left by a crashed FULL compaction — r14 review: the two
-    # compactors must honor the same crash contract)
-    _recover_compactor_debris(data)
-    per_cell: dict[str, int] = {}
+    _recover_compactor_debris(local)
+    per_cell: dict[str, list[str]] = {}
     for f in globmod.glob(
         os.path.join(globmod.escape(data), "cell=*", "*.parquet")
     ):
-        cd = os.path.basename(os.path.dirname(f))
-        per_cell[cd] = per_cell.get(cd, 0) + 1
-    targets = {c for c, n in per_cell.items() if n >= min_files}
-    tombs = _read_tombstones(spark, local)
+        per_cell.setdefault(
+            os.path.basename(os.path.dirname(f)), []
+        ).append(f)
+    targets = {c for c, fs in per_cell.items() if len(fs) >= min_files}
+    tomb_files = _tombstone_files(local)
+    tombs = (
+        spark.read.parquet(*tomb_files) if tomb_files else None
+    )
     if tombs is not None:
         if "cell" in tombs.columns and tombs.filter(
             F.col("cell").isNull()
@@ -1729,14 +1900,11 @@ def compact_ann_index_incremental(
         else:
             # nothing the delete files point at exists any more (a
             # replay after a completed purge, or a crash after the
-            # swap loop but before the tombstone clear): the purge is
-            # already complete — clear the files now instead of
-            # taxing every future serve with a dead anti-join
+            # publish but before the tombstone clear): the purge is
+            # already complete — clear the snapshot files now instead
+            # of taxing every future serve with a dead anti-join
             # (r14 review)
-            shutil.rmtree(
-                os.path.join(local.rstrip("/"), "tombstones"),
-                ignore_errors=True,
-            )
+            _clear_tombstone_files(local, tomb_files)
             tombs = None
             tomb_dirs = set()
     else:
@@ -1744,8 +1912,12 @@ def compact_ann_index_incremental(
     n_targets = len(targets)
     if targets:
         cell_vals = sorted(int(c.split("=", 1)[1]) for c in targets)
-        src = _minus_tombstones(spark, local, spark.read.parquet(data))
-        stage = f"{data}__stage.{os.getpid()}"
+        src = spark.read.parquet(data)
+        if tombs is not None:
+            src = src.join(
+                F.broadcast(tombs.select("vec_id")), "vec_id", "left_anti"
+            )
+        stage = os.path.join(local, f"data__stage.{os.getpid()}")
         shutil.rmtree(stage, ignore_errors=True)
         (
             src.filter(F.col("cell").isin(cell_vals))
@@ -1754,77 +1926,66 @@ def compact_ann_index_incremental(
             .partitionBy("cell")
             .parquet(stage)
         )
-        os.makedirs(oldroot, exist_ok=True)
-        # cells whose swap fully landed — replaced with staged content
-        # or intentionally purged (every row tombstoned)
-        landed: set[str] = set()
-        for c in sorted(targets):
-            try:
-                os.rename(os.path.join(data, c), os.path.join(oldroot, c))
+        # construct the next generation: links for clean cells, moves
+        # for rewritten ones, nothing for purged ones
+        newgen = os.path.join(local, f"data__gen_tmp.{os.getpid()}")
+        shutil.rmtree(newgen, ignore_errors=True)
+        os.makedirs(newgen)
+        for c, files in sorted(per_cell.items()):
+            if c in targets:
                 staged = os.path.join(stage, c)
                 if os.path.isdir(staged):
-                    os.rename(staged, os.path.join(data, c))
+                    os.rename(staged, os.path.join(newgen, c))
                 # else: every row of this cell was tombstoned — purged
-                landed.add(c)
-            except OSError:
-                continue  # lost this cell to a concurrent pass,
-                # or a non-race rename failure (EACCES/ENOSPC/EXDEV)
-        # r14 ADVICE: a non-race failure between the two renames
-        # leaves the only copy of a cell in the aside dir — restore
-        # it before the sweep below destroys it. Only non-landed
-        # cells restore: a landed cell absent from data/ was an
-        # intentional purge, not a failed swap.
-        if os.path.isdir(oldroot):
-            for cd in os.listdir(oldroot):
-                if cd not in landed and not os.path.isdir(
-                    os.path.join(data, cd)
-                ):
-                    try:
-                        os.rename(
-                            os.path.join(oldroot, cd),
-                            os.path.join(data, cd),
-                        )
-                    except OSError:
-                        pass
+            else:
+                os.makedirs(os.path.join(newgen, c))
+                for f in files:
+                    os.link(f, os.path.join(newgen, c, os.path.basename(f)))
+        published = _publish_generation(local, newgen)
         shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(oldroot, ignore_errors=True)
-        if tombs is not None and tomb_dirs <= landed:
-            # every tombstoned cell's swap landed, so the purge is
-            # physically complete — the delete files can go
-            shutil.rmtree(
-                os.path.join(local.rstrip("/"), "tombstones"),
-                ignore_errors=True,
-            )
-        elif tombs is not None:
-            # r14 ADVICE: a tombstoned cell's swap did not land
-            # (lost race or non-race failure) — RETAIN the delete
-            # files (the serve-side anti-join keeps results correct;
-            # the next compaction retries the purge) instead of
-            # letting deleted rows reappear. Surface it.
-            import warnings
+        if published is None:
+            shutil.rmtree(newgen, ignore_errors=True)
+            if tombs is not None:
+                # the winner's pass clears its own snapshot; ours may
+                # include delete files the winner never saw — RETAIN
+                # them (serve-side anti-join keeps results correct,
+                # next pass retries the purge) and surface it
+                import warnings
 
-            warnings.warn(
-                "compact_ann_index_incremental: swap did not land for "
-                f"tombstoned cell(s) {sorted(tomb_dirs - landed)}; "
-                "delete files retained, purge deferred to next pass",
-                stacklevel=2,
-            )
+                warnings.warn(
+                    "compact_ann_index_incremental: lost the publish "
+                    "race with pending deletes; delete files retained, "
+                    "purge deferred to next pass",
+                    stacklevel=2,
+                )
+        elif tombs is not None:
+            # every tombstoned cell was in the rewrite set and the
+            # purged generation is published — exactly the snapshot
+            # delete files can go (a delete that landed mid-pass
+            # stays pending)
+            _clear_tombstone_files(local, tomb_files)
+        _gc_generations(local)
     return n_targets, len(
-        globmod.glob(os.path.join(data, "cell=*", "*.parquet"))
+        globmod.glob(
+            os.path.join(_ann_data_dir(local), "cell=*", "*.parquet")
+        )
     )
 
 
 def _read_ann_index(
-    spark: SparkSession, path: str, with_label: bool = False
+    spark: SparkSession,
+    path: str,
+    with_label: bool = False,
+    data_dir: str | None = None,
 ) -> DataFrame:
     """The persisted index as sim_topk_ivfpq's corpus_coded shape.
     `cell` comes back as a partition column (directory-encoded int) —
     cast to long to keep the join key type identical to the live
     path's. `with_label` adds the v4 attribute column for filtered
     serving; unfiltered serves leave it out so parquet column pruning
-    keeps their scan exactly as narrow as before."""
-    import os
-
+    keeps their scan exactly as narrow as before. `data_dir` pins an
+    already-resolved generation dir (r15) so a serve's two scans read
+    the SAME snapshot; default resolves the `_current` pointer."""
     cols = [
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
@@ -1833,18 +1994,19 @@ def _read_ann_index(
     ]
     if with_label:
         cols.append(F.col("label"))
-    return spark.read.parquet(os.path.join(path, "data")).select(*cols)
+    return spark.read.parquet(data_dir or _ann_data_dir(path)).select(*cols)
 
 
-def _read_ann_vectors(spark: SparkSession, path: str) -> DataFrame:
+def _read_ann_vectors(
+    spark: SparkSession, path: str, data_dir: str | None = None
+) -> DataFrame:
     """The persisted index's raw-vector payload (vec_id, cell, v,
     vnorm) — the survivor re-fetch source on the self-contained serve
     path. Keeping `cell` lets the re-fetch join partition-prune to the
     probed cells; vnorm is the build-time value, bit-identical to what
-    the live path recomputes post-join."""
-    import os
-
-    return spark.read.parquet(os.path.join(path, "data")).select(
+    the live path recomputes post-join. `data_dir` as in
+    _read_ann_index."""
+    return spark.read.parquet(data_dir or _ann_data_dir(path)).select(
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
         "v",
@@ -1909,15 +2071,51 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids: DataFrame) -> Non
     )
 
 
-def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
-    """The index's pending delete set, or None when there is none."""
+def _tombstone_files(path: str) -> list[str]:
+    """The index's delete files, snapshot at call time. Compactors
+    operate on THIS list and clear exactly these files afterwards, so
+    a delete landing mid-compaction — which the pass did not purge —
+    survives the clear instead of being silently dropped (r15)."""
     import glob as globmod
     import os
 
-    t = os.path.join(path, "tombstones")
-    if not globmod.glob(os.path.join(t, "*.parquet")):
+    local = path[len("file://"):] if path.startswith("file://") else path
+    return sorted(
+        globmod.glob(
+            os.path.join(
+                globmod.escape(local.rstrip("/")), "tombstones", "*.parquet"
+            )
+        )
+    )
+
+
+def _clear_tombstone_files(path: str, files: list[str]) -> None:
+    """Remove exactly the snapshot delete files a completed purge
+    folded in (newer delete files stay pending); when no delete file
+    remains, the dir goes too (Spark's _SUCCESS/.crc markers don't
+    keep it alive)."""
+    import os
+    import shutil
+
+    for f in files:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    if not _tombstone_files(path):
+        local = path[len("file://"):] if path.startswith("file://") else path
+        shutil.rmtree(
+            os.path.join(local.rstrip("/"), "tombstones"), ignore_errors=True
+        )
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The index's pending delete set, or None when there is none."""
+    import os
+
+    if not _tombstone_files(path):
         return None
-    return spark.read.parquet(t)
+    return spark.read.parquet(os.path.join(path, "tombstones"))
 
 
 def _minus_tombstones(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
@@ -1939,6 +2137,7 @@ def serve_ann_index(
     queries: DataFrame,
     candidate_filter: Column | None = None,
     k: int = TOP_K,
+    generation: int | None = None,
 ) -> DataFrame:
     """Corpus-free ANN serving — the deploy-facing API: given ONLY a
     persisted index directory and a (query_id, qv, qnorm) query frame,
@@ -1961,19 +2160,47 @@ def serve_ann_index(
 
     ``k`` (r14) sizes the serve to what the caller consumes — see
     _ivfpq_serve; the default keeps every existing entry's exact
-    plan."""
+    plan.
+
+    ``generation`` (r15) is the TIME-TRAVEL hook: serve any published
+    generation still inside the retention window (see
+    ann_index_generations) — the Iceberg `VERSION AS OF` analogue.
+    Pending tombstones apply to EVERY generation (a takedown in
+    progress is never servable through time travel); rows already
+    physically purged remain readable in pre-purge generations until
+    _gc_generations expires them, exactly Iceberg's expire_snapshots
+    contract for completing a GDPR erasure.
+
+    Snapshot-consistency ordering (r15): tombstones are read BEFORE
+    the generation pointer is resolved, and both index scans share
+    the one resolved dir. With clears always happening after the
+    purged generation's pointer flip, every interleaving with a
+    concurrent compactor then serves correct rows: a tombstone set
+    captured pre-clear anti-joins already-purged ids (a no-op), and a
+    post-flip pointer read serves the purged generation outright."""
     cb, pqcb, _ = _sidecar_model(spark, path)
+    tombs = _read_tombstones(spark, path)
+    gen_dir = _ann_data_dir(path, generation)
+
+    def _anti(df: DataFrame) -> DataFrame:
+        if tombs is None:
+            return df
+        return df.join(
+            F.broadcast(tombs.select("vec_id")), "vec_id", "left_anti"
+        )
+
     cand = _read_ann_index(
-        spark, path, with_label=candidate_filter is not None
+        spark, path, with_label=candidate_filter is not None,
+        data_dir=gen_dir,
     )
     if candidate_filter is not None:
         cand = cand.filter(candidate_filter).drop("label")
     return _ivfpq_serve(
         spark,
         queries,
-        _minus_tombstones(spark, path, cand),
+        _anti(cand),
         (cb, pqcb),
-        vectors=_minus_tombstones(spark, path, _read_ann_vectors(spark, path)),
+        vectors=_anti(_read_ann_vectors(spark, path, data_dir=gen_dir)),
         k=k,
     )
 
@@ -2083,6 +2310,43 @@ def sim_index_query_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     queries, _ = _queries_and_corpus(spark, sf_dir)
     return serve_ann_index(spark, path, queries)
+
+
+def sim_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL serve — `VERSION AS OF` over the generation-pointer
+    layout (r15, new §2 row): the index's own history answers "what
+    did the table serve BEFORE the takedown?". The "tt" variant
+    builds as generation 1 (full corpus), then a one-time lifecycle
+    mutation tombstones the vec_id % 10 = 3 slice and physically
+    purges it via `compact_ann_index_incremental`, publishing
+    generation 2 (the current, purged table) and clearing the delete
+    files. The entry serves AS OF generation 1 — the pre-takedown
+    snapshot, readable because _gc_generations retains it — and so
+    must hash-match the FULL-corpus serve oracle (sim_index_query's,
+    verbatim) while the pointer's current generation would not: a
+    time-travel resolve that leaked through to the current
+    generation, or a purge that mutated the retained snapshot's
+    bytes, hash-diverges. Semantics match Iceberg: pending tombstones
+    mask every generation (takedowns are never servable mid-flight);
+    a COMPLETED purge's rows stay readable in pre-purge snapshots
+    until snapshot expiry removes them (the documented final step of
+    a GDPR erasure). Reference parity: none — driver-contract Part C
+    ANN index day-2 family."""
+    path = build_ann_index(spark, sf_dir, variant="tt")
+    gens = ann_index_generations(path)
+    if len(gens) == 1:
+        if _read_tombstones(spark, path) is None:
+            delete_from_ann_index(
+                spark,
+                path,
+                _read_ann_index(spark, path)
+                .filter(F.col("vec_id") % 10 == DELETED_SLICE_MOD)
+                .select("vec_id", "cell"),
+            )
+        compact_ann_index_incremental(spark, path)
+        gens = ann_index_generations(path)
+    queries, _ = _queries_and_corpus(spark, sf_dir)
+    return serve_ann_index(spark, path, queries, generation=min(gens))
 
 
 def _index_table_sql(
@@ -2214,6 +2478,10 @@ QUERIES["sim_index_query_deleted"] = sim_index_query_deleted
 ORACLES["sim_index_query_deleted"] = _sim_ivfpq_sql(
     f"c.vec_id % 10 <> {DELETED_SLICE_MOD}"
 )
+# the pre-takedown snapshot must equal the FULL-corpus serve — the
+# time-travel entry shares sim_index_query's oracle verbatim
+QUERIES["sim_index_time_travel"] = sim_index_time_travel
+ORACLES["sim_index_time_travel"] = _sim_ivfpq_sql()
 #: the filtered entry's candidate predicate: labels 0-2, ~29% of the
 #: corpus — selective enough that the filter visibly reshapes results,
 #: wide enough that probed cells still hold candidates

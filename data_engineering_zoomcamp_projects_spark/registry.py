@@ -57,48 +57,109 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # WINDOW TRIAGE round 14 (50 slots). The r13 window died of
-    # harness resource exhaustion after certifying only its first 6
-    # slots (the new index-family entries) — the engine was green (the
-    # judge's independent full-registry run passed 212/212), but the
-    # r8-era refresh queue went a thirteenth round without a DRIVER
-    # row. Layout consequences (r13 verdict item 1):
+    # WINDOW TRIAGE round 15 (50 slots). Composition per the r14
+    # verdict item 1 + the recorded displaced queue, computed
+    # mechanically (latest green DRIVER row per name over
+    # CORRECTNESS_r01-r14):
     #
-    #   (i) the 20 r8-era rows occupy the first ~26 slots, INTERLEAVED
-    #       with the heavy index-family oracles (never two heavies
-    #       adjacent, one heavy per ~3 cheap rows) — if the harness
-    #       dies mid-window again, the starved queue is certified
-    #       before the death point instead of after it;
-    #  (ii) the index-family oracle bodies were restructured for
-    #       allocator footprint (similarity.py r14 notes: norms-CTE
-    #       pq_scored, one-pass conditional-agg drift histograms,
-    #       column-cut recall join) — every serve-family entry whose
-    #       oracle text changed re-certifies here;
-    # (iii) r14 plan changes ride along: tie-safe decimal cos_sim in
-    #       the dedup emitters (dedup_embedding_cosine /
-    #       dedup_semantic_semdedup), the k=1 gate serve
-    #       (dedup_online_index_gate);
-    #  (iv) the r13-errored re-certs (mart chain, sim_index_build/
-    #       query/append, stream_live_index_append, sim_topk_ivfpq,
-    #       sim_index_drift_monitor) fill the heavy slots;
-    #   (v) remaining filler from the recorded r14 triage:
-    #       posexplode_tokens, prep_decontaminate_bloom,
-    #       prep_shard_balanced, prep_vocab_topk, then the oldest r9
-    #       q* rows (q4, q6-q8, q10-q11). Self-review swap: three
-    #       filler slots go to sim_topk_bruteforce / sim_topk_ivf /
-    #       sim_index_stats instead of q13-q15 — their oracle TEXT
-    #       also changed in the r14 allocator restructure
-    #       (SIM_TOPK_SQL scalar-window, _sim_ivf_sql scalar-window,
-    #       _index_table_sql inside the stats rollup), and rule (ii)
-    #       says every changed oracle re-certifies; the q12 slot goes
-    #       to the NEW r14 entry sim_index_query_compacted_incremental
-    #       (new oracle-backed names must sit in the current window).
-    #       Displaced to r15: q12-q22, stream_live_ingest_neardup,
-    #       stream_tumbling_hourly, text_langid_profile,
-    #       text_repetition_scores, unpivot_quantities, then the r10
-    #       cohort head (agg_approx_count_distinct ..
-    #       profile_orders_columns alphabetically) — plus whatever
-    #       r15 changes.
+    #   (i) ALL 30 r9-stale rows — the oldest driver-certification
+    #       gap: q12-q22 (no driver row since r9), the agg_boolean /
+    #       join_* / multimodal_* cohort (attempted in the r13 window
+    #       but killed by the harness map-count death before their
+    #       slots), stream_live_ingest_neardup, stream_tumbling_hourly,
+    #       text_langid_profile, text_repetition_scores,
+    #       unpivot_quantities;
+    #  (ii) the 12 index-family entries whose SPARK PLANS changed in
+    #       r15 (generation-pointer layout, ANN_INDEX_VERSION 6->7:
+    #       serves resolve `_current`, compactors publish generations,
+    #       tombstone snapshot-precise clears, serve reads tombstones
+    #       before the pointer) — oracles unchanged, so these certify
+    #       the layout change hash-for-hash;
+    # (iii) the NEW r15 entry sim_index_time_travel (new oracle-backed
+    #       names must sit in the current window);
+    #  (iv) 7 filler slots from the r10 cohort head
+    #       (agg_approx_count_distinct .. events_attribution_first_last
+    #       alphabetically).
+    #
+    #   Heavies (the 13 index-family oracles) are interleaved one per
+    #   ~3 cheap rows, never two adjacent — if the harness dies
+    #   mid-window, the starved queue certifies before the death point.
+    #
+    #   Displaced to r16: the rest of the r10 cohort
+    #   (events_funnel_windowed, events_pivot_daily_types,
+    #   events_user_timeline, events_value_histogram,
+    #   filter_predicate_suite, fn_sql_udf_suite, fn_try_suite,
+    #   fn_variant_suite, join_asof_tolerance, join_salted_skew,
+    #   layout_zorder_buckets, ml_linreg_normal_eq,
+    #   orders_scd2_priority, part_unpivot_metrics,
+    #   prep_curriculum_order, prep_temperature_resample,
+    #   profile_orders_columns, projection_expressions,
+    #   q2_min_cost_supplier, quality_constraint_checks,
+    #   quality_daily_volume_anomaly, quality_referential_orphans,
+    #   quality_snapshot_diff, sample_fraction,
+    #   sample_hash_reproducible, sample_stratified_by_lang,
+    #   sim_bm25_topk, sim_label_centroids, stream_live_dedup_summary,
+    #   subq_in_european_suppliers, subq_orders_above_customer_avg,
+    #   subq_scalar_above_avg_price, topk_global, topk_per_group,
+    #   window_first_last, window_range_frame), then the r11 cohort —
+    #   plus whatever r16 changes.
+    "q12_ship_delay_buckets",
+    "q13_customer_distribution",
+    "sim_index_build",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "sim_index_query",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_bracketed_revenue",
+    "sim_index_time_travel",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "sim_index_append",
+    "stream_live_ingest_neardup",
+    "stream_tumbling_hourly",
+    "text_langid_profile",
+    "stream_live_index_append",
+    "text_repetition_scores",
+    "unpivot_quantities",
+    "agg_boolean",
+    "sim_index_query_compacted",
+    "agg_collect_sets",
+    "agg_percentiles",
+    "join_anti_inactive_customers",
+    "sim_index_query_compacted_incremental",
+    "join_cross_region_nation",
+    "join_full_outer_nation_activity",
+    "join_inner_customer_orders",
+    "sim_index_query_deleted",
+    "join_left_outer_orders",
+    "join_right_outer_lineitem",
+    "join_semi_active_customers",
+    "sim_index_query_filtered",
+    "join_theta_supplier_pairs",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "sim_index_stats",
+    "multimodal_join_docs_embeddings",
+    "agg_approx_count_distinct",
+    "agg_corr_covar",
+    "sim_index_drift_monitor",
+    "agg_exact_percentiles",
+    "agg_median_mode_by_segment",
+    "sim_index_recall_estimate",
+    "agg_percentile_approx",
+    "curation_domain_cap",
+    "dedup_online_index_gate",
+    "events_attribution_first_last",
+]
+
+_FRONT_R14 = [
+    # WINDOW TRIAGE round 14 (50 slots, historical record — went
+    # 50/50 green in CORRECTNESS_r14 after the oracle scalar-window
+    # allocator fix). Original triage comment preserved in git history
+    # (registry.py @ r14 HEAD).
     "fn_json_suite",
     "fn_math_suite",
     "fn_string_suite",
@@ -143,10 +204,6 @@ _FRONT = [
     "q10_returned_items",
     "q11_part_value_share",
     "sim_index_drift_monitor",
-    # r14 second pass: the new incremental-compaction entry takes the
-    # q12 filler slot (new oracle-backed names MUST sit in the current
-    # window; q12 is cumulatively green since r9 and heads the r15
-    # displaced queue)
     "sim_index_query_compacted_incremental",
     "sim_topk_bruteforce",
     "sim_topk_ivf",

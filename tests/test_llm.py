@@ -1614,6 +1614,7 @@ def test_compact_ann_index_preserves_content_and_partitioning(spark, tmp_path):
     import shutil
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
         _read_ann_index,
         build_ann_index,
         compact_ann_index,
@@ -1628,7 +1629,7 @@ def test_compact_ann_index_preserves_content_and_partitioning(spark, tmp_path):
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
     try:
         path = build_ann_index(spark, str(tmp_path))
-        data = os.path.join(path, "data")
+        data = _ann_data_dir(path)
         # simulate a stream of appends: re-append the table to itself in
         # 4-way splits twice -> several files per cell (then dedupe the
         # content expectation by reading BEFORE compaction)
@@ -1644,6 +1645,7 @@ def test_compact_ann_index_preserves_content_and_partitioning(spark, tmp_path):
             meta_before = json.load(fh)
         n_after = compact_ann_index(spark, path)
         assert n_after < before_files
+        data = _ann_data_dir(path)  # compaction published a new generation
         after_rows = sorted(map(tuple, spark.read.parquet(data).collect()))
         assert after_rows == before_rows
         cells = [d for d in os.listdir(data) if d.startswith("cell=")]
@@ -1913,6 +1915,7 @@ def test_incremental_compaction_selective(spark, tmp_path):
     import shutil
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
         _ann_index_path,
         build_ann_index,
         compact_ann_index_incremental,
@@ -1921,15 +1924,22 @@ def test_incremental_compaction_selective(spark, tmp_path):
     _tmp_embeddings_corpus(spark, tmp_path, n=300)
     try:
         path = build_ann_index(spark, str(tmp_path), variant="fragcell")
-        data = os.path.join(path, "data")
-        before = sorted(map(tuple, spark.read.parquet(data).collect()))
 
         def stat_files():
+            # keyed by generation-relative path: the v7 layout
+            # publishes each pass as a new generation dir, and clean
+            # cells' files HARD-LINK across — same inode, same
+            # mtime_ns, same cell=N/filename tail
+            data = _ann_data_dir(path)
             out = {}
             for f in glob.glob(os.path.join(data, "cell=*", "*.parquet")):
-                out[f] = os.stat(f).st_mtime_ns
+                st = os.stat(f)
+                out[os.path.relpath(f, data)] = (st.st_ino, st.st_mtime_ns)
             return out
 
+        before = sorted(
+            map(tuple, spark.read.parquet(_ann_data_dir(path)).collect())
+        )
         pre = stat_files()
         frag_cells = {
             os.path.dirname(f)
@@ -1944,7 +1954,9 @@ def test_incremental_compaction_selective(spark, tmp_path):
         n_rewritten, n_files = compact_ann_index_incremental(spark, path)
         assert n_rewritten == len(frag_cells)
         post = stat_files()
-        assert sorted(map(tuple, spark.read.parquet(data).collect())) == before
+        assert sorted(
+            map(tuple, spark.read.parquet(_ann_data_dir(path)).collect())
+        ) == before
         for cell_dir in frag_cells:
             files = [f for f in post if os.path.dirname(f) == cell_dir]
             assert len(files) == 1, cell_dir
@@ -1977,6 +1989,7 @@ def test_incremental_compaction_purges_tombstoned_cells(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
         _ann_index_path,
         _read_ann_index,
         build_ann_index,
@@ -1989,14 +2002,14 @@ def test_incremental_compaction_purges_tombstoned_cells(spark, tmp_path):
     try:
         path = build_ann_index(spark, str(tmp_path), variant="fragcell")
         compact_ann_index(spark, path)  # start fully compacted
-        data = os.path.join(path, "data")
         idx = _read_ann_index(spark, path)
         doomed_cell = idx.groupBy("cell").count().orderBy("cell").first()["cell"]
         doomed = idx.filter(F.col("cell") == doomed_cell).select("vec_id")
         doomed_ids = {r["vec_id"] for r in doomed.collect()}
         delete_from_ann_index(spark, path, doomed)
+        data = _ann_data_dir(path)
         pre = {
-            f: os.stat(f).st_mtime_ns
+            os.path.relpath(f, data): os.stat(f).st_mtime_ns
             for f in glob.glob(os.path.join(data, "cell=*", "*.parquet"))
         }
         n_rewritten, _ = compact_ann_index_incremental(spark, path)
@@ -2004,12 +2017,13 @@ def test_incremental_compaction_purges_tombstoned_cells(spark, tmp_path):
         assert not os.path.isdir(os.path.join(path, "tombstones"))
         left = {r["vec_id"] for r in _read_ann_index(spark, path).select("vec_id").collect()}
         assert not (left & doomed_ids), "tombstoned rows survived the purge"
-        for f, mtime in pre.items():
-            if f"cell={doomed_cell}" + os.sep in f or f.endswith(
-                f"cell={doomed_cell}"
-            ):
+        data = _ann_data_dir(path)  # the purge published a new generation
+        for rel, mtime in pre.items():
+            if rel.startswith(f"cell={doomed_cell}{os.sep}"):
                 continue
-            assert os.stat(f).st_mtime_ns == mtime, f"clean cell rewritten: {f}"
+            assert os.stat(
+                os.path.join(data, rel)
+            ).st_mtime_ns == mtime, f"clean cell rewritten: {rel}"
         # replayed takedown of already-purged ids (legacy vec_id-only
         # delete file): nothing is live, so the pass must clear the
         # stale tombstones WITHOUT rewriting anything (r14 review —
@@ -2053,14 +2067,16 @@ def test_compactor_recovery_own_pid_debris_is_dead(spark, tmp_path):
     compactor the SAME pid a crashed prior run used. Debris suffixed
     with os.getpid() cannot belong to a live concurrent pass (recovery
     runs at entry, before this process creates anything), so it must
-    be treated as dead: an aside cell whose replacement never landed
-    is RESTORED, not adopted by makedirs and then rmtree'd — which
-    would silently destroy the only copy of that cell's rows."""
+    be treated as dead and swept; the published generations are never
+    touched. Also pins the LEGACY (pre-v7, pointerless) recovery with
+    recycled-pid debris: an aside cell whose replacement never landed
+    is RESTORED, not adopted and destroyed."""
     import glob
     import os
     import shutil
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
         _ann_index_path,
         build_ann_index,
         compact_ann_index_incremental,
@@ -2069,25 +2085,45 @@ def test_compactor_recovery_own_pid_debris_is_dead(spark, tmp_path):
     _tmp_embeddings_corpus(spark, tmp_path, n=300)
     try:
         path = build_ann_index(spark, str(tmp_path), variant="fragcell")
-        data = os.path.join(path, "data")
-        before = sorted(map(tuple, spark.read.parquet(data).collect()))
-        # simulate a crashed prior run that HAD OUR PID: one cell was
-        # set aside but its replacement never landed
+        gen = _ann_data_dir(path)
+        before = sorted(map(tuple, spark.read.parquet(gen).collect()))
+        # own-pid staging debris from a "crashed prior run with our pid"
+        base = os.path.join(path, "data")
+        for suffix in ("__gen_tmp", "__stage", "__build_tmp", "__cellold"):
+            os.makedirs(f"{base}{suffix}.{os.getpid()}", exist_ok=True)
+        compact_ann_index_incremental(spark, path)
+        for suffix in ("__gen_tmp", "__stage", "__build_tmp", "__cellold"):
+            assert not os.path.isdir(
+                f"{base}{suffix}.{os.getpid()}"
+            ), f"own-pid {suffix} debris not swept"
+        after = sorted(
+            map(tuple, spark.read.parquet(_ann_data_dir(path)).collect())
+        )
+        assert after == before, "rows lost through pid-reuse debris"
+
+        # LEGACY layout: demote the table to the pre-v7 shape (bare
+        # data/, no pointer), set one cell aside under an own-pid
+        # __cellold dir (the r14 crash window), and require recovery
+        # to restore it instead of adopting + deleting it
+        gen = _ann_data_dir(path)
+        os.rename(gen, base)
+        os.remove(os.path.join(path, "_current"))
+        for d in glob.glob(os.path.join(path, "data.g*")):
+            shutil.rmtree(d, ignore_errors=True)
         cells = sorted(
             {os.path.basename(os.path.dirname(f))
-             for f in glob.glob(os.path.join(data, "cell=*", "*.parquet"))}
+             for f in glob.glob(os.path.join(base, "cell=*", "*.parquet"))}
         )
         victim = cells[0]
-        debris = f"{data}__cellold.{os.getpid()}"
+        debris = f"{base}__cellold.{os.getpid()}"
         os.makedirs(debris, exist_ok=True)
-        os.rename(os.path.join(data, victim), os.path.join(debris, victim))
+        os.rename(os.path.join(base, victim), os.path.join(debris, victim))
         compact_ann_index_incremental(spark, path)
-        assert not os.path.isdir(debris), "own-pid debris not swept"
-        assert os.path.isdir(os.path.join(data, victim)), (
-            "aside cell with no landed replacement was not restored"
+        assert not os.path.isdir(debris), "own-pid legacy debris not swept"
+        after = sorted(
+            map(tuple, spark.read.parquet(_ann_data_dir(path)).collect())
         )
-        after = sorted(map(tuple, spark.read.parquet(data).collect()))
-        assert after == before, "rows lost through pid-reuse debris"
+        assert after == before, "legacy aside cell not restored"
     finally:
         shutil.rmtree(
             _ann_index_path(str(tmp_path), "fragcell")[0],
@@ -2098,12 +2134,13 @@ def test_compactor_recovery_own_pid_debris_is_dead(spark, tmp_path):
 def test_incremental_compaction_retains_tombstones_on_failed_swap(
     spark, tmp_path, monkeypatch
 ):
-    """r14 ADVICE: a NON-race swap failure (EACCES/ENOSPC/EXDEV) on a
-    tombstoned cell must (a) not destroy the cell (the aside copy is
-    restored before the sweep), and (b) RETAIN the delete files — the
-    Iceberg retention rule says they may only be cleared once every
-    tombstoned row is physically gone; the serve-side anti-join keeps
-    results correct meanwhile, and the next pass retries the purge."""
+    """r14 ADVICE, v7 shape: a failed generation PUBLISH (lost race or
+    non-race rename failure) with pending deletes must (a) leave the
+    current generation untouched (no row loss), and (b) RETAIN the
+    delete files — the Iceberg retention rule says they may only be
+    cleared once every tombstoned row is physically gone; the
+    serve-side anti-join keeps results correct meanwhile, and the next
+    pass retries the purge."""
     import os
     import shutil
     import warnings
@@ -2111,6 +2148,7 @@ def test_incremental_compaction_retains_tombstones_on_failed_swap(
     from pyspark.sql import functions as F
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
         _ann_index_path,
         _minus_tombstones,
         _read_ann_index,
@@ -2124,31 +2162,30 @@ def test_incremental_compaction_retains_tombstones_on_failed_swap(
     try:
         path = build_ann_index(spark, str(tmp_path), variant="fragcell")
         compact_ann_index(spark, path)
-        data = os.path.join(path, "data")
         idx = _read_ann_index(spark, path)
         doomed_cell = idx.groupBy("cell").count().orderBy("cell").first()["cell"]
-        # PARTIAL delete: the cell must keep live rows so the staged
-        # replacement exists and the second rename is actually
-        # attempted (a fully-tombstoned cell takes the purge path and
-        # never renames a staged dir in)
+        # PARTIAL delete: the cell must keep live rows so the rewrite
+        # actually stages a replacement (a fully-tombstoned cell takes
+        # the purge path)
         in_cell = idx.filter(F.col("cell") == doomed_cell).select("vec_id")
         n_cell = in_cell.count()
         doomed = in_cell.orderBy("vec_id").limit(n_cell // 2)
         n_doomed = doomed.count()
         assert 0 < n_doomed < n_cell
         delete_from_ann_index(spark, path, doomed)
+        data = _ann_data_dir(path)
         before = sorted(
             map(tuple, spark.read.parquet(data).collect())
         )
         real_rename = os.rename
 
         def failing_rename(src, dst):
-            # the staged replacement for the doomed cell never lands
-            if (
-                "__stage." in src
-                and os.path.basename(src) == f"cell={doomed_cell}"
+            # the generation publish never lands (the lost-race /
+            # non-race failure surface in the v7 layout)
+            if "__gen_tmp." in src and os.path.basename(dst).startswith(
+                "data.g"
             ):
-                raise PermissionError(13, "injected non-race failure", src)
+                raise PermissionError(13, "injected publish failure", src)
             return real_rename(src, dst)
 
         monkeypatch.setattr("os.rename", failing_rename)
@@ -2158,8 +2195,9 @@ def test_incremental_compaction_retains_tombstones_on_failed_swap(
         monkeypatch.setattr("os.rename", real_rename)
         assert any(
             "delete files retained" in str(w.message) for w in caught
-        ), "failed tombstoned-cell swap was not surfaced"
-        # (a) the cell's bytes survived: the aside copy was restored
+        ), "failed publish with pending deletes was not surfaced"
+        # (a) the current generation is untouched: no row loss
+        assert _ann_data_dir(path) == data
         assert os.path.isdir(os.path.join(data, f"cell={doomed_cell}"))
         assert sorted(map(tuple, spark.read.parquet(data).collect())) == before
         # (b) delete files retained → the serve-side anti-join still
@@ -2267,13 +2305,18 @@ def test_drift_monitor_bounds_and_grain(spark, sf_dir):
 
 
 def test_compact_ann_index_recovers_from_crashed_swap(spark, tmp_path):
-    """r12 ADVICE: a compaction crash between its two renames leaves no
-    data dir but a readable __old sibling; the next compact_ann_index
-    must restore __old and proceed instead of failing opaquely."""
+    """r12 ADVICE, kept for LEGACY (pre-v7, pointerless) tables: a
+    legacy compaction crash between its two renames left no data dir
+    but a readable __old sibling; the next compact_ann_index must
+    restore __old and proceed — and under v7 it then MIGRATES the
+    table to the generation layout (publishes data.g000001 and flips
+    the pointer)."""
+    import glob
     import os
     import shutil
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
         build_ann_index,
         compact_ann_index,
     )
@@ -2282,12 +2325,22 @@ def test_compact_ann_index_recovers_from_crashed_swap(spark, tmp_path):
     try:
         path = build_ann_index(spark, str(tmp_path))
         data = os.path.join(path, "data")
-        before = sorted(map(tuple, spark.read.parquet(data).collect()))
-        os.rename(data, data + "__old")  # simulate the crash window
+        before = sorted(
+            map(tuple, spark.read.parquet(_ann_data_dir(path)).collect())
+        )
+        # demote to the legacy layout, then simulate the legacy crash
+        # window: bare data dir missing, dead __old sibling present
+        os.rename(_ann_data_dir(path), data + "__old")
+        os.remove(os.path.join(path, "_current"))
+        for d in glob.glob(os.path.join(path, "data.g*")):
+            shutil.rmtree(d, ignore_errors=True)
         compact_ann_index(spark, path)
-        assert os.path.isdir(data)
         assert not os.path.isdir(data + "__old")
-        assert sorted(map(tuple, spark.read.parquet(data).collect())) == before
+        gen = _ann_data_dir(path)
+        assert os.path.basename(gen).startswith("data.g"), (
+            "legacy table not migrated to the generation layout"
+        )
+        assert sorted(map(tuple, spark.read.parquet(gen).collect())) == before
     finally:
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
 
@@ -2302,6 +2355,7 @@ def test_build_ann_index_staged_write_cleans_own_leftovers(spark, tmp_path):
     import shutil
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
         build_ann_index,
     )
 
@@ -2309,7 +2363,9 @@ def test_build_ann_index_staged_write_cleans_own_leftovers(spark, tmp_path):
     try:
         path = build_ann_index(spark, str(tmp_path))
         data = os.path.join(path, "data")
-        rows = sorted(map(tuple, spark.read.parquet(data).collect()))
+        rows = sorted(
+            map(tuple, spark.read.parquet(_ann_data_dir(path)).collect())
+        )
         # force a rebuild with crash debris from "our" pid in the way
         meta = os.path.join(path, "_ann_meta.json")
         with open(meta, "w") as fh:
@@ -2318,9 +2374,14 @@ def test_build_ann_index_staged_write_cleans_own_leftovers(spark, tmp_path):
                        f"{data}__old.{os.getpid()}"):
             os.makedirs(os.path.join(debris, "junk"))
         assert build_ann_index(spark, str(tmp_path)) == path
-        assert sorted(map(tuple, spark.read.parquet(data).collect())) == rows
+        assert sorted(
+            map(tuple, spark.read.parquet(_ann_data_dir(path)).collect())
+        ) == rows
         leftovers = [d for d in os.listdir(path) if "__" in d]
         assert not leftovers, leftovers
+        # a rebuild is a NEW table: exactly one generation remains
+        gens = [d for d in os.listdir(path) if d.startswith("data.g")]
+        assert len(gens) == 1, gens
     finally:
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
 
@@ -2366,6 +2427,7 @@ def test_delete_tombstones_then_compact_purges(spark, tmp_path):
     import shutil
 
     from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
         _queries_and_corpus,
         _read_ann_index,
         build_ann_index,
@@ -2403,9 +2465,155 @@ def test_delete_tombstones_then_compact_purges(spark, tmp_path):
         assert after_ids == live
         assert any(
             d.startswith("cell=")
-            for d in os.listdir(os.path.join(path, "data"))
+            for d in os.listdir(_ann_data_dir(path))
         )
         served_after = serve_ann_index(spark, path, queries).collect()
         assert sorted(map(tuple, served_after)) == sorted(map(tuple, served))
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_serve_ann_index_time_travel_generations(spark, tmp_path):
+    """r15 time travel over the generation layout. Lifecycle: build
+    (gen 1) → serve → tombstone a slice → purge via incremental
+    compaction (publishes gen 2, clears delete files). Then:
+
+    - AS OF gen 1 must equal the ORIGINAL pre-delete serve exactly
+      (the retained snapshot is byte-intact);
+    - the pointer serve (gen 2) differs (the purged rows are gone);
+    - PENDING tombstones mask every generation: while the delete is
+      un-purged, AS OF gen 1 must exclude the doomed ids too (a
+      takedown in flight is never servable through time travel);
+    - asking for an expired/never-published generation raises."""
+    import os
+    import pytest as _pytest
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _queries_and_corpus,
+        _read_ann_index,
+        ann_index_generations,
+        build_ann_index,
+        compact_ann_index_incremental,
+        delete_from_ann_index,
+        serve_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=120)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        assert ann_index_generations(path) == [1]
+        queries, _ = _queries_and_corpus(spark, str(tmp_path))
+        served_full_rows = serve_ann_index(spark, path, queries).collect()
+        served_full = sorted(map(tuple, served_full_rows))
+        # tombstone rows that ARE current answers, so the purge must
+        # visibly reshape the pointer serve
+        doomed_ids = {int(r["neighbor_id"]) for r in served_full_rows}
+        assert doomed_ids
+        doomed = _read_ann_index(spark, path).filter(
+            F.col("vec_id").isin(sorted(doomed_ids))
+        ).select("vec_id", "cell")
+        delete_from_ann_index(spark, path, doomed)
+        # pending tombstones mask the historical generation too
+        masked = serve_ann_index(spark, path, queries, generation=1).collect()
+        assert not {int(r["neighbor_id"]) for r in masked} & doomed_ids
+        compact_ann_index_incremental(spark, path)
+        assert ann_index_generations(path) == [1, 2]
+        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        as_of_1 = sorted(
+            map(
+                tuple,
+                serve_ann_index(spark, path, queries, generation=1).collect(),
+            )
+        )
+        assert as_of_1 == served_full, "time travel lost the snapshot"
+        current_rows = serve_ann_index(spark, path, queries).collect()
+        current = sorted(map(tuple, current_rows))
+        assert current != served_full, "purge did not change the pointer serve"
+        assert not {
+            int(r["neighbor_id"]) for r in current_rows
+        } & doomed_ids, "purged rows served from the current generation"
+        with _pytest.raises(FileNotFoundError):
+            serve_ann_index(spark, path, queries, generation=99)
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_concurrent_cold_reader_vs_compactor_generations(
+    spark, tmp_path, monkeypatch
+):
+    """r15 — the §32 reader-vs-rewriter race, CLOSED and driven for
+    real: a second PROCESS (own JVM) serves the index cold in a loop
+    while this process runs full compactions in a loop, each publishing
+    a new generation and GC'ing expired ones (retention dropped to
+    20 s so expiry actually fires during the test — still an order of
+    magnitude above a serve's scan time, which is the contract). Under
+    the r14 directory-swap layout this scenario could die
+    FAILED_READ_FILE.FILE_NOT_EXIST (documented then as the known
+    residual); under the generation-pointer layout every serve must
+    succeed AND return the same rows (full compaction preserves
+    content). The reader creates a fresh DataFrame per iteration — no
+    warm file-listing cache hides the race."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import time as _time
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        build_ann_index,
+        compact_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=300)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        reader_src = f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from pyspark.sql import SparkSession
+from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+    _queries_and_corpus, serve_ann_index,
+)
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+queries, _ = _queries_and_corpus(spark, {repr(str(tmp_path))})
+baseline = None
+for i in range(8):
+    rows = sorted(map(tuple, serve_ann_index(
+        spark, {repr(path)}, queries).collect()))
+    assert rows, "empty serve"
+    if baseline is None:
+        baseline = rows
+    assert rows == baseline, f"serve {{i}} diverged"
+print("READER_OK", flush=True)
+"""
+        script = tmp_path / "reader.py"
+        script.write_text(reader_src)
+        reader = subprocess.Popen(
+            [sys.executable, str(script)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        # expiry must actually fire mid-test, while staying far above
+        # a single serve's scan time (the retention contract)
+        monkeypatch.setattr(similarity, "ANN_GEN_RETENTION_SECS", 20.0)
+        n_compactions = 0
+        deadline = _time.time() + 180
+        while reader.poll() is None and _time.time() < deadline:
+            compact_ann_index(spark, path)
+            n_compactions += 1
+        out, _ = reader.communicate(timeout=240)
+        assert reader.returncode == 0 and "READER_OK" in out, (
+            f"cold reader died against the compaction loop "
+            f"(after {n_compactions} compactions):\n{out[-3000:]}"
+        )
+        assert n_compactions >= 3, "compactor barely ran; test proved little"
     finally:
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)

@@ -302,6 +302,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # "fragcell" variant
         "sim_index_query_compacted_incremental",
         "sim_index_query_deleted",
+        # sim_index_time_travel (r15): identical serve-chain shape
+        # over the retained pre-takedown generation of the "tt"
+        # variant (the pointer-resolve happens driver-side; the plan
+        # is sim_index_query's)
+        "sim_index_time_travel",
         # sim_index_query_filtered: identical serve-chain shape with a
         # map-side label predicate inside the index scan (r13)
         "sim_index_query_filtered",
@@ -701,7 +706,9 @@ def test_sim_index_query_reuses_persisted_index(spark, sf_dir):
     # the on-disk layout really is hive-partitioned by cell (the plan
     # string renders 'cell' regardless, so check the directories —
     # r12 review)
-    data_dir = os.path.join(similarity.build_ann_index(spark, sf_dir), "data")
+    data_dir = similarity._ann_data_dir(
+        similarity.build_ann_index(spark, sf_dir)
+    )
     assert any(d.startswith("cell=") for d in os.listdir(data_dir)), (
         "index table lost its cell partitioning"
     )
