@@ -327,6 +327,7 @@ def _ivf_index_ctes(
     src: str = "embeddings",
     assign_src: str = "embeddings",
     query_src: str | None = None,
+    nprobe: int = 2,
 ) -> str:
     """The shared two-level-index CTE chain (stats .. corpus_cells /
     query_cells) — DuckDB rebuilds the codebook from the same
@@ -379,8 +380,8 @@ def _ivf_index_ctes(
       JOIN cent_owner cc ON cc.sc_id = x.sc_id
       WHERE x.vec_id % 100 = 0
     ) d
-  ) WHERE rk <= 2
-)""".format(dot_ec=dot_ec)
+  ) WHERE rk <= {nprobe}
+)""".format(dot_ec=dot_ec, nprobe=nprobe)
     else:
         query_side = """query_sc AS (
   SELECT vec_id, sc_id FROM (
@@ -406,8 +407,9 @@ query_cells AS (
       JOIN embeddings e ON e.vec_id = x.vec_id
       JOIN cent_owner cc ON cc.sc_id = x.sc_id
     ) d
-  ) WHERE rk <= 2
-)""".format(dot_es=dot_es, dot_ec=dot_ec, query_src=query_src)
+  ) WHERE rk <= {nprobe}
+)""".format(dot_es=dot_es, dot_ec=dot_ec, query_src=query_src,
+           nprobe=nprobe)
     return f"""stats AS (
   SELECT GREATEST(1, CAST(CEIL(COUNT(*) / CEIL(SQRT(COUNT(*)))) AS BIGINT)) AS stride
   FROM {src}
@@ -1047,6 +1049,7 @@ def _ivfpq_serve(
     vectors: DataFrame | None = None,
     corpus: DataFrame | None = None,
     k: int = TOP_K,
+    n_probe: int = 2,
 ) -> DataFrame:
     """The IVF-PQ SERVE chain over any (vec_id, cell, vnorm, pq_code)
     corpus-index frame: per-query LUT + nprobe=2 cell assignment, the
@@ -1087,7 +1090,7 @@ def _ivfpq_serve(
     # other order re-evaluates the PQ_M x PQ_K decimal dots once per
     # probe row (2x the heaviest query-side map work; r11 review)
     query_side = _nearest_cells(
-        cb, _pq_lut(queries, "qv", pqcb), "qv", "qcell", 2
+        cb, _pq_lut(queries, "qv", pqcb), "qv", "qcell", n_probe
     ).withColumn(
         "qcell", F.coalesce(F.col("qcell"), F.lit(-2).cast("long"))
     ).select("query_id", "qcell", "qnorm", "pq_lut")
@@ -1167,6 +1170,7 @@ def _sim_ivfpq_sql(
     assign_src: str = "embeddings",
     query_src: str | None = None,
     k: int = TOP_K,
+    nprobe: int = 2,
 ) -> str:
     """Full oracle for sim_topk_ivfpq: the shared index chain plus an
     exact replica of the PQ path — first-PQ_K-by-vec_id codebook,
@@ -1211,7 +1215,7 @@ def _sim_ivfpq_sql(
 
     cos = sql_cosine("q.embedding", "c.embedding")
     return f"""
-WITH {_ivf_index_ctes(src=src, assign_src=assign_src, query_src=query_src)},
+WITH {_ivf_index_ctes(src=src, assign_src=assign_src, query_src=query_src, nprobe=nprobe)},
 pqc AS (
   SELECT r.rp - 1 AS p, e.embedding AS cv
   FROM (
@@ -2138,6 +2142,7 @@ def serve_ann_index(
     candidate_filter: Column | None = None,
     k: int = TOP_K,
     generation: int | None = None,
+    n_probe: int = 2,
 ) -> DataFrame:
     """Corpus-free ANN serving — the deploy-facing API: given ONLY a
     persisted index directory and a (query_id, qv, qnorm) query frame,
@@ -2202,6 +2207,7 @@ def serve_ann_index(
         (cb, pqcb),
         vectors=_anti(_read_ann_vectors(spark, path, data_dir=gen_dir)),
         k=k,
+        n_probe=n_probe,
     )
 
 
