@@ -179,6 +179,13 @@ HEADLINE = [
     "sim_index_stats",
     "dedup_online_index_gate",
     "sim_index_drift_monitor",
+    # round-15: snapshot generations — time-travel serve (VERSION AS
+    # OF the pre-takedown generation) and the generation audit diff
+    # (changed-cell-pruned removed/added attestation), tracked so the
+    # pointer-resolve + history costs stay measured next to the
+    # current-generation serves
+    "sim_index_time_travel",
+    "sim_index_generation_diff",
 ]
 
 

@@ -75,8 +75,11 @@ _FRONT = [
     #       tombstone snapshot-precise clears, serve reads tombstones
     #       before the pointer) — oracles unchanged, so these certify
     #       the layout change hash-for-hash;
-    # (iii) the NEW r15 entry sim_index_time_travel (new oracle-backed
-    #       names must sit in the current window);
+    # (iii) the NEW r15 entries sim_index_time_travel and
+    #       sim_index_generation_diff (new oracle-backed names must
+    #       sit in the current window; the diff entry took the
+    #       agg_approx_count_distinct filler slot — that row heads
+    #       the r16 queue);
     #  (iv) 7 filler slots from the r10 cohort head
     #       (agg_approx_count_distinct .. events_attribution_first_last
     #       alphabetically).
@@ -86,7 +89,7 @@ _FRONT = [
     #   mid-window, the starved queue certifies before the death point.
     #
     #   Displaced to r16: the rest of the r10 cohort
-    #   (events_funnel_windowed, events_pivot_daily_types,
+    #   (agg_approx_count_distinct, events_funnel_windowed, events_pivot_daily_types,
     #   events_user_timeline, events_value_histogram,
     #   filter_predicate_suite, fn_sql_udf_suite, fn_try_suite,
     #   fn_variant_suite, join_asof_tolerance, join_salted_skew,
@@ -143,7 +146,7 @@ _FRONT = [
     "multimodal_frame_sample",
     "sim_index_stats",
     "multimodal_join_docs_embeddings",
-    "agg_approx_count_distinct",
+    "sim_index_generation_diff",
     "agg_corr_covar",
     "sim_index_drift_monitor",
     "agg_exact_percentiles",

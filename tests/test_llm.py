@@ -2539,6 +2539,69 @@ def test_serve_ann_index_time_travel_generations(spark, tmp_path):
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
 
 
+def test_diff_ann_index_generations_removed_added_and_pruned(spark, tmp_path):
+    """r15 generation diff: after a partial takedown purge (hard-link
+    incremental compaction — unchanged cells share inodes, so the diff
+    must PRUNE them via file identity and still be exact), the
+    gen1→gen2 diff is exactly the deleted ids as 'removed'; after an
+    in-place append followed by a full compaction, the gen1→gen3 diff
+    additionally reports the appended ids as 'added'."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        _read_ann_index,
+        ann_index_generations,
+        build_ann_index,
+        compact_ann_index,
+        compact_ann_index_incremental,
+        delete_from_ann_index,
+        diff_ann_index_generations,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=300)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        idx = _read_ann_index(spark, path)
+        cell0 = idx.groupBy("cell").count().orderBy("cell").first()["cell"]
+        in_cell = idx.filter(F.col("cell") == cell0).select("vec_id", "cell")
+        n_cell = in_cell.count()
+        doomed = in_cell.orderBy("vec_id").limit(max(1, n_cell // 2))
+        doomed_ids = {int(r["vec_id"]) for r in doomed.collect()}
+        delete_from_ann_index(spark, path, doomed)
+        compact_ann_index_incremental(spark, path)
+        assert ann_index_generations(path) == [1, 2]
+        d12 = diff_ann_index_generations(spark, path, 1, 2).collect()
+        assert {r["change"] for r in d12} == {"removed"}
+        assert {int(r["vec_id"]) for r in d12} == doomed_ids
+        assert {int(r["cell"]) for r in d12} == {int(cell0)}
+        # in-place append (the steady-state write), then a full
+        # compaction publishes gen 3; diff 1→3 sees both transitions
+        gen2 = _ann_data_dir(path)
+        raw = spark.read.parquet(gen2)
+        # materialize before appending into the directory being read
+        sample = raw.limit(5).collect()
+        extra = spark.createDataFrame(sample, raw.schema).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+        extra_ids = {int(r["vec_id"]) for r in extra.select("vec_id").collect()}
+        (extra.repartition(F.col("cell"))
+              .write.mode("append").partitionBy("cell").parquet(gen2))
+        compact_ann_index(spark, path)
+        gens = ann_index_generations(path)
+        assert gens[0] == 1 and gens[-1] == 3
+        d13 = diff_ann_index_generations(spark, path, 1, 3).collect()
+        removed = {int(r["vec_id"]) for r in d13 if r["change"] == "removed"}
+        added = {int(r["vec_id"]) for r in d13 if r["change"] == "added"}
+        assert removed == doomed_ids
+        assert added == extra_ids
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
 def test_concurrent_cold_reader_vs_compactor_generations(
     spark, tmp_path, monkeypatch
 ):
