@@ -2051,6 +2051,56 @@ def _sidecar_model(spark: SparkSession, path: str) -> tuple:
     return out
 
 
+def append_to_ann_index(spark: SparkSession, path: str, batch: DataFrame) -> int:
+    """Append new vectors to a persisted index under the FROZEN
+    sidecar model — the write half of the production steady state
+    whose coded content `sim_index_append` certifies (that entry
+    returns the delta; this API lands it). `batch` is (vec_id, v)
+    with optional vnorm (computed when absent — the build-time
+    decimal norm, bit-identical to what serving recomputes) and
+    optional label (the v4 filterable attribute; NULL when absent).
+    The rows are cell-assigned + PQ-coded map-side against the frozen
+    broadcast codebooks (O(|batch|) flops, no shuffle beyond the
+    partitioned write) and appended INTO the current generation —
+    appends are additive, so no new generation is published: a reader
+    mid-scan simply doesn't see files listed after its scan started,
+    which is append visibility, not the delete-under-reader race the
+    generation pointer exists for. Cells only ever gain files; the
+    next compaction absorbs the fragmentation.
+
+    Coordination contract: appends must be serialized against
+    COMPACTION per table — an append racing a compaction publish can
+    land its files in the superseded generation and be dropped when
+    that generation expires (the deploy answer is Iceberg's
+    optimistic commit protocol; locally the caller owns the
+    schedule, exactly like `compact_ann_index`'s docstring says).
+    Concurrent appends are safe (parquet append files are
+    uniquely named). Returns the number of rows appended."""
+    from ..functions.vector import norm as _vnorm
+
+    cb, _pqcb, pq_py = _sidecar_model(spark, path)
+    local = path[len("file://"):] if path.startswith("file://") else path
+    gen = _ann_data_dir(local)
+    if "vnorm" not in batch.columns:
+        batch = batch.withColumn("vnorm", _vnorm(F.col("v")))
+    if "label" not in batch.columns:
+        batch = batch.withColumn("label", F.lit(None).cast("int"))
+    # barrier: the count and the write both consume the Arrow code
+    # stage — checkpoint the batch-sized coded frame once (appends are
+    # O(|batch|) by contract, so the local materialization is bounded
+    # by the batch, never the table)
+    coded = _coded_frame(
+        cb, pq_py, batch, ["vec_id", "cell", "vnorm", "v", "label"]
+    ).localCheckpoint(eager=True)
+    (
+        coded.repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(gen)
+    )
+    return coded.count()
+
+
 def delete_from_ann_index(spark: SparkSession, path: str, ids: DataFrame) -> None:
     """Tombstone deletion — the takedown/GDPR path of the index
     lifecycle: append the doomed `vec_id`s as a parquet delete file

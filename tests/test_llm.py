@@ -2539,6 +2539,85 @@ def test_serve_ann_index_time_travel_generations(spark, tmp_path):
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
 
 
+def test_append_to_ann_index_lands_in_current_generation(spark, tmp_path):
+    """r15 write API: append_to_ann_index codes the batch against the
+    FROZEN sidecar model and appends into the current generation —
+    appended vectors are immediately servable (an identical vector
+    must come back as its own rank-1 neighbor with cos 1.0), untouched
+    cells' files keep their exact bytes (append adds files, never
+    rewrites), the fingerprint sidecar is untouched, and the next
+    compaction absorbs the added files back to one per cell with all
+    rows preserved."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        serve_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=120)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        gen = _ann_data_dir(path)
+        pre_files = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(os.path.join(gen, "cell=*", "*.parquet"))
+        }
+        with open(os.path.join(path, "_ann_meta.json")) as fh:
+            meta_before = json.load(fh)
+        before_rows = sorted(map(tuple, spark.read.parquet(gen).collect()))
+        # the batch: NOVEL vectors (directions that exist nowhere in
+        # the duplicate-heavy synthetic corpus), no vnorm/label
+        # columns — the API derives/defaults them
+        rows = [
+            (5_000 + q, [float((7 * q + 3 * j * j) % 23 + 1) for j in range(64)])
+            for q in range(10)
+        ]
+        batch = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        n = append_to_ann_index(spark, path, batch)
+        assert n == len(rows)
+        # still the same generation, original files byte-untouched
+        assert _ann_data_dir(path) == gen
+        for f, m in pre_files.items():
+            assert os.stat(f).st_mtime_ns == m, f"append rewrote {f}"
+        with open(os.path.join(path, "_ann_meta.json")) as fh:
+            assert json.load(fh) == meta_before
+        # appended vectors are servable: each original vector's query
+        # must now see its appended twin at cos 1.0
+        from data_engineering_zoomcamp_projects_spark.functions.vector import norm
+
+        queries = batch.select(
+            (F.col("vec_id") - 5_000).alias("query_id"),
+            F.col("v").alias("qv"),
+        ).withColumn("qnorm", norm(F.col("qv")))
+        served = serve_ann_index(spark, path, queries).filter(
+            F.col("rank") == 1
+        ).collect()
+        assert len(served) == len(rows)
+        for r in served:
+            assert int(r["neighbor_id"]) == int(r["query_id"]) + 5_000
+            assert float(r["cos_sim"]) == 1.0
+        # compaction absorbs the appended files, preserving every row
+        all_rows = sorted(map(tuple, spark.read.parquet(_ann_data_dir(path)).collect()))
+        assert len(all_rows) == len(before_rows) + n
+        compact_ann_index(spark, path)
+        data = _ann_data_dir(path)
+        assert sorted(map(tuple, spark.read.parquet(data).collect())) == all_rows
+        for cd in os.listdir(data):
+            if cd.startswith("cell="):
+                assert len(glob.glob(os.path.join(data, cd, "*.parquet"))) == 1
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
 def test_diff_ann_index_generations_removed_added_and_pruned(spark, tmp_path):
     """r15 generation diff: after a partial takedown purge (hard-link
     incremental compaction — unchanged cells share inodes, so the diff
