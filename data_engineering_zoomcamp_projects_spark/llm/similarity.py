@@ -1609,25 +1609,39 @@ def _publish_generation(local: str, staged: str) -> str | None:
     return None
 
 
-def _gc_generations(local: str) -> None:
-    """Expire superseded generations: keep the pointer target, the two
-    highest-numbered generations (a just-published one plus the one
-    in-flight readers may still hold), and anything younger than
-    ANN_GEN_RETENTION_SECS; delete the rest. A legacy bare `data` dir
-    on a table that has since migrated to the pointer layout expires
-    under the same age rule (its in-flight readers get the same
-    retention grace). Never touches staging dirs (different names)."""
+def expire_ann_index_generations(
+    path: str,
+    keep_last: int = 2,
+    max_age_secs: float | None = None,
+) -> list[int]:
+    """Explicit snapshot expiry — the Iceberg `expire_snapshots`
+    surface of the generation layout, and the documented FINAL step of
+    a GDPR erasure (a purge-compaction makes the takedown physical in
+    the CURRENT generation; expiry removes the pre-purge snapshots
+    that still carry the rows). Removes generations beyond the
+    `keep_last` newest whose age exceeds `max_age_secs` (default
+    ANN_GEN_RETENTION_SECS; pass 0 to expire regardless of age —
+    callers doing that assert no reader is in flight), never the
+    `_current` pointer's target. A legacy pre-v7 bare `data` dir on a
+    migrated table expires under the same age rule. Returns the
+    expired generation numbers, oldest first. Compactions call this
+    with the defaults after every publish; operators call it directly
+    with an erasure SLA."""
     import os
     import shutil
     import time as _time
 
+    local = path[len("file://"):] if path.startswith("file://") else path
     local = local.rstrip("/") or local
+    age_floor = (
+        ANN_GEN_RETENTION_SECS if max_age_secs is None else max_age_secs
+    )
     gens = _ann_gen_dirs(local)
     now = _time.time()
 
     def _expired(d: str) -> bool:
         try:
-            return now - os.path.getmtime(d) >= ANN_GEN_RETENTION_SECS
+            return now - os.path.getmtime(d) >= age_floor
         except OSError:
             return False
 
@@ -1639,13 +1653,23 @@ def _gc_generations(local: str) -> None:
     legacy = os.path.join(local, "data")
     if current and os.path.isdir(legacy) and _expired(legacy):
         shutil.rmtree(legacy, ignore_errors=True)
-    if len(gens) <= 2:
-        return
-    for _, d in gens[:-2]:
+    expired: list[int] = []
+    keep = max(1, keep_last)
+    if len(gens) <= keep:
+        return expired
+    for n, d in gens[:-keep]:
         if os.path.basename(d) == current:
             continue
         if _expired(d):
             shutil.rmtree(d, ignore_errors=True)
+            expired.append(n)
+    return expired
+
+
+def _gc_generations(local: str) -> None:
+    """The compactors' implicit expiry pass: the public API with its
+    defaults (keep two newest + the retention age)."""
+    expire_ann_index_generations(local)
 
 
 def _debris_pid_dead(name: str) -> bool:

@@ -2539,6 +2539,168 @@ def test_serve_ann_index_time_travel_generations(spark, tmp_path):
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
 
 
+def test_expire_ann_index_generations_erasure_flow(spark, tmp_path):
+    """r15 snapshot expiry — the documented final step of a GDPR
+    erasure: after a purge-compaction, the deleted rows remain
+    readable through time travel in the pre-purge generation; an
+    explicit expire (keep_last=1, max_age 0 — the operator asserting
+    no reader is in flight) removes that snapshot, after which time
+    travel to it raises and the rows are physically GONE from disk.
+    The pointer's generation is never expired."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        _queries_and_corpus,
+        _read_ann_index,
+        ann_index_generations,
+        build_ann_index,
+        compact_ann_index_incremental,
+        delete_from_ann_index,
+        expire_ann_index_generations,
+        serve_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=120)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        idx = _read_ann_index(spark, path)
+        doomed = idx.filter(F.col("vec_id") % 10 == 3).select("vec_id", "cell")
+        doomed_ids = {int(r["vec_id"]) for r in doomed.collect()}
+        delete_from_ann_index(spark, path, doomed)
+        compact_ann_index_incremental(spark, path)
+        assert ann_index_generations(path) == [1, 2]
+        # pre-purge snapshot still readable (retention) ...
+        queries, _ = _queries_and_corpus(spark, str(tmp_path))
+        assert serve_ann_index(spark, path, queries, generation=1).count() > 0
+        # ... until the operator expires it
+        assert expire_ann_index_generations(path, keep_last=1, max_age_secs=0) == [1]
+        assert ann_index_generations(path) == [2]
+        with _pytest.raises(FileNotFoundError):
+            serve_ann_index(spark, path, queries, generation=1)
+        # erasure is now physical: no file under the table carries the
+        # rows (the current generation was purged by the compaction)
+        left = {
+            int(r["vec_id"])
+            for r in _read_ann_index(spark, path).select("vec_id").collect()
+        }
+        assert not (left & doomed_ids)
+        # the pointer target itself never expires
+        assert expire_ann_index_generations(path, keep_last=1, max_age_secs=0) == []
+        assert os.path.isdir(_ann_data_dir(path))
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_index_lifecycle_randomized_model(spark, tmp_path):
+    """r15 lifecycle soak: seeded-random sequences of the four write
+    operations (append / delete / full compaction / incremental
+    compaction) against a reference model (the live vec_id set =
+    inserted − deleted). After EVERY operation the serve-visible row
+    set (_read_ann_index minus pending tombstones) must equal the
+    model exactly, the `_current` pointer must resolve to an existing
+    generation, and generation numbers must be strictly increasing.
+    Catches cross-operation interactions no single-op test sees
+    (e.g. delete → append into the same cell → incremental compact:
+    the purge must drop exactly the tombstoned rows while keeping the
+    newer appends)."""
+    import os
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        _minus_tombstones,
+        _read_ann_index,
+        ann_index_generations,
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        compact_ann_index_incremental,
+        delete_from_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=120)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        live = {
+            int(r["vec_id"])
+            for r in _read_ann_index(spark, path).select("vec_id").collect()
+        }
+        next_id = 10_000
+
+        def visible() -> set:
+            return {
+                int(r["vec_id"])
+                for r in _minus_tombstones(
+                    spark, path, _read_ann_index(spark, path)
+                ).select("vec_id").collect()
+            }
+
+        for seed in (0, 1, 2):
+            rng = random.Random(seed)
+            for step in range(8):
+                op = rng.choice(
+                    ["append", "delete", "compact_full", "compact_incr"]
+                )
+                if op == "append":
+                    k = rng.randint(1, 6)
+                    rows = [
+                        (
+                            next_id + i,
+                            [
+                                float((next_id + i + 5 * j * j) % 19 + 1)
+                                for j in range(64)
+                            ],
+                        )
+                        for i in range(k)
+                    ]
+                    batch = spark.createDataFrame(
+                        rows, "vec_id long, v array<double>"
+                    )
+                    n = append_to_ann_index(spark, path, batch)
+                    assert n == k
+                    live |= {r[0] for r in rows}
+                    next_id += k
+                elif op == "delete" and live:
+                    doomed = set(
+                        rng.sample(sorted(live), rng.randint(1, min(9, len(live))))
+                    )
+                    # carry the cell when we have it (the Iceberg
+                    # delete-file shape) half the time, legacy
+                    # vec_id-only the other half — both must purge
+                    ids_df = _read_ann_index(spark, path).filter(
+                        F.col("vec_id").isin(sorted(doomed))
+                    )
+                    if rng.random() < 0.5:
+                        ids_df = ids_df.select("vec_id", "cell")
+                    else:
+                        ids_df = ids_df.select("vec_id")
+                    delete_from_ann_index(spark, path, ids_df)
+                    live -= doomed
+                elif op == "compact_full":
+                    compact_ann_index(spark, path)
+                elif op == "compact_incr":
+                    compact_ann_index_incremental(spark, path)
+                got = visible()
+                assert got == live, (
+                    f"seed={seed} step={step} op={op}: "
+                    f"missing={sorted(live - got)[:5]} "
+                    f"extra={sorted(got - live)[:5]}"
+                )
+                gens = ann_index_generations(path)
+                assert gens == sorted(set(gens)) and gens, gens
+                assert os.path.isdir(_ann_data_dir(path))
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
 def test_append_to_ann_index_lands_in_current_generation(spark, tmp_path):
     """r15 write API: append_to_ann_index codes the batch against the
     FROZEN sidecar model and appends into the current generation —
