@@ -718,6 +718,40 @@ def test_sim_index_query_reuses_persisted_index(spark, sf_dir):
     assert "MapInPandas" in bplan, "live path lost its Arrow code assignment"
 
 
+def test_generation_diff_scans_prune_to_changed_cells(spark, sf_dir):
+    """r15 generation audit diff: the scale claim is that unchanged
+    cells never reach Spark — changed cells are discovered driver-side
+    by hard-link file identity, and EVERY FileScan in the diff plan
+    must then carry a `cell INSET <changed cells>` partition filter
+    (static pruning at planning time, no full-table listing). On the
+    tt lifecycle the changed set is the takedown slice's cells — a
+    strict subset of the table's cells."""
+    import os
+    import re
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+
+    path, gens = similarity._tt_lifecycle(spark, sf_dir)
+    df = similarity.diff_ann_index_generations(spark, path, min(gens), max(gens))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("FileScan parquet")
+    assert scans >= 4, plan[:500]  # two generations x (ids + rows) sides
+    pfilters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert len(pfilters) == scans
+    insets = [p for p in pfilters if "INSET" in p or "isin" in p or " IN " in p]
+    assert len(insets) == scans, f"unpruned diff scan: {pfilters}"
+    # strict subset: the pruned cell list is smaller than the table's
+    changed = set(re.findall(r"\d+", insets[0]))
+    all_cells = {
+        d.split("=", 1)[1]
+        for d in os.listdir(similarity._ann_data_dir(path, max(gens)))
+        if d.startswith("cell=")
+    }
+    # (changed includes the column's plan id; intersect to be safe)
+    assert changed & all_cells, (changed, all_cells)
+    assert (changed & all_cells) < all_cells, "diff scanned every cell"
+
+
 def test_filtered_serve_pushes_predicate_into_pruned_index_scan(spark, sf_dir):
     """r13 filtered vector search: the label predicate must evaluate
     INSIDE the index scan (PushedFilters on the parquet source — the
