@@ -1348,6 +1348,15 @@ ORACLES["dedup_cluster_census"] = DEDUP_CENSUS_SQL
 #: the threshold is semantics, not plan shape.
 SEMDEDUP_TAU = 0.35
 
+#: derived-k join-strategy bound: the assigned corpus frame (vec_id +
+#: 64-double vector + norm + cell ~ 550 B/row) broadcasts while its
+#: estimated size stays under this; beyond it (corpora past ~1M
+#: vectors — the 100 TB regime) the pairing falls back to a sort-merge
+#: exchange on the cell key. 512 MiB is deploy-sane for a broadcast
+#: (Spark's hard ceiling is 8 GiB; the driver/executor memory of any
+#: cluster running a corpus that size dwarfs it).
+SEMDEDUP_BROADCAST_CAP = 512 * 1024 * 1024
+
 
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -1356,7 +1365,11 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN each cluster — the pair space is cluster-bounded by
     construction, which is the whole trick: no global quadratic, no
     LSH recall risk; you pick k so n/k (the expected cell size) stays
-    join-friendly (the paper runs k=50,000 over LAION; here k=8 over
+    join-friendly (the paper runs k=50,000 over LAION; here
+    ml.kmeans_k_for derives k from the corpus count so n/k stays
+    ~KMEANS_CELL_TARGET — the r15 verdict's one scale killer was a
+    hardcoded k=8, quadratic-per-cell at sf10 — with k=8 still the
+    floor over
     the test corpus).
 
     Stage 1 reuses the trained fixed-point Lloyd model of
@@ -1386,6 +1399,8 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash / embedding-cosine / span / semantic)."""
     from ..functions.vector import norm
     from ..ml import (
+        KMEANS_CELL_TARGET,
+        KMEANS_K,
         KMEANS_SCALE,
         kmeans_assign_frame,
         kmeans_trained_centroids,
@@ -1421,22 +1436,71 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ec = kmeans_assign_frame(base, cents, carry=("v", "vnorm")).select(
         "vec_id", "v", "vnorm", "cell"
     )
-    # probe side re-spread first: same rationale as _emb_pairs_direct —
-    # under a broadcast-hash join there is no exchange to undo the
-    # one-file input partitioning of the scan
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = ec.repartition(n_parts).select(
-        F.col("vec_id").alias("keeper_cand"),
-        "cell",
-        F.col("v").alias("va"),
-        F.col("vnorm").alias("na"),
-    )
-    b = ec.select(
-        "vec_id",
-        F.col("cell").alias("cell_b"),
-        F.col("v").alias("vb"),
-        F.col("vnorm").alias("nb"),
-    )
+    if len(cents) > KMEANS_K:  # above the floor — the derived-k regime
+        # DERIVED-K SCALE PATH (r16): at a corpus-derived k the
+        # assignment is the Arrow-batched UDF, and replaying it per
+        # join side (plus the join-key isnotnull pre-filter, which
+        # Catalyst evaluates as its own ArrowEvalPython pass) costs
+        # FOUR full-corpus UDF passes — so materialize the assigned
+        # frame ONCE (localCheckpoint: O(n) executor storage, the
+        # same order as the join shuffle itself). The checkpointed
+        # frame is a stats-less ExistingRDD scan, so the join
+        # strategy is picked EXPLICITLY, cost-based (the _emb_banding
+        # selector precedent), keeping the whole filter chain inside
+        # the join CONDITION — measured 4x over any post-join-filter
+        # shape at sf1 (12 vs 39-51 s): a condition inside the hash
+        # join discards a below-threshold pair before the ~1 KB
+        # joined row (two 64-double vectors) is ever constructed,
+        # while a post-join filter pays that copy for every
+        # candidate pair.
+        #   - corpus fits a deploy-sane broadcast (est. coded bytes
+        #     <= SEMDEDUP_BROADCAST_CAP): explicit broadcast hash
+        #     join — one corpus-sized broadcast, zero shuffle, the
+        #     prefilter dot codegen'd in the probe stream;
+        #   - beyond the cap (the 100 TB regime, where k has grown
+        #     ~n/KMEANS_CELL_TARGET): plain sort-merge on the cell
+        #     key — both sides exchange once on cell, balanced by
+        #     construction since cell size is held ~constant, and
+        #     AQE splits any skewed cell.
+        ec = ec.localCheckpoint(eager=False)
+        # probe side re-spread (same as the floor path): under a
+        # broadcast-hash join there is no exchange to undo the
+        # one-file input partitioning of the scan — without it the
+        # probe stream runs on the scan's partition count (measured
+        # 85 vs 12 s at sf1)
+        a = ec.repartition(n_parts).select(
+            F.col("vec_id").alias("keeper_cand"),
+            "cell",
+            F.col("v").alias("va"),
+            F.col("vnorm").alias("na"),
+        )
+        b = ec.select(
+            "vec_id",
+            F.col("cell").alias("cell_b"),
+            F.col("v").alias("vb"),
+            F.col("vnorm").alias("nb"),
+        )
+        est_bytes = (len(cents) + 1) * KMEANS_CELL_TARGET * 550
+        if est_bytes <= SEMDEDUP_BROADCAST_CAP:
+            b = F.broadcast(b)
+    else:
+        # FLOOR PATH — the certified r9 plan, byte-identical: probe
+        # side re-spread first (same rationale as _emb_pairs_direct —
+        # under a broadcast-hash join there is no exchange to undo
+        # the one-file input partitioning of the scan)
+        a = ec.repartition(n_parts).select(
+            F.col("vec_id").alias("keeper_cand"),
+            "cell",
+            F.col("v").alias("va"),
+            F.col("vnorm").alias("na"),
+        )
+        b = ec.select(
+            "vec_id",
+            F.col("cell").alias("cell_b"),
+            F.col("v").alias("vb"),
+            F.col("vnorm").alias("nb"),
+        )
     pairs = a.join(
         b,
         (F.col("cell") == F.col("cell_b"))
@@ -1457,15 +1521,18 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_sql() -> str:
+def _semdedup_sql(k: int | None = None) -> str:
     """DuckDB twin: the shared k-means WITH chain (ml.kmeans_chain_sql
     — terminal CTE a{KMEANS_ITERS} holds the final assignments), then
-    the same within-cell lower-id pairing and exact decimal cosine."""
-    from ..ml import KMEANS_ITERS, kmeans_chain_sql
+    the same within-cell lower-id pairing and exact decimal cosine.
+    `k` as in kmeans_chain_sql: the registered oracle renders at the
+    floor (= the derived k at the certification SFs); the derived-k
+    honesty test renders at a forced larger k."""
+    from ..ml import KMEANS_ITERS, KMEANS_K, kmeans_chain_sql
 
     cos = sql_cosine("ea.embedding", "eb.embedding")
     return f"""
-{kmeans_chain_sql()},
+{kmeans_chain_sql(KMEANS_K if k is None else k)},
 asg AS (SELECT vec_id, cell FROM a{KMEANS_ITERS}),
 pairs AS (
   SELECT b.vec_id AS vec_id, a.cell AS cluster_id,

