@@ -1432,9 +1432,13 @@ def build_ann_index(
     )
 
     # stage -> publish: write into a per-pid temp sibling, publish it
-    # as the next GENERATION and flip the `_current` pointer (r15 —
-    # rebuild after a corpus/geometry change no longer swaps the live
-    # directory out from under an in-flight reader). Shared crash
+    # as the next GENERATION and flip the `_current` pointer (r15).
+    # Readers of THIS table are never raced: same-fingerprint sibling
+    # generations and the pointer target are spared by the cleanup
+    # below (r16). A reader still on a generation of the PREVIOUS
+    # fingerprint (the corpus itself was swapped) loses its files
+    # immediately — the documented residual of a corpus swap, which
+    # no snapshot of the NEW table can protect. Shared crash
     # recovery first: dead-pid staging debris (including this pid's
     # own crashed predecessor — pid reuse, r14 ADVICE) is swept.
     _recover_compactor_debris(path)
@@ -1457,6 +1461,8 @@ def build_ann_index(
             .partitionBy("cell")
             .parquet(tmp)
         )
+    with open(os.path.join(tmp, "_fp"), "w") as fh:
+        fh.write(fp)  # generation fingerprint stamp (r16)
     published = _publish_generation(path, tmp)
     if published is None:
         # lost a concurrent-build race: another session published an
@@ -1468,11 +1474,32 @@ def build_ann_index(
         # fingerprint's content, which is dead state rather than this
         # table's time-travel history: drop them now so every
         # generation number below the pointer refers to THIS table's
-        # lineage (sim_index_time_travel depends on that invariant).
-        # The legacy pre-v7 bare `data` dir is the same dead state.
+        # lineage (sim_index_time_travel depends on that invariant) —
+        # EXCEPT (r16, r15 ADVICE): never the `_current` target and
+        # never a sibling stamped with OUR fingerprint. Concurrent
+        # builders of the same table both publish (the rename retries
+        # at the next number), and without these exemptions the
+        # earlier builder's cleanup deleted the later builder's live
+        # generation out from under the pointer. Same-fp content is
+        # bit-identical by determinism, so sparing it is exact; an
+        # in-flight reader of a genuinely OLD fingerprint's generation
+        # remains the documented residual of a corpus swap. The legacy
+        # pre-v7 bare `data` dir is the same dead state.
+        try:
+            with open(os.path.join(path, "_current")) as fh:
+                cur = fh.read().strip()
+        except OSError:
+            cur = ""
         for _n, d in _ann_gen_dirs(path):
-            if d != published:
-                shutil.rmtree(d, ignore_errors=True)
+            if d == published or os.path.basename(d) == cur:
+                continue
+            try:
+                with open(os.path.join(d, "_fp")) as fh:
+                    if fh.read() == fp:
+                        continue
+            except OSError:
+                pass
+            shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(os.path.join(path, "data"), ignore_errors=True)
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
 
@@ -1579,25 +1606,50 @@ def _ann_data_dir(local: str, generation: int | None = None) -> str:
     return os.path.join(local, "data")
 
 
-def _publish_generation(local: str, staged: str) -> str | None:
+def _publish_generation(
+    local: str, staged: str, base: int | None = None
+) -> str | None:
     """Atomically publish a fully-written staging directory as the
     next generation and flip the `_current` pointer to it. Returns the
-    published dir, or None when the staging dir was lost to a
-    concurrent publisher's identical rename (the caller discards —
-    content is deterministic, whoever lands first wins). A number
-    collision (another pass published the same next-N first) retries
-    at the following number: both passes compacted the same source, so
-    both results are valid successor states."""
+    published dir, or None when another publisher won.
+
+    Two modes (r16):
+
+    - ``base=N`` — COMPARE-AND-SWAP publish, the Iceberg
+      optimistic-commit primitive: the caller staged its directory
+      from generation N and the rename is attempted at N+1 ONLY. If
+      N+1 already exists, someone else committed a successor first
+      and THIS staging is stale (it may be missing the winner's
+      appended rows, or resurrect its purged ones) — return None so
+      the caller re-derives from the new current generation and
+      re-stages. Because every CAS target is pointer+1 and the
+      pointer only advances through the flip below, commits are
+      strictly serialized: no writer can skip ahead of an
+      unflipped predecessor.
+
+    - ``base=None`` — legacy first-wins publish, used ONLY by
+      build_ann_index (a rebuild derives from the CORPUS, not from a
+      prior generation, and concurrent builds of the same fingerprint
+      stage bit-identical content): a number collision retries at
+      the following number since either result is a valid successor.
+      Mutating callers (appends, compactors) must never use this
+      mode — their staged content is only valid against the exact
+      base it was derived from."""
     import os
 
     local = local.rstrip("/") or local
     for _ in range(16):
-        gens = _ann_gen_dirs(local)
-        nxt = (gens[-1][0] + 1) if gens else 1
+        if base is not None:
+            nxt = base + 1
+        else:
+            gens = _ann_gen_dirs(local)
+            nxt = (gens[-1][0] + 1) if gens else 1
         target = os.path.join(local, f"data.g{nxt:06d}")
         try:
             os.rename(staged, target)
         except OSError:
+            if base is not None:
+                return None  # CAS failed: stale base, caller re-stages
             if os.path.isdir(target) and os.path.isdir(staged):
                 continue  # number taken — retry at the next one
             return None  # staging gone or unrenamable: lost the pass
@@ -1607,6 +1659,99 @@ def _publish_generation(local: str, staged: str) -> str | None:
         os.replace(tmp, os.path.join(local, "_current"))
         return target
     return None
+
+
+def pin_ann_index_generation(path: str, generation: int | None = None):
+    """Reader LEASE on a generation — the local analogue of Iceberg
+    snapshot pinning, for scans that may outlive the retention window
+    (r16, closing the r15 verdict's 'retention age vs in-flight
+    scans' hole): a context manager that drops a
+    `_pin.<pid>.data.g<N>` file which expire_ann_index_generations
+    refuses to expire past while the owning process lives. Dead-pid
+    pins are swept by the expiry pass itself (crash-safe: a reader
+    that dies releases its lease by dying). Yields the pinned
+    generation directory — hand it to serve_ann_index via
+    `generation=` or read it directly; without a pin, a scan slower
+    than ANN_GEN_RETENTION_SECS across >=2 subsequent publishes is
+    the documented failure mode (FAILED_READ_FILE; retry by
+    re-resolving). Legacy pointerless tables yield their bare data
+    dir (rewrites there are whole-dir swaps; nothing to lease)."""
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def _lease():
+        local = (
+            path[len("file://"):] if path.startswith("file://") else path
+        )
+        local = local.rstrip("/") or local
+        gen_dir = _ann_data_dir(local, generation)
+        name = os.path.basename(gen_dir)
+        if not name.startswith("data.g"):
+            yield gen_dir
+            return
+        pin = os.path.join(local, f"_pin.{os.getpid()}.{name}")
+        with open(pin, "w"):
+            pass
+        try:
+            yield gen_dir
+        finally:
+            try:
+                os.remove(pin)
+            except OSError:
+                pass
+
+    return _lease()
+
+
+def _pinned_generations(local: str) -> set[str]:
+    """Generation basenames leased by LIVE processes; stale (dead-pid)
+    pin files are removed as a side effect."""
+    import glob as globmod
+    import os
+
+    pinned: set[str] = set()
+    for p in globmod.glob(
+        os.path.join(globmod.escape(local.rstrip("/")), "_pin.*")
+    ):
+        parts = os.path.basename(p).split(".", 2)
+        if len(parts) != 3 or not parts[1].isdigit():
+            continue
+        pid = int(parts[1])
+        alive = pid == os.getpid()
+        if not alive:
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True  # exists under another uid
+        if alive:
+            pinned.add(parts[2])
+        else:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    return pinned
+
+
+def _copy_fp_stamp(src_dir: str, dst_dir: str) -> None:
+    """Propagate a generation's `_fp` fingerprint stamp (r16) into its
+    staged successor, so rebuild cleanup can tell same-table siblings
+    (spared — bit-identical content by determinism) from
+    old-fingerprint lineage (dropped). A missing stamp (pre-r16
+    generation) propagates as missing and is treated as old lineage."""
+    import os
+    import shutil
+
+    try:
+        shutil.copyfile(
+            os.path.join(src_dir, "_fp"), os.path.join(dst_dir, "_fp")
+        )
+    except OSError:
+        pass
 
 
 def expire_ann_index_generations(
@@ -1622,7 +1767,9 @@ def expire_ann_index_generations(
     `keep_last` newest whose age exceeds `max_age_secs` (default
     ANN_GEN_RETENTION_SECS; pass 0 to expire regardless of age —
     callers doing that assert no reader is in flight), never the
-    `_current` pointer's target. A legacy pre-v7 bare `data` dir on a
+    `_current` pointer's target, and never a generation leased by a
+    LIVE reader through pin_ann_index_generation (r16 — the Iceberg
+    snapshot-pin analogue; dead readers' pins are swept here). A legacy pre-v7 bare `data` dir on a
     migrated table expires under the same age rule. Returns the
     expired generation numbers, oldest first. Compactions call this
     with the defaults after every publish; operators call it directly
@@ -1636,6 +1783,9 @@ def expire_ann_index_generations(
     age_floor = (
         ANN_GEN_RETENTION_SECS if max_age_secs is None else max_age_secs
     )
+    # cleared delete files age out under the same floor (r16 — they
+    # are snapshot state exactly like superseded generations)
+    _sweep_cleared_tombstones(local, age_floor)
     gens = _ann_gen_dirs(local)
     now = _time.time()
 
@@ -1657,9 +1807,12 @@ def expire_ann_index_generations(
     keep = max(1, keep_last)
     if len(gens) <= keep:
         return expired
+    pinned = _pinned_generations(local)
     for n, d in gens[:-keep]:
         if os.path.basename(d) == current:
             continue
+        if os.path.basename(d) in pinned:
+            continue  # leased by a live reader (r16 snapshot pin)
         if _expired(d):
             shutil.rmtree(d, ignore_errors=True)
             expired.append(n)
@@ -1712,6 +1865,13 @@ def _recover_compactor_debris(local: str) -> None:
       r14-era `__old`/`__cellold` names), so a crash mid-stage can no
       longer leak a table copy per pid (r14 review);
     - dead `_current.tmp.<pid>` pointer staging files are removed;
+    - an ORPHAN PUBLISHED GENERATION (renamed into place but its
+      publisher died before the pointer flip, r16) is adopted by
+      flipping the pointer to the highest generation: a completed
+      rename implies fully staged content, and leaving the orphan
+      would livelock every CAS publisher (their target, pointer+1,
+      exists forever). Adopting for a LIVE publisher mid-flip is
+      benign — its own flip rewrites the same pointer value;
     - LEGACY (pre-v7, pointerless) tables only: a missing bare `data`
       dir with a dead `__old` sibling restores the FRESHEST by mtime,
       and dead `__cellold` aside cells whose replacement never landed
@@ -1733,7 +1893,7 @@ def _recover_compactor_debris(local: str) -> None:
     debris = [
         d
         for suffix in ("__old", "__compact_tmp", "__stage", "__cellold",
-                       "__build_tmp", "__gen_tmp")
+                       "__build_tmp", "__gen_tmp", "__append_tmp")
         for d in globmod.glob(f"{esc}{suffix}*")
         if os.path.isdir(d)
     ]
@@ -1768,6 +1928,19 @@ def _recover_compactor_debris(local: str) -> None:
                         )
     for d in dead:
         shutil.rmtree(d, ignore_errors=True)
+    if not legacy:
+        gens = _ann_gen_dirs(local)
+        if gens:
+            try:
+                with open(os.path.join(local, "_current")) as fh:
+                    cur = fh.read().strip()
+            except OSError:
+                cur = ""
+            if cur != os.path.basename(gens[-1][1]):
+                tmp = os.path.join(local, f"_current.tmp.{os.getpid()}")
+                with open(tmp, "w") as fh:
+                    fh.write(os.path.basename(gens[-1][1]))
+                os.replace(tmp, os.path.join(local, "_current"))
 
 
 def compact_ann_index(spark: SparkSession, path: str) -> int:
@@ -1794,48 +1967,80 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     floor), so concurrent cold READERS no longer hit
     FAILED_READ_FILE.FILE_NOT_EXIST — the snapshot-pointer answer the
     r14 docstring only documented (dual-process pytest drives a serve
-    loop against a compaction loop). Concurrent COMPACTORS remain
-    safe: staging is per-pid, publish is first-wins (content is
-    deterministic), a number collision retries at the next
-    generation. Crash discipline: the pointer always names a fully
+    loop against a compaction loop). Concurrent WRITERS (r16):
+    staging is per-pid and the publish is a COMPARE-AND-SWAP at
+    base+1 — losing the CAS means a successor (another compactor OR
+    an append, which now publishes generations too) committed
+    mid-pass, so the pass RE-RUNS against the new current generation
+    rather than landing a stale rewrite that would drop the winner's
+    rows. Crash discipline: the pointer always names a fully
     published generation; a crash mid-stage leaves only a dead-pid
-    staging dir for _recover_compactor_debris."""
+    staging dir, and a crash between rename and pointer flip leaves
+    an orphan generation _recover_compactor_debris adopts."""
     import glob as globmod
     import os
     import shutil
 
     local, data = _ann_local_data(path, "compact_ann_index")
     _recover_compactor_debris(local)
-    # purge pending tombstones in the same rewrite (the merge-on-read
-    # deletes become physical here, then the delete files are cleared;
-    # crash ordering is safe: tombstones are removed only AFTER the
-    # purged generation is published, and re-anti-joining
-    # already-purged ids is a no-op). Snapshot the delete-file LIST
-    # first: a delete landing mid-compaction must survive the clear
-    # (it is not purged by this pass) — only the files this rewrite
-    # actually folded in are removed (r15).
-    tomb_files = _tombstone_files(local)
-    src = spark.read.parquet(data)
-    if tomb_files:
-        src = src.join(
-            F.broadcast(spark.read.parquet(*tomb_files).select("vec_id")),
-            "vec_id",
-            "left_anti",
-        )
     tmp = os.path.join(local, f"data__compact_tmp.{os.getpid()}")
-    (
-        src.repartition(F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(tmp)
-    )
-    if _publish_generation(local, tmp) is None:
-        # lost a concurrent-compaction race — another session
-        # published first; discard our copy, keep the delete files
-        # (the winner's pass clears its own snapshot)
+    for attempt in range(4):
+        # purge pending tombstones in the same rewrite (the
+        # merge-on-read deletes become physical here, then the delete
+        # files are cleared; crash ordering is safe: tombstones are
+        # removed only AFTER the purged generation is published, and
+        # re-anti-joining already-purged ids is a no-op). Snapshot the
+        # delete-file LIST first: a delete landing mid-compaction must
+        # survive the clear (it is not purged by this pass) — only the
+        # files this rewrite actually folded in are removed (r15).
+        tomb_files = _tombstone_files(local)
+        src = spark.read.parquet(data)
+        if tomb_files:
+            src = src.join(
+                F.broadcast(
+                    spark.read.parquet(*tomb_files).select("vec_id")
+                ),
+                "vec_id",
+                "left_anti",
+            )
         shutil.rmtree(tmp, ignore_errors=True)
+        (
+            src.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+        _copy_fp_stamp(data, tmp)
+        # CAS publish against the exact base we rewrote (r16): losing
+        # means a successor committed mid-pass — since appends now
+        # publish generations too, the winner's content may DIFFER
+        # from our source (new rows), so a stale rewrite must never
+        # land at a later number; RE-RUN the pass from the new
+        # current generation instead of discarding.
+        base = os.path.basename(data)
+        published = _publish_generation(
+            local,
+            tmp,
+            base=(
+                int(base[len("data.g"):])
+                if base.startswith("data.g")
+                else None
+            ),
+        )
+        if published is not None:
+            _clear_tombstone_files(local, tomb_files)
+            break
+        shutil.rmtree(tmp, ignore_errors=True)
+        data = _ann_data_dir(local)
     else:
-        _clear_tombstone_files(local, tomb_files)
+        import warnings
+
+        warnings.warn(
+            "compact_ann_index: lost the optimistic-commit race on "
+            "every attempt; table left as published by the winners "
+            "(delete files retained, purge deferred)",
+            stacklevel=2,
+        )
     _gc_generations(local)
     return len(
         globmod.glob(os.path.join(_ann_data_dir(local), "cell=*", "*.parquet"))
@@ -1879,11 +2084,15 @@ def compact_ann_index_incremental(
     (_gc_generations retention). Crash anywhere before the publish
     leaves only dead-pid staging; the pointer still names the intact
     previous generation. Delete files are cleared (exactly the
-    snapshot list) only after the purged generation publishes; on a
-    lost publish race they are retained — the serve-side anti-join
-    keeps results correct and the next pass retries (r14 ADVICE,
-    carried into the generation design). Returns (cells_rewritten,
-    data_files_after). Local filesystem only, like
+    snapshot list) only after the purged generation publishes. The
+    publish is a COMPARE-AND-SWAP at base+1 (r16): losing means a
+    successor — another compactor or an APPEND, which now publishes
+    generations too — committed mid-pass, so the pass re-derives and
+    re-runs against the new current generation; only after exhausting
+    its retries are the delete files retained for a later pass (the
+    serve-side anti-join keeps results correct meanwhile — r14
+    ADVICE, carried into the generation design). Returns
+    (cells_rewritten, data_files_after). Local filesystem only, like
     compact_ann_index."""
     import glob as globmod
     import os
@@ -1891,54 +2100,58 @@ def compact_ann_index_incremental(
 
     local, data = _ann_local_data(path, "compact_ann_index_incremental")
     _recover_compactor_debris(local)
-    per_cell: dict[str, list[str]] = {}
-    for f in globmod.glob(
-        os.path.join(globmod.escape(data), "cell=*", "*.parquet")
-    ):
-        per_cell.setdefault(
-            os.path.basename(os.path.dirname(f)), []
-        ).append(f)
-    targets = {c for c, fs in per_cell.items() if len(fs) >= min_files}
-    tomb_files = _tombstone_files(local)
-    tombs = (
-        spark.read.parquet(*tomb_files) if tomb_files else None
-    )
-    if tombs is not None:
-        if "cell" in tombs.columns and tombs.filter(
-            F.col("cell").isNull()
-        ).limit(1).count() == 0:
-            # metadata-priced discovery (r14 review): the delete files
-            # carry the partition like Iceberg's — no table scan; a
-            # replayed takedown may target already-purged rows, which
-            # costs a wasted (correct) rewrite of its cells at most
-            tomb_cells = tombs.select("cell").distinct().collect()
-        else:
-            # legacy vec_id-only delete files: one table scan fallback
-            tomb_cells = (
-                spark.read.parquet(data)
-                .select("vec_id", "cell")
-                .join(F.broadcast(tombs.select("vec_id")), "vec_id")
-                .select("cell")
-                .distinct()
-                .collect()
+    n_targets = 0
+    published = None
+    for attempt in range(4):
+        per_cell: dict[str, list[str]] = {}
+        for f in globmod.glob(
+            os.path.join(globmod.escape(data), "cell=*", "*.parquet")
+        ):
+            per_cell.setdefault(
+                os.path.basename(os.path.dirname(f)), []
+            ).append(f)
+        targets = {c for c, fs in per_cell.items() if len(fs) >= min_files}
+        tomb_files = _tombstone_files(local)
+        tombs = (
+            spark.read.parquet(*tomb_files) if tomb_files else None
+        )
+        if tombs is not None:
+            if "cell" in tombs.columns and tombs.filter(
+                F.col("cell").isNull()
+            ).limit(1).count() == 0:
+                # metadata-priced discovery (r14 review): the delete
+                # files carry the partition like Iceberg's — no table
+                # scan; a replayed takedown may target already-purged
+                # rows, which costs a wasted (correct) rewrite of its
+                # cells at most
+                tomb_cells = tombs.select("cell").distinct().collect()
+            else:
+                # legacy vec_id-only delete files: one table scan
+                tomb_cells = (
+                    spark.read.parquet(data)
+                    .select("vec_id", "cell")
+                    .join(F.broadcast(tombs.select("vec_id")), "vec_id")
+                    .select("cell")
+                    .distinct()
+                    .collect()
+                )
+            tomb_dirs = (
+                {f"cell={r['cell']}" for r in tomb_cells} & set(per_cell)
             )
-        tomb_dirs = {f"cell={r['cell']}" for r in tomb_cells} & set(per_cell)
-        if tomb_dirs:
-            targets |= tomb_dirs
-        else:
-            # nothing the delete files point at exists any more (a
-            # replay after a completed purge, or a crash after the
-            # publish but before the tombstone clear): the purge is
-            # already complete — clear the snapshot files now instead
-            # of taxing every future serve with a dead anti-join
-            # (r14 review)
-            _clear_tombstone_files(local, tomb_files)
-            tombs = None
-            tomb_dirs = set()
-    else:
-        tomb_dirs = set()
-    n_targets = len(targets)
-    if targets:
+            if tomb_dirs:
+                targets |= tomb_dirs
+            else:
+                # nothing the delete files point at exists any more (a
+                # replay after a completed purge, or a crash after the
+                # publish but before the tombstone clear): the purge
+                # is already complete — clear the snapshot files now
+                # instead of taxing every future serve with a dead
+                # anti-join (r14 review)
+                _clear_tombstone_files(local, tomb_files)
+                tombs = None
+        n_targets = len(targets)
+        if not targets:
+            break
         cell_vals = sorted(int(c.split("=", 1)[1]) for c in targets)
         src = spark.read.parquet(data)
         if tombs is not None:
@@ -1969,30 +2182,49 @@ def compact_ann_index_incremental(
                 os.makedirs(os.path.join(newgen, c))
                 for f in files:
                     os.link(f, os.path.join(newgen, c, os.path.basename(f)))
-        published = _publish_generation(local, newgen)
+        _copy_fp_stamp(data, newgen)
+        # CAS publish against the exact base this pass rewrote (r16,
+        # same rationale as compact_ann_index: a successor committed
+        # mid-pass may carry appended rows our stale stage lacks — the
+        # pass must RE-RUN, never land at a later number)
+        base = os.path.basename(data)
+        published = _publish_generation(
+            local,
+            newgen,
+            base=(
+                int(base[len("data.g"):])
+                if base.startswith("data.g")
+                else None
+            ),
+        )
         shutil.rmtree(stage, ignore_errors=True)
-        if published is None:
-            shutil.rmtree(newgen, ignore_errors=True)
+        if published is not None:
             if tombs is not None:
-                # the winner's pass clears its own snapshot; ours may
-                # include delete files the winner never saw — RETAIN
-                # them (serve-side anti-join keeps results correct,
-                # next pass retries the purge) and surface it
-                import warnings
+                # every tombstoned cell was in the rewrite set and the
+                # purged generation is published — exactly the
+                # snapshot delete files can go (a delete that landed
+                # mid-pass stays pending)
+                _clear_tombstone_files(local, tomb_files)
+            _gc_generations(local)
+            break
+        shutil.rmtree(newgen, ignore_errors=True)
+        data = _ann_data_dir(local)
+    else:
+        # every attempt lost the optimistic-commit race (or the
+        # publish rename itself kept failing): the table is whatever
+        # the winners published — report 0 cells rewritten (the pair
+        # must stay internally consistent, r15 ADVICE) and RETAIN any
+        # delete files (serve-side anti-join keeps results correct;
+        # the next pass retries the purge)
+        import warnings
 
-                warnings.warn(
-                    "compact_ann_index_incremental: lost the publish "
-                    "race with pending deletes; delete files retained, "
-                    "purge deferred to next pass",
-                    stacklevel=2,
-                )
-        elif tombs is not None:
-            # every tombstoned cell was in the rewrite set and the
-            # purged generation is published — exactly the snapshot
-            # delete files can go (a delete that landed mid-pass
-            # stays pending)
-            _clear_tombstone_files(local, tomb_files)
-        _gc_generations(local)
+        n_targets = 0
+        warnings.warn(
+            "compact_ann_index_incremental: lost the publish race on "
+            "every attempt; delete files retained, purge deferred to "
+            "next pass",
+            stacklevel=2,
+        )
     return n_targets, len(
         globmod.glob(
             os.path.join(_ann_data_dir(local), "cell=*", "*.parquet")
@@ -2085,26 +2317,42 @@ def append_to_ann_index(spark: SparkSession, path: str, batch: DataFrame) -> int
     optional label (the v4 filterable attribute; NULL when absent).
     The rows are cell-assigned + PQ-coded map-side against the frozen
     broadcast codebooks (O(|batch|) flops, no shuffle beyond the
-    partitioned write) and appended INTO the current generation —
-    appends are additive, so no new generation is published: a reader
-    mid-scan simply doesn't see files listed after its scan started,
-    which is append visibility, not the delete-under-reader race the
-    generation pointer exists for. Cells only ever gain files; the
-    next compaction absorbs the fragmentation.
+    partitioned write) and COMMITTED AS A NEW GENERATION (r16 —
+    closes the one unprotected pairing of the v7 layout, the r15
+    verdict item 2): the batch's files are written to a per-pid
+    staging dir, every file of the base generation is HARD-LINKED in
+    (metadata-priced — the successor table shares the base's bytes,
+    exactly the incremental compactor's clean-cell trick), and the
+    staged successor publishes through `_publish_generation`'s
+    COMPARE-AND-SWAP mode: the rename is attempted at base+1 only.
+    If a compactor (or another append) committed first, the CAS
+    fails — our staged table is provably stale (it would resurrect
+    the winner's purged rows or drop its appends) — so the append
+    re-resolves the pointer and RE-STAGES from the new current
+    generation, Iceberg's optimistic-commit retry. There is no
+    in-place write and therefore no listing-staleness window at all:
+    every interleaving of appends and compactors serializes through
+    the pointer, and the former "serialize appends against compaction
+    per table" caveat is deleted as fixed behavior (dual-process
+    pytest drives an append loop against a compaction loop). A batch
+    is O(|batch|) rows of new data plus O(data files) links — the
+    same metadata cost class as an Iceberg fast-append manifest.
 
-    Coordination contract: appends must be serialized against
-    COMPACTION per table — an append racing a compaction publish can
-    land its files in the superseded generation and be dropped when
-    that generation expires (the deploy answer is Iceberg's
-    optimistic commit protocol; locally the caller owns the
-    schedule, exactly like `compact_ann_index`'s docstring says).
-    Concurrent appends are safe (parquet append files are
-    uniquely named). Returns the number of rows appended."""
+    One residual documented edge: a DELETE of a vec_id racing an
+    append of that same vec_id has no defined order (two writers
+    upserting one key without a transaction manager); the tombstone
+    anti-join decides at serve time. Pre-v7 pointerless tables keep
+    the legacy in-place append. Returns the number of rows appended."""
+    import os
+    import shutil
+    import time as _time
+
     from ..functions.vector import norm as _vnorm
 
     cb, _pqcb, pq_py = _sidecar_model(spark, path)
     local = path[len("file://"):] if path.startswith("file://") else path
-    gen = _ann_data_dir(local)
+    local = local.rstrip("/") or local
+    _recover_compactor_debris(local)
     if "vnorm" not in batch.columns:
         batch = batch.withColumn("vnorm", _vnorm(F.col("v")))
     if "label" not in batch.columns:
@@ -2116,13 +2364,55 @@ def append_to_ann_index(spark: SparkSession, path: str, batch: DataFrame) -> int
     coded = _coded_frame(
         cb, pq_py, batch, ["vec_id", "cell", "vnorm", "v", "label"]
     ).localCheckpoint(eager=True)
-    (
-        coded.repartition(F.col("cell"))
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(gen)
+    n = coded.count()
+    if n == 0:
+        return 0
+    base_dir = _ann_data_dir(local)
+    if os.path.basename(base_dir) == "data":  # legacy pre-v7 table
+        (
+            coded.repartition(F.col("cell"))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(base_dir)
+        )
+        return n
+    stage = os.path.join(local, f"data__append_tmp.{os.getpid()}")
+    for attempt in range(16):
+        base_n = int(os.path.basename(base_dir)[len("data.g"):])
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            coded.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(stage)
+        )
+        # link the base generation in: the stage becomes a complete
+        # successor table sharing the base's bytes (same inodes)
+        for cd in os.listdir(base_dir):
+            if not cd.startswith("cell="):
+                continue
+            os.makedirs(os.path.join(stage, cd), exist_ok=True)
+            for f in os.listdir(os.path.join(base_dir, cd)):
+                if f.startswith((".", "_")):
+                    continue
+                dst = os.path.join(stage, cd, f)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(base_dir, cd, f), dst)
+        _copy_fp_stamp(base_dir, stage)
+        published = _publish_generation(local, stage, base=base_n)
+        if published is not None:
+            _gc_generations(local)
+            return n
+        shutil.rmtree(stage, ignore_errors=True)
+        # lost the CAS — a successor committed first; re-stage from it
+        # (the winner flips the pointer right after its rename: a
+        # short wait covers the flip-in-flight window)
+        _time.sleep(0.02 * (attempt + 1))
+        base_dir = _ann_data_dir(local)
+    raise RuntimeError(
+        "append_to_ann_index: lost the optimistic-commit race 16 times "
+        "in a row; append not committed (no rows were made visible)"
     )
-    return coded.count()
 
 
 def delete_from_ann_index(spark: SparkSession, path: str, ids: DataFrame) -> None:
@@ -2150,50 +2440,102 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids: DataFrame) -> Non
 
 
 def _tombstone_files(path: str) -> list[str]:
-    """The index's delete files, snapshot at call time. Compactors
-    operate on THIS list and clear exactly these files afterwards, so
-    a delete landing mid-compaction — which the pass did not purge —
-    survives the clear instead of being silently dropped (r15)."""
+    """The index's PENDING delete files, snapshot at call time —
+    files already cleared by a completed purge (they carry a
+    `.cleared` marker, see _clear_tombstone_files) are excluded, so a
+    row re-appended after its takedown purged+cleared is never hidden
+    by a stale delete file. Compactors operate on THIS list and clear
+    exactly these files afterwards, so a delete landing
+    mid-compaction — which the pass did not purge — survives the
+    clear instead of being silently dropped (r15)."""
     import glob as globmod
     import os
 
     local = path[len("file://"):] if path.startswith("file://") else path
     return sorted(
-        globmod.glob(
+        f
+        for f in globmod.glob(
             os.path.join(
                 globmod.escape(local.rstrip("/")), "tombstones", "*.parquet"
             )
         )
+        if not os.path.exists(f + ".cleared")
     )
 
 
 def _clear_tombstone_files(path: str, files: list[str]) -> None:
-    """Remove exactly the snapshot delete files a completed purge
-    folded in (newer delete files stay pending); when no delete file
-    remains, the dir goes too (Spark's _SUCCESS/.crc markers don't
-    keep it alive)."""
+    """Retire exactly the snapshot delete files a completed purge
+    folded in (newer delete files stay pending). Retirement is
+    RETENTION-AGED, not immediate (r16 — the r15 ADVICE race): a
+    serve in flight snapshotted its tombstone file list at DataFrame
+    creation, so os.remove'ing the bytes here would hand it
+    FAILED_READ_FILE mid-scan — the same reader-vs-rewriter race the
+    generation layout closes for data files. Instead each cleared
+    file gets a `.cleared` marker (idempotent O_CREAT — new
+    _tombstone_files snapshots skip it immediately), and the bytes
+    are physically removed only once the marker is older than
+    ANN_GEN_RETENTION_SECS (the sweep below + every expiry pass), the
+    same floor that keeps superseded generations readable. The dir
+    itself goes when nothing pending or unexpired remains."""
     import os
-    import shutil
 
     for f in files:
+        if os.path.exists(f):
+            try:
+                with open(f + ".cleared", "x"):
+                    pass
+            except OSError:
+                pass  # already marked (a concurrent clear) — fine
+    _sweep_cleared_tombstones(path)
+
+
+def _sweep_cleared_tombstones(
+    path: str, max_age_secs: float | None = None
+) -> None:
+    """Physically remove cleared delete files whose marker has aged
+    past the retention floor; drop the tombstones dir when no pending
+    file and no unexpired cleared file remains (Spark's _SUCCESS/.crc
+    markers don't keep it alive)."""
+    import glob as globmod
+    import os
+    import shutil
+    import time as _time
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    tomb_dir = os.path.join(local.rstrip("/"), "tombstones")
+    if not os.path.isdir(tomb_dir):
+        return
+    age_floor = (
+        ANN_GEN_RETENTION_SECS if max_age_secs is None else max_age_secs
+    )
+    now = _time.time()
+    unexpired = 0
+    for m in globmod.glob(
+        os.path.join(globmod.escape(tomb_dir), "*.parquet.cleared")
+    ):
         try:
-            os.remove(f)
+            if now - os.path.getmtime(m) >= age_floor:
+                for g in (m[: -len(".cleared")], m):
+                    try:
+                        os.remove(g)
+                    except OSError:
+                        pass
+            else:
+                unexpired += 1
         except OSError:
-            pass
-    if not _tombstone_files(path):
-        local = path[len("file://"):] if path.startswith("file://") else path
-        shutil.rmtree(
-            os.path.join(local.rstrip("/"), "tombstones"), ignore_errors=True
-        )
+            unexpired += 1
+    if not unexpired and not _tombstone_files(path):
+        shutil.rmtree(tomb_dir, ignore_errors=True)
 
 
 def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
-    """The index's pending delete set, or None when there is none."""
-    import os
-
-    if not _tombstone_files(path):
+    """The index's pending delete set, or None when there is none.
+    Reads the explicit pending-file list (never the directory) so
+    retired-but-retained delete files stay invisible (r16)."""
+    files = _tombstone_files(path)
+    if not files:
         return None
-    return spark.read.parquet(os.path.join(path, "tombstones"))
+    return spark.read.parquet(*files)
 
 
 def _minus_tombstones(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:

@@ -12,6 +12,18 @@ from data_engineering_zoomcamp_projects_spark.catalog import load_table
 from data_engineering_zoomcamp_projects_spark.llm import dedup, multimodal, similarity
 
 
+def _assert_tombstones_retired(path):
+    """r16 clear semantics: a completed purge leaves NO PENDING delete
+    file immediately, but the cleared bytes are retention-aged for
+    in-flight serves (the r15 ADVICE race) — force-expire them and
+    only then require the dir itself gone."""
+    import os
+
+    assert similarity._tombstone_files(path) == []
+    similarity._sweep_cleared_tombstones(path, 0)
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+
+
 def test_minhash_equals_exact_jaccard(spark, sf_dir):
     exact = {
         (r["doc_a"], r["doc_b"])
@@ -2014,7 +2026,7 @@ def test_incremental_compaction_purges_tombstoned_cells(spark, tmp_path):
         }
         n_rewritten, _ = compact_ann_index_incremental(spark, path)
         assert n_rewritten == 1  # exactly the tombstoned cell
-        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        _assert_tombstones_retired(path)
         left = {r["vec_id"] for r in _read_ann_index(spark, path).select("vec_id").collect()}
         assert not (left & doomed_ids), "tombstoned rows survived the purge"
         data = _ann_data_dir(path)  # the purge published a new generation
@@ -2034,7 +2046,7 @@ def test_incremental_compaction_purges_tombstoned_cells(spark, tmp_path):
         )
         n2, _ = compact_ann_index_incremental(spark, path)
         assert n2 == 0
-        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        _assert_tombstones_retired(path)
         # metadata-priced discovery: a (vec_id, cell)-carrying delete
         # of one LIVE cell rewrites exactly that cell again
         idx2 = _read_ann_index(spark, path)
@@ -2045,7 +2057,7 @@ def test_incremental_compaction_purges_tombstoned_cells(spark, tmp_path):
         )
         n3, _ = compact_ann_index_incremental(spark, path)
         assert n3 == 1
-        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        _assert_tombstones_retired(path)
         # a LIVE concurrent pass's aside dir must never be treated as
         # crash debris (r14 review): pid 1 is always alive
         live_aside = os.path.join(path, "data__cellold.1")
@@ -2191,11 +2203,17 @@ def test_incremental_compaction_retains_tombstones_on_failed_swap(
         monkeypatch.setattr("os.rename", failing_rename)
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
-            compact_ann_index_incremental(spark, path)
+            n_failed, files_failed = compact_ann_index_incremental(
+                spark, path
+            )
         monkeypatch.setattr("os.rename", real_rename)
         assert any(
             "delete files retained" in str(w.message) for w in caught
         ), "failed publish with pending deletes was not surfaced"
+        # r16 (r15 ADVICE): a pass that didn't publish reports 0 cells
+        # rewritten — the returned pair must be internally consistent
+        # with the unchanged table
+        assert n_failed == 0
         # (a) the current generation is untouched: no row loss
         assert _ann_data_dir(path) == data
         assert os.path.isdir(os.path.join(data, f"cell={doomed_cell}"))
@@ -2210,7 +2228,7 @@ def test_incremental_compaction_retains_tombstones_on_failed_swap(
         # next (unsabotaged) pass completes the purge and clears them
         n_retry, _ = compact_ann_index_incremental(spark, path)
         assert n_retry >= 1
-        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        _assert_tombstones_retired(path)
     finally:
         shutil.rmtree(
             _ann_index_path(str(tmp_path), "fragcell")[0],
@@ -2379,9 +2397,20 @@ def test_build_ann_index_staged_write_cleans_own_leftovers(spark, tmp_path):
         ) == rows
         leftovers = [d for d in os.listdir(path) if "__" in d]
         assert not leftovers, leftovers
-        # a rebuild is a NEW table: exactly one generation remains
+        # r16: the rebuild's cleanup keeps same-fingerprint siblings
+        # (gen 1 holds the SAME corpus's content here — a concurrent
+        # identical builder's generation must never be deleted out
+        # from under the pointer); every surviving generation must
+        # carry the current fingerprint stamp, and an OLD-fp
+        # generation would be gone (pinned separately in
+        # test_rebuild_cleanup_spares_current_and_same_fp_generations)
         gens = [d for d in os.listdir(path) if d.startswith("data.g")]
-        assert len(gens) == 1, gens
+        assert gens, "rebuild published nothing"
+        with open(os.path.join(path, "_ann_meta.json")) as fh:
+            fp_now = json.load(fh)["fp"]
+        for g in gens:
+            with open(os.path.join(path, g, "_fp")) as fh:
+                assert fh.read() == fp_now, f"non-lineage generation {g} kept"
     finally:
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
 
@@ -2458,7 +2487,7 @@ def test_delete_tombstones_then_compact_purges(spark, tmp_path):
         } - doomed_ids
         # purge: physical rows gone, tombstones cleared, layout kept
         compact_ann_index(spark, path)
-        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        _assert_tombstones_retired(path)
         after_ids = {
             int(r["vec_id"]) for r in _read_ann_index(spark, path).collect()
         }
@@ -2519,7 +2548,7 @@ def test_serve_ann_index_time_travel_generations(spark, tmp_path):
         assert not {int(r["neighbor_id"]) for r in masked} & doomed_ids
         compact_ann_index_incremental(spark, path)
         assert ann_index_generations(path) == [1, 2]
-        assert not os.path.isdir(os.path.join(path, "tombstones"))
+        _assert_tombstones_retired(path)
         as_of_1 = sorted(
             map(
                 tuple,
@@ -2702,11 +2731,13 @@ def test_index_lifecycle_randomized_model(spark, tmp_path):
 
 
 def test_append_to_ann_index_lands_in_current_generation(spark, tmp_path):
-    """r15 write API: append_to_ann_index codes the batch against the
-    FROZEN sidecar model and appends into the current generation —
-    appended vectors are immediately servable (an identical vector
-    must come back as its own rank-1 neighbor with cos 1.0), untouched
-    cells' files keep their exact bytes (append adds files, never
+    """r15 write API, r16 commit semantics: append_to_ann_index codes
+    the batch against the FROZEN sidecar model and publishes a NEW
+    generation through the CAS commit (base's files hard-linked in —
+    same inodes, zero data copied) — appended vectors are immediately
+    servable (an identical vector must come back as its own rank-1
+    neighbor with cos 1.0), the base generation's files keep their
+    exact bytes AND inodes in the successor (append links, never
     rewrites), the fingerprint sidecar is untouched, and the next
     compaction absorbs the added files back to one per cell with all
     rows preserved."""
@@ -2746,10 +2777,19 @@ def test_append_to_ann_index_lands_in_current_generation(spark, tmp_path):
         batch = spark.createDataFrame(rows, "vec_id long, v array<double>")
         n = append_to_ann_index(spark, path, batch)
         assert n == len(rows)
-        # still the same generation, original files byte-untouched
-        assert _ann_data_dir(path) == gen
+        # the append COMMITTED a successor generation (r16 CAS
+        # protocol); the base generation's files are byte-untouched
+        # and the successor shares their inodes (hard links, no copy)
+        new_gen = _ann_data_dir(path)
+        assert new_gen != gen
+        assert os.path.isdir(gen), "base generation must survive (retention)"
         for f, m in pre_files.items():
             assert os.stat(f).st_mtime_ns == m, f"append rewrote {f}"
+            linked = os.path.join(
+                new_gen, os.path.relpath(f, gen)
+            )
+            assert os.path.exists(linked)
+            assert os.stat(linked).st_ino == os.stat(f).st_ino
         with open(os.path.join(path, "_ann_meta.json")) as fh:
             assert json.load(fh) == meta_before
         # appended vectors are servable: each original vector's query
@@ -2919,5 +2959,345 @@ print("READER_OK", flush=True)
             f"(after {n_compactions} compactions):\n{out[-3000:]}"
         )
         assert n_compactions >= 3, "compactor barely ran; test proved little"
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_concurrent_append_vs_compactor_optimistic_commit(
+    spark, tmp_path, monkeypatch
+):
+    """r16 — the last unprotected pairing of the v7 layout (r15
+    verdict item 2), CLOSED and driven for real: a second PROCESS
+    (own JVM) appends batch after batch through the CAS commit while
+    this process runs full compactions in a loop (each publishing a
+    successor generation and expiring old ones — retention dropped to
+    20 s so expiry fires mid-test). Under the r15 in-place append a
+    compaction publishing mid-append silently stranded the batch in a
+    superseded generation; under the optimistic commit EVERY appended
+    vector must be present in the final current generation EXACTLY
+    ONCE (no stranding, no replay duplication), alongside the full
+    original corpus."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import time as _time
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _read_ann_index,
+        build_ann_index,
+        compact_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=300)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        orig = {
+            int(r["vec_id"])
+            for r in _read_ann_index(spark, path).select("vec_id").collect()
+        }
+        n_batches, per_batch = 8, 5
+        appender_src = f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from pyspark.sql import SparkSession
+from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+    append_to_ann_index,
+)
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+for b in range({n_batches}):
+    rows = [
+        (50_000 + b * {per_batch} + i,
+         [float((50_000 + b * {per_batch} + i + 5 * j * j) % 19 + 1)
+          for j in range(64)])
+        for i in range({per_batch})
+    ]
+    batch = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    n = append_to_ann_index(spark, {repr(path)}, batch)
+    assert n == {per_batch}, (b, n)
+print("APPENDER_OK", flush=True)
+"""
+        script = tmp_path / "appender.py"
+        script.write_text(appender_src)
+        appender = subprocess.Popen(
+            [sys.executable, str(script)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        monkeypatch.setattr(similarity, "ANN_GEN_RETENTION_SECS", 20.0)
+        n_compactions = 0
+        deadline = _time.time() + 240
+        while appender.poll() is None and _time.time() < deadline:
+            compact_ann_index(spark, path)
+            n_compactions += 1
+        out, _ = appender.communicate(timeout=300)
+        assert appender.returncode == 0 and "APPENDER_OK" in out, (
+            f"appender died against the compaction loop "
+            f"(after {n_compactions} compactions):\n{out[-3000:]}"
+        )
+        assert n_compactions >= 3, "compactor barely ran; test proved little"
+        expected = orig | {
+            50_000 + k for k in range(n_batches * per_batch)
+        }
+        counts = {
+            int(r["vec_id"]): int(r["n"])
+            for r in _read_ann_index(spark, path)
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert set(counts) == expected, (
+            f"stranded={sorted(expected - set(counts))[:10]} "
+            f"extra={sorted(set(counts) - expected)[:10]}"
+        )
+        dupes = {v: c for v, c in counts.items() if c != 1}
+        assert not dupes, f"replay duplication: {sorted(dupes.items())[:10]}"
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_tombstone_clear_is_retention_aged_for_inflight_serves(
+    spark, tmp_path
+):
+    """r16 (r15 ADVICE, medium): a serve snapshots its tombstone FILE
+    LIST at DataFrame creation — a purge completing before the serve's
+    collect used to os.remove those files and hand the scan
+    FAILED_READ_FILE. Clears now retire delete files behind `.cleared`
+    markers aged by ANN_GEN_RETENTION_SECS: (a) a serve created BEFORE
+    the purge collects fine AFTER it, returning exactly the
+    tombstone-masked rows; (b) new tombstone snapshots see nothing
+    pending immediately; (c) the bytes persist until force-expiry;
+    (d) a vec_id re-appended after its purge+clear is NOT hidden by
+    the retired delete file."""
+    import glob
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _queries_and_corpus,
+        _read_ann_index,
+        _read_tombstones,
+        _sweep_cleared_tombstones,
+        _tombstone_files,
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        serve_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=200)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        idx = _read_ann_index(spark, path)
+        doomed = idx.filter(F.col("vec_id") % 10 == 4).select(
+            "vec_id", "cell"
+        )
+        doomed_ids = {int(r["vec_id"]) for r in doomed.collect()}
+        assert doomed_ids
+        delete_from_ann_index(spark, path, doomed)
+        queries, _ = _queries_and_corpus(spark, str(tmp_path))
+        # the in-flight serve: plan + file listings snapshot NOW
+        inflight = serve_ann_index(spark, path, queries)
+        n_files_before = len(
+            glob.glob(os.path.join(path, "tombstones", "*.parquet"))
+        )
+        assert n_files_before >= 1
+        compact_ann_index(spark, path)  # purge + clear
+        # (a) the pre-purge serve completes and hides the doomed rows
+        served = inflight.collect()
+        assert served
+        assert not (
+            {int(r["neighbor_id"]) for r in served} & doomed_ids
+        )
+        # (b) nothing pending for new snapshots...
+        assert _tombstone_files(path) == []
+        assert _read_tombstones(spark, path) is None
+        # (c) ...but the bytes are retained until the retention floor
+        assert (
+            len(glob.glob(os.path.join(path, "tombstones", "*.parquet")))
+            == n_files_before
+        )
+        # (d) re-append one purged id — the retired delete file must
+        # not mask it
+        back = sorted(doomed_ids)[0]
+        batch = spark.createDataFrame(
+            [(back, [float((back + 5 * j * j) % 19 + 1) for j in range(64)])],
+            "vec_id long, v array<double>",
+        )
+        assert append_to_ann_index(spark, path, batch) == 1
+        live = {
+            int(r["vec_id"])
+            for r in _read_ann_index(spark, path).select("vec_id").collect()
+        }
+        assert back in live
+        from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+            _minus_tombstones,
+        )
+        visible = {
+            int(r["vec_id"])
+            for r in _minus_tombstones(
+                spark, path, _read_ann_index(spark, path)
+            ).select("vec_id").collect()
+        }
+        assert back in visible, "retired delete file masked a re-append"
+        # force-expire: bytes + dir gone
+        _sweep_cleared_tombstones(path, 0)
+        assert not os.path.isdir(os.path.join(path, "tombstones"))
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_rebuild_cleanup_spares_current_and_same_fp_generations(
+    spark, tmp_path
+):
+    """r16 (r15 ADVICE, build race): every generation carries an `_fp`
+    fingerprint stamp (builds write it; compactors and appends
+    propagate it), and a (re)build's lineage cleanup deletes ONLY
+    genuinely old-fingerprint generations — never the `_current`
+    pointer's target, never a same-fingerprint sibling (the concurrent
+    identical-builder case: both publish, the earlier one's cleanup
+    used to delete the later one's live generation out from under the
+    pointer)."""
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        ann_index_generations,
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=120)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        g1 = _ann_data_dir(path)
+        with open(os.path.join(g1, "_fp")) as fh:
+            fp_a = fh.read()
+        assert fp_a
+        # stamp propagation: append, then compact
+        batch = spark.createDataFrame(
+            [(9_000, [float((7 + 3 * j * j) % 23 + 1) for j in range(64)])],
+            "vec_id long, v array<double>",
+        )
+        append_to_ann_index(spark, path, batch)
+        compact_ann_index(spark, path)
+        for n in ann_index_generations(path):
+            d = os.path.join(path, f"data.g{n:06d}")
+            with open(os.path.join(d, "_fp")) as fh:
+                assert fh.read() == fp_a, f"stamp lost at generation {n}"
+        # simulate the concurrent-builder aftermath: a same-fp sibling
+        # ABOVE ours holds the pointer; an unstamped and an old-fp
+        # generation linger below
+        cur = _ann_data_dir(path)
+        cur_n = int(os.path.basename(cur)[len("data.g"):])
+        twin = os.path.join(path, f"data.g{cur_n + 1:06d}")
+        shutil.copytree(cur, twin)
+        with open(os.path.join(path, "_current"), "w") as fh:
+            fh.write(os.path.basename(twin))
+        unstamped = os.path.join(path, f"data.g{cur_n + 2:06d}")
+        shutil.copytree(cur, unstamped)
+        os.remove(os.path.join(unstamped, "_fp"))
+        oldfp = os.path.join(path, f"data.g{cur_n + 3:06d}")
+        shutil.copytree(cur, oldfp)
+        with open(os.path.join(oldfp, "_fp"), "w") as fh:
+            fh.write("fp-of-a-previous-corpus")
+        with open(os.path.join(path, "_current"), "w") as fh:
+            fh.write(os.path.basename(twin))
+        # force a rebuild of the SAME table (meta gone, fp unchanged)
+        os.remove(os.path.join(path, "_ann_meta.json"))
+        # recovery adopts the highest generation first; pin the
+        # pointer expectation accordingly after rebuild
+        assert build_ann_index(spark, str(tmp_path)) == path
+        gens = set(ann_index_generations(path))
+        alive = {
+            int(os.path.basename(d)[len("data.g"):])
+            for d in (twin,)
+            if os.path.isdir(d)
+        }
+        assert cur_n + 1 in alive, "same-fp sibling was deleted"
+        assert not os.path.isdir(unstamped), "unstamped gen survived"
+        assert not os.path.isdir(oldfp), "old-fp gen survived"
+        # the pointer resolves to an existing generation and the table
+        # still serves its full content
+        assert os.path.isdir(_ann_data_dir(path))
+        assert gens
+    finally:
+        shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_generation_pin_protects_long_scans_from_expiry(spark, tmp_path):
+    """r16 (r15 verdict item 3): the long-scan retention contract,
+    pinned as tested behavior. A reader that leases its generation via
+    pin_ann_index_generation survives >=2 subsequent publishes PLUS a
+    force-expiry (max_age_secs=0, keep_last=1 — far harsher than the
+    wall-clock retention): the leased generation's files stay on disk
+    and the reader's pre-publish DataFrame still collects, while an
+    UNPINNED sibling of the same age is expired. Releasing the lease
+    (or the owner dying — dead-pid pins are swept) makes the
+    generation expirable again."""
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        _queries_and_corpus,
+        build_ann_index,
+        compact_ann_index,
+        expire_ann_index_generations,
+        pin_ann_index_generation,
+        serve_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=200)
+    try:
+        path = build_ann_index(spark, str(tmp_path))
+        queries, _ = _queries_and_corpus(spark, str(tmp_path))
+        with pin_ann_index_generation(path) as pinned_dir:
+            pinned_n = int(os.path.basename(pinned_dir)[len("data.g"):])
+            # the long scan: plan + listings snapshot now, consumed
+            # only after the compactions and the expiry below
+            inflight = serve_ann_index(spark, path, queries)
+            baseline = sorted(
+                map(tuple, serve_ann_index(spark, path, queries).collect())
+            )
+            compact_ann_index(spark, path)
+            compact_ann_index(spark, path)
+            compact_ann_index(spark, path)
+            expired = expire_ann_index_generations(
+                path, keep_last=1, max_age_secs=0
+            )
+            # unpinned middles expired; the leased generation survived
+            assert expired, "force-expiry removed nothing; test is vacuous"
+            assert pinned_n not in expired
+            assert os.path.isdir(pinned_dir)
+            got = sorted(map(tuple, inflight.collect()))
+            assert got == baseline, "pinned long scan diverged"
+        # lease released: the same force-expiry now removes it
+        expired2 = expire_ann_index_generations(
+            path, keep_last=1, max_age_secs=0
+        )
+        assert pinned_n in expired2
+        assert not os.path.isdir(pinned_dir)
+        # a dead reader's pin is swept, not honored
+        cur = _ann_data_dir(path)
+        compact_ann_index(spark, path)
+        stale = os.path.join(
+            path, f"_pin.999999999.{os.path.basename(cur)}"
+        )
+        with open(stale, "w"):
+            pass
+        expire_ann_index_generations(path, keep_last=1, max_age_secs=0)
+        assert not os.path.exists(stale), "dead-pid pin not swept"
+        assert not os.path.isdir(cur)
     finally:
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)

@@ -733,23 +733,54 @@ def test_generation_diff_scans_prune_to_changed_cells(spark, sf_dir):
 
     path, gens = similarity._tt_lifecycle(spark, sf_dir)
     df = similarity.diff_ann_index_generations(spark, path, min(gens), max(gens))
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # default maxMetadataStringLength truncates long INSET lists with
+    # an ellipsis, which is exactly how the old subset assertion could
+    # go vacuous (r15 ADVICE) — render the plan untruncated
+    old_len = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
+    # (a still-truncated INSET can't pass: the per-scan equality below
+    # fails loudly on any missing member)
     scans = plan.count("FileScan parquet")
     assert scans >= 4, plan[:500]  # two generations x (ids + rows) sides
     pfilters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert len(pfilters) == scans
     insets = [p for p in pfilters if "INSET" in p or "isin" in p or " IN " in p]
     assert len(insets) == scans, f"unpruned diff scan: {pfilters}"
-    # strict subset: the pruned cell list is smaller than the table's
-    changed = set(re.findall(r"\d+", insets[0]))
+    # exact equality with the driver-side changed-cell set (r15
+    # ADVICE): parse EVERY scan's INSET value list and require it to
+    # be precisely the takedown slice's cells — the old single-scan
+    # "non-empty strict subset" check could pass vacuously under
+    # zero-padded or divergent INSET renderings
+    expected = {
+        int(r["cell"])
+        for r in similarity._read_ann_index(
+            spark,
+            path,
+            data_dir=similarity._ann_data_dir(path, min(gens)),
+        )
+        .filter(F.col("vec_id") % 10 == similarity.DELETED_SLICE_MOD)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
     all_cells = {
-        d.split("=", 1)[1]
+        int(d.split("=", 1)[1])
         for d in os.listdir(similarity._ann_data_dir(path, max(gens)))
         if d.startswith("cell=")
     }
-    # (changed includes the column's plan id; intersect to be safe)
-    assert changed & all_cells, (changed, all_cells)
-    assert (changed & all_cells) < all_cells, "diff scanned every cell"
+    assert expected and expected < all_cells, (expected, all_cells)
+    for p in insets:
+        m = re.search(r"INSET ([0-9,\s]+)", p)
+        assert m, f"unparseable partition filter rendering: {p}"
+        got = {int(x) for x in m.group(1).replace(",", " ").split()}
+        assert got == expected, (
+            f"scan pruned to {sorted(got)}, takedown touched "
+            f"{sorted(expected)}: {p}"
+        )
 
 
 def test_filtered_serve_pushes_predicate_into_pruned_index_scan(spark, sf_dir):
