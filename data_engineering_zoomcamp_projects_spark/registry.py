@@ -57,55 +57,100 @@ _MODULES = [
 #: remaining window slots fill from _MODULES order above. Update this
 #: list each round alongside the module rotation.
 _FRONT = [
-    # WINDOW TRIAGE round 15 (50 slots). Composition per the r14
-    # verdict item 1 + the recorded displaced queue, computed
-    # mechanically (latest green DRIVER row per name over
-    # CORRECTNESS_r01-r14):
+    # WINDOW TRIAGE round 16 (50 slots). Composition per the r15
+    # verdict item 5 + rule (ii), computed mechanically (latest green
+    # DRIVER row per name over CORRECTNESS_r01-r15):
     #
-    #   (i) ALL 30 r9-stale rows — the oldest driver-certification
-    #       gap: q12-q22 (no driver row since r9), the agg_boolean /
-    #       join_* / multimodal_* cohort (attempted in the r13 window
-    #       but killed by the harness map-count death before their
-    #       slots), stream_live_ingest_neardup, stream_tumbling_hourly,
-    #       text_langid_profile, text_repetition_scores,
-    #       unpivot_quantities;
-    #  (ii) the 12 index-family entries whose SPARK PLANS changed in
-    #       r15 (generation-pointer layout, ANN_INDEX_VERSION 6->7:
-    #       serves resolve `_current`, compactors publish generations,
-    #       tombstone snapshot-precise clears, serve reads tombstones
-    #       before the pointer) — oracles unchanged, so these certify
-    #       the layout change hash-for-hash;
-    # (iii) the NEW r15 entries sim_index_time_travel and
-    #       sim_index_generation_diff (new oracle-backed names must
-    #       sit in the current window; the diff entry took the
-    #       agg_approx_count_distinct filler slot — that row heads
-    #       the r16 queue);
-    #  (iv) 7 filler slots from the r10 cohort head
-    #       (agg_approx_count_distinct .. events_attribution_first_last
-    #       alphabetically).
+    #   (i) ALL 37 displaced r10-cohort rows recorded by the r15
+    #       triage as THE r16 queue (agg_approx_count_distinct —
+    #       displaced from slot 41 twice — through window_range_frame);
+    #  (ii) the 2 entries whose code/plans changed in r16:
+    #       dedup_semantic_semdedup (corpus-derived k-means k,
+    #       ml.kmeans_k_for — floor-k oracle unchanged, so this
+    #       certifies the floor path hash-for-hash after the
+    #       restructure) and ml_kmeans_embeddings (shares the
+    #       derivation + count job). The r16 ANN lifecycle changes
+    #       (CAS generation commits for appends/compactors, tombstone
+    #       clear retention, _fp stamps, pins) touch only WRITE paths
+    #       and driver-side pointer resolution: every registered index
+    #       entry's read plan and oracle are byte-unchanged (the
+    #       index-family oracles were all re-certified r15 and in the
+    #       verdict's independent J15 drive);
+    # (iii) 11 filler slots from the r11 cohort head (alphabetical:
+    #       agg_grouping_sets .. dedup_span_removal).
     #
-    #   Heavies (the 13 index-family oracles) are interleaved one per
-    #   ~3 cheap rows, never two adjacent — if the harness dies
-    #   mid-window, the starved queue certifies before the death point.
+    #   The only heavy oracle here is dedup_semantic_semdedup's
+    #   k-means chain — placed mid-window, non-adjacent to
+    #   sim_bm25_topk (the next-heaviest row).
     #
-    #   Displaced to r16: the rest of the r10 cohort
-    #   (agg_approx_count_distinct, events_funnel_windowed, events_pivot_daily_types,
-    #   events_user_timeline, events_value_histogram,
-    #   filter_predicate_suite, fn_sql_udf_suite, fn_try_suite,
-    #   fn_variant_suite, join_asof_tolerance, join_salted_skew,
-    #   layout_zorder_buckets, ml_linreg_normal_eq,
-    #   orders_scd2_priority, part_unpivot_metrics,
-    #   prep_curriculum_order, prep_temperature_resample,
-    #   profile_orders_columns, projection_expressions,
-    #   q2_min_cost_supplier, quality_constraint_checks,
-    #   quality_daily_volume_anomaly, quality_referential_orphans,
-    #   quality_snapshot_diff, sample_fraction,
-    #   sample_hash_reproducible, sample_stratified_by_lang,
-    #   sim_bm25_topk, sim_label_centroids, stream_live_dedup_summary,
-    #   subq_in_european_suppliers, subq_orders_above_customer_avg,
-    #   subq_scalar_above_avg_price, topk_global, topk_per_group,
-    #   window_first_last, window_range_frame), then the r11 cohort —
-    #   plus whatever r16 changes.
+    #   Displaced to r17: the rest of the r11 cohort
+    #   (events_cohort_retention, events_daily_actives,
+    #   events_funnel_stages, events_rolling_distinct_hll,
+    #   events_sessionize, events_user_rfm, fn_date_suite,
+    #   join_asof_purchase_prior_view, join_range_trailing_shipments,
+    #   ml_logreg_gd, multimodal_audio_windows,
+    #   multimodal_image_decode_resize, pipeline_ccnet_buckets,
+    #   prep_chunk_documents, prep_sequence_packing,
+    #   prep_source_mixing, prep_token_budget_head, sim_topk_lsh,
+    #   stream_live_join_purchase_views, ...), then the r12 cohort —
+    #   plus whatever r17 changes.
+    "agg_approx_count_distinct",
+    "events_funnel_windowed",
+    "events_pivot_daily_types",
+    "events_user_timeline",
+    "events_value_histogram",
+    "filter_predicate_suite",
+    "fn_sql_udf_suite",
+    "fn_try_suite",
+    "fn_variant_suite",
+    "join_asof_tolerance",
+    "join_salted_skew",
+    "layout_zorder_buckets",
+    "ml_linreg_normal_eq",
+    "orders_scd2_priority",
+    "part_unpivot_metrics",
+    "prep_curriculum_order",
+    "prep_temperature_resample",
+    "profile_orders_columns",
+    "projection_expressions",
+    "q2_min_cost_supplier",
+    "dedup_semantic_semdedup",
+    "ml_kmeans_embeddings",
+    "quality_constraint_checks",
+    "quality_daily_volume_anomaly",
+    "quality_referential_orphans",
+    "quality_snapshot_diff",
+    "sample_fraction",
+    "sample_hash_reproducible",
+    "sample_stratified_by_lang",
+    "sim_bm25_topk",
+    "sim_label_centroids",
+    "stream_live_dedup_summary",
+    "subq_in_european_suppliers",
+    "subq_orders_above_customer_avg",
+    "subq_scalar_above_avg_price",
+    "topk_global",
+    "topk_per_group",
+    "window_first_last",
+    "window_range_frame",
+    "agg_grouping_sets",
+    "agg_rollup_flag_status",
+    "dedup_exact",
+    "dedup_fuzzy_names",
+    "dedup_fuzzy_names_symspell",
+    "dedup_incremental_batch",
+    "dedup_minhash_lsh",
+    "dedup_ngram_span_duplication",
+    "dedup_shingle_jaccard",
+    "dedup_simhash",
+    "dedup_span_removal",
+]
+
+_FRONT_R15 = [
+    # WINDOW TRIAGE round 15 (50 slots, historical record — went
+    # 50/50 green in CORRECTNESS_r15 with the generation-pointer
+    # layout). Original triage comment preserved in git history
+    # (registry.py @ r15 HEAD).
     "q12_ship_delay_buckets",
     "q13_customer_distribution",
     "sim_index_build",
@@ -156,63 +201,6 @@ _FRONT = [
     "curation_domain_cap",
     "dedup_online_index_gate",
     "events_attribution_first_last",
-]
-
-_FRONT_R14 = [
-    # WINDOW TRIAGE round 14 (50 slots, historical record — went
-    # 50/50 green in CORRECTNESS_r14 after the oracle scalar-window
-    # allocator fix). Original triage comment preserved in git history
-    # (registry.py @ r14 HEAD).
-    "fn_json_suite",
-    "fn_math_suite",
-    "fn_string_suite",
-    "sim_index_build",
-    "setop_except",
-    "setop_intersect_all",
-    "setop_union_all",
-    "sim_index_query",
-    "setop_union_distinct",
-    "stream_dedup_summary",
-    "stream_event_type_rates",
-    "sim_index_query_compacted",
-    "stream_funnel_view_purchase",
-    "stream_session_30m",
-    "stream_sliding_15m",
-    "sim_index_query_deleted",
-    "text_bpe_apply",
-    "text_bpe_learn_merges",
-    "graph_triangle_count",
-    "sim_index_query_filtered",
-    "ml_customer_scores",
-    "pipeline_corpus_curation",
-    "prep_decontaminate",
-    "sim_index_append",
-    "prep_quantize_int8",
-    "quality_join_skew_audit",
-    "mart_daily_revenue",
-    "stream_live_index_append",
-    "mart_customer_activity",
-    "mart_incremental_refresh",
-    "posexplode_tokens",
-    "sim_topk_ivfpq",
-    "prep_decontaminate_bloom",
-    "prep_shard_balanced",
-    "prep_vocab_topk",
-    "sim_index_recall_estimate",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "dedup_online_index_gate",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_part_value_share",
-    "sim_index_drift_monitor",
-    "sim_index_query_compacted_incremental",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "dedup_embedding_cosine",
-    "sim_index_stats",
-    "dedup_semantic_semdedup",
 ]
 
 _FRONT_R13 = [
