@@ -323,6 +323,26 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 """
 
 
+#: IVF cell-size cap (r16, shipped on a measured sf10 A/B): the
+#: centroid sample stride IS the expected cell size, and the legacy
+#: sqrt(n) stride let cells grow unboundedly with the corpus — the
+#: candidate scan per query (n_probe x cell size) then grows ∝ sqrt(n),
+#: which at sf10 made the online ingest gate candidate-scan-bound (the
+#: r14/r15 refutations proved k and n_probe weren't the term; the
+#: LAYOUT was). Capping the stride holds cell size ~constant (k grows
+#: ∝ n — the FAISS sizing rule), making per-query candidate volume
+#: scale-invariant. Measured at sf10 (same loaded session, n=200k:
+#: 447 cells -> 1024 cells): gate 73.0 -> 40.8 s, serve 10.9 -> 8.8 s,
+#: balance_skew 10.9 -> 9.0, recall@10 mean 0.3882 -> 0.3841 (-1.1%
+#: relative — the sanctioned tradeoff; contrast n_probe=1, refuted in
+#: r15 at recall 43 -> 31). An intermediate cap of 256 was refuted:
+#: gate 79.3 s (noise-level vs baseline), because 520 cells barely
+#: moves the per-cell mass. Certification SFs (n <= 2000) derive
+#: sqrt-strides of 22-45, far under the cap — their models, oracle
+#: values, and hashes are byte-identical.
+ANN_CELL_STRIDE_CAP = 128
+
+
 def _ivf_index_ctes(
     src: str = "embeddings",
     assign_src: str = "embeddings",
@@ -411,7 +431,7 @@ query_cells AS (
 )""".format(dot_es=dot_es, dot_ec=dot_ec, query_src=query_src,
            nprobe=nprobe)
     return f"""stats AS (
-  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / CEIL(SQRT(COUNT(*)))) AS BIGINT)) AS stride
+  SELECT GREATEST(1, LEAST(CAST(CEIL(COUNT(*) / CEIL(SQRT(COUNT(*)))) AS BIGINT), {ANN_CELL_STRIDE_CAP})) AS stride
   FROM {src}
 ),
 cent_ids AS (
@@ -605,7 +625,9 @@ def _ivf_model(spark, sf_dir, corpus):
     if hit is not None:
         return hit
     n = corpus.count()
-    stride = max(1, math.ceil(n / math.ceil(math.sqrt(n))))
+    stride = max(
+        1, min(math.ceil(n / math.ceil(math.sqrt(n))), ANN_CELL_STRIDE_CAP)
+    )
     cents = sorted(
         (int(r["cent_id"]), [float(x) for x in r["cv"]])
         for r in corpus.filter(F.col("vec_id") % stride == 0)
@@ -1336,7 +1358,12 @@ ORACLES["sim_topk_ivfpq"] = _sim_ivfpq_sql()
 #: snapshots behind a `_current` pointer file; rewriters publish whole
 #: generations and readers resolve the pointer, closing the §32
 #: reader-vs-rewriter race
-ANN_INDEX_VERSION = 7
+#: v8 (r16): IVF cell-size cap (ANN_CELL_STRIDE_CAP — cell count grows
+#: with the corpus instead of cell size, holding per-query candidate
+#: volume constant; measured 1.8x on the sf10 ingest gate). Cached
+#: tables at certification SFs are content-identical (their strides
+#: sit under the cap) but rebuild once under the new fingerprint.
+ANN_INDEX_VERSION = 8
 
 
 def _ann_index_path(sf_dir: str, variant: str = "full") -> tuple[str, str]:

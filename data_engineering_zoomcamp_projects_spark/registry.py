@@ -61,89 +61,94 @@ _FRONT = [
     # verdict item 5 + rule (ii), computed mechanically (latest green
     # DRIVER row per name over CORRECTNESS_r01-r15):
     #
-    #   (i) ALL 37 displaced r10-cohort rows recorded by the r15
-    #       triage as THE r16 queue (agg_approx_count_distinct —
-    #       displaced from slot 41 twice — through window_range_frame);
-    #  (ii) the 2 entries whose code/plans changed in r16:
-    #       dedup_semantic_semdedup (corpus-derived k-means k,
-    #       ml.kmeans_k_for — floor-k oracle unchanged, so this
-    #       certifies the floor path hash-for-hash after the
-    #       restructure) and ml_kmeans_embeddings (shares the
-    #       derivation + count job). The r16 ANN lifecycle changes
-    #       (CAS generation commits for appends/compactors, tombstone
-    #       clear retention, _fp stamps, pins) touch only WRITE paths
-    #       and driver-side pointer resolution: every registered index
-    #       entry's read plan and oracle are byte-unchanged (the
-    #       index-family oracles were all re-certified r15 and in the
-    #       verdict's independent J15 drive);
-    # (iii) 11 filler slots from the r11 cohort head (alphabetical:
-    #       agg_grouping_sets .. dedup_span_removal).
+    #   (i) 33 of the 37 displaced r10-cohort rows recorded by the
+    #       r15 triage as THE r16 queue (agg_approx_count_distinct —
+    #       displaced from slot 41 twice — onward, alphabetical);
+    #  (ii) the 17 entries whose code/plans/oracles changed in r16:
+    #       the 15 IVF-family entries (ANN_CELL_STRIDE_CAP, shipped on
+    #       the measured sf10 gate A/B — ANN_INDEX_VERSION 7->8; their
+    #       sf0.01 strides sit far under the cap so oracle VALUES and
+    #       hashes are byte-identical, which is exactly what the
+    #       window certifies), plus dedup_semantic_semdedup
+    #       (corpus-derived k-means k, floor-k path) and
+    #       ml_kmeans_embeddings (shares the derivation). The other
+    #       r16 lifecycle changes (CAS generation commits, tombstone
+    #       clear retention, _fp stamps, pins) touch only write paths
+    #       and driver-side pointer resolution.
     #
-    #   The only heavy oracle here is dedup_semantic_semdedup's
-    #   k-means chain — placed mid-window, non-adjacent to
-    #   sim_bm25_topk (the next-heaviest row).
+    #   Heavies (the 15 index oracles + the 2 k-means-chain oracles)
+    #   are interleaved one per 2 cheap rows, never two adjacent — if
+    #   the harness dies mid-window, the starved queue certifies
+    #   before the death point.
     #
-    #   Displaced to r17: the rest of the r11 cohort
-    #   (events_cohort_retention, events_daily_actives,
-    #   events_funnel_stages, events_rolling_distinct_hll,
-    #   events_sessionize, events_user_rfm, fn_date_suite,
-    #   join_asof_purchase_prior_view, join_range_trailing_shipments,
-    #   ml_logreg_gd, multimodal_audio_windows,
-    #   multimodal_image_decode_resize, pipeline_ccnet_buckets,
-    #   prep_chunk_documents, prep_sequence_packing,
-    #   prep_source_mixing, prep_token_budget_head, sim_topk_lsh,
+    #   Displaced to r17 (rule-ii overflow — 4 r10-cohort rows):
+    #   topk_global, topk_per_group, window_first_last,
+    #   window_range_frame; then the r11 cohort
+    #   (agg_grouping_sets, agg_rollup_flag_status, dedup_exact,
+    #   dedup_fuzzy_names, dedup_fuzzy_names_symspell,
+    #   dedup_incremental_batch, dedup_minhash_lsh,
+    #   dedup_ngram_span_duplication, dedup_shingle_jaccard,
+    #   dedup_simhash, dedup_span_removal, events_cohort_retention,
+    #   events_daily_actives, events_funnel_stages,
+    #   events_rolling_distinct_hll, events_sessionize,
+    #   events_user_rfm, fn_date_suite, join_asof_purchase_prior_view,
+    #   join_range_trailing_shipments, ml_logreg_gd,
+    #   multimodal_audio_windows, multimodal_image_decode_resize,
+    #   pipeline_ccnet_buckets, prep_chunk_documents,
+    #   prep_sequence_packing, prep_source_mixing,
+    #   prep_token_budget_head, sim_topk_lsh,
     #   stream_live_join_purchase_views, ...), then the r12 cohort —
     #   plus whatever r17 changes.
     "agg_approx_count_distinct",
     "events_funnel_windowed",
+    "sim_index_build",
     "events_pivot_daily_types",
     "events_user_timeline",
+    "sim_index_query",
     "events_value_histogram",
     "filter_predicate_suite",
+    "sim_index_query_compacted",
     "fn_sql_udf_suite",
     "fn_try_suite",
+    "sim_index_query_compacted_incremental",
     "fn_variant_suite",
     "join_asof_tolerance",
+    "sim_index_query_deleted",
     "join_salted_skew",
     "layout_zorder_buckets",
+    "sim_index_query_filtered",
     "ml_linreg_normal_eq",
     "orders_scd2_priority",
+    "sim_index_time_travel",
     "part_unpivot_metrics",
     "prep_curriculum_order",
+    "sim_index_generation_diff",
     "prep_temperature_resample",
     "profile_orders_columns",
+    "sim_index_append",
     "projection_expressions",
     "q2_min_cost_supplier",
-    "dedup_semantic_semdedup",
-    "ml_kmeans_embeddings",
+    "sim_index_stats",
     "quality_constraint_checks",
     "quality_daily_volume_anomaly",
+    "sim_index_recall_estimate",
     "quality_referential_orphans",
     "quality_snapshot_diff",
+    "sim_index_drift_monitor",
     "sample_fraction",
     "sample_hash_reproducible",
+    "dedup_online_index_gate",
     "sample_stratified_by_lang",
     "sim_bm25_topk",
+    "sim_topk_ivf",
     "sim_label_centroids",
     "stream_live_dedup_summary",
+    "sim_topk_ivfpq",
     "subq_in_european_suppliers",
     "subq_orders_above_customer_avg",
+    "dedup_semantic_semdedup",
     "subq_scalar_above_avg_price",
-    "topk_global",
-    "topk_per_group",
-    "window_first_last",
-    "window_range_frame",
-    "agg_grouping_sets",
-    "agg_rollup_flag_status",
-    "dedup_exact",
-    "dedup_fuzzy_names",
-    "dedup_fuzzy_names_symspell",
-    "dedup_incremental_batch",
-    "dedup_minhash_lsh",
-    "dedup_ngram_span_duplication",
-    "dedup_shingle_jaccard",
-    "dedup_simhash",
-    "dedup_span_removal",
+    "ml_kmeans_embeddings",
 ]
 
 _FRONT_R15 = [
