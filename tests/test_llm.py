@@ -3033,11 +3033,14 @@ print("APPENDER_OK", flush=True)
         )
         monkeypatch.setattr(similarity, "ANN_GEN_RETENTION_SECS", 20.0)
         n_compactions = 0
-        deadline = _time.time() + 240
+        # generous deadlines: under full-suite CPU contention the
+        # appender's JVM startup + CAS re-stages can take minutes —
+        # the protocol property being tested is load-independent
+        deadline = _time.time() + 480
         while appender.poll() is None and _time.time() < deadline:
             compact_ann_index(spark, path)
             n_compactions += 1
-        out, _ = appender.communicate(timeout=300)
+        out, _ = appender.communicate(timeout=600)
         assert appender.returncode == 0 and "APPENDER_OK" in out, (
             f"appender died against the compaction loop "
             f"(after {n_compactions} compactions):\n{out[-3000:]}"
