@@ -1464,43 +1464,31 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         #     construction since cell size is held ~constant, and
         #     AQE splits any skewed cell.
         ec = ec.localCheckpoint(eager=False)
-        # probe side re-spread (same as the floor path): under a
-        # broadcast-hash join there is no exchange to undo the
-        # one-file input partitioning of the scan — without it the
-        # probe stream runs on the scan's partition count (measured
-        # 85 vs 12 s at sf1)
-        a = ec.repartition(n_parts).select(
-            F.col("vec_id").alias("keeper_cand"),
-            "cell",
-            F.col("v").alias("va"),
-            F.col("vnorm").alias("na"),
-        )
-        b = ec.select(
-            "vec_id",
-            F.col("cell").alias("cell_b"),
-            F.col("v").alias("vb"),
-            F.col("vnorm").alias("nb"),
-        )
+    # shared a/b construction (both regimes — the floor path is the
+    # certified r9 plan, byte-identical): probe side re-spread first
+    # (same rationale as _emb_pairs_direct — under a broadcast-hash
+    # join there is no exchange to undo the one-file input
+    # partitioning of the scan; without it the probe stream runs on
+    # the scan's partition count, measured 85 vs 12 s at sf1)
+    a = ec.repartition(n_parts).select(
+        F.col("vec_id").alias("keeper_cand"),
+        "cell",
+        F.col("v").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = ec.select(
+        "vec_id",
+        F.col("cell").alias("cell_b"),
+        F.col("v").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    if len(cents) > KMEANS_K:
+        # derived-k only: the checkpointed build side is stats-less,
+        # so the broadcast decision is explicit (the floor path's
+        # un-checkpointed frame keeps its stats and auto-broadcasts)
         est_bytes = (len(cents) + 1) * KMEANS_CELL_TARGET * 550
         if est_bytes <= SEMDEDUP_BROADCAST_CAP:
             b = F.broadcast(b)
-    else:
-        # FLOOR PATH — the certified r9 plan, byte-identical: probe
-        # side re-spread first (same rationale as _emb_pairs_direct —
-        # under a broadcast-hash join there is no exchange to undo
-        # the one-file input partitioning of the scan)
-        a = ec.repartition(n_parts).select(
-            F.col("vec_id").alias("keeper_cand"),
-            "cell",
-            F.col("v").alias("va"),
-            F.col("vnorm").alias("na"),
-        )
-        b = ec.select(
-            "vec_id",
-            F.col("cell").alias("cell_b"),
-            F.col("v").alias("vb"),
-            F.col("vnorm").alias("nb"),
-        )
     pairs = a.join(
         b,
         (F.col("cell") == F.col("cell_b"))

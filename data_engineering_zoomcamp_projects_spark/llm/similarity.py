@@ -1633,6 +1633,47 @@ def _ann_data_dir(local: str, generation: int | None = None) -> str:
     return os.path.join(local, "data")
 
 
+def _flip_pointer_forward(local: str) -> None:
+    """Advance `_current` to the HIGHEST published generation,
+    re-verifying after each write (r16 review). A blind one-shot flip
+    can REGRESS the pointer: a publisher descheduled between its
+    rename and its flip wakes after a successor (possibly one that
+    adopted its orphan, compacted it, and cleared tombstones) has
+    already flipped forward — the late blind write would point readers
+    at a superseded generation whose purged rows have no pending
+    tombstones left. This helper only ever moves the pointer forward
+    (generation numbers grow monotonically) and re-reads after every
+    write, so two racing flippers converge on the maximum; the
+    theoretical residual (both dying inside the last verify window) is
+    repaired by the next writer's entry recovery."""
+    import os
+
+    for _ in range(4):
+        gens = _ann_gen_dirs(local)
+        if not gens:
+            return
+        top = os.path.basename(gens[-1][1])
+        try:
+            with open(os.path.join(local, "_current")) as fh:
+                cur = fh.read().strip()
+        except OSError:
+            cur = ""
+        if cur == top:
+            return
+        tail = cur[len("data.g"):] if cur.startswith("data.g") else ""
+        if (
+            tail.isdigit()
+            and int(tail) > int(top[len("data.g"):])
+            and os.path.isdir(os.path.join(local, cur))
+        ):
+            return  # already ahead of our directory listing
+        tmp = os.path.join(local, f"_current.tmp.{os.getpid()}")
+        with open(tmp, "w") as fh:
+            fh.write(top)
+        os.replace(tmp, os.path.join(local, "_current"))
+        # loop: re-verify the write still names the highest generation
+
+
 def _publish_generation(
     local: str, staged: str, base: int | None = None
 ) -> str | None:
@@ -1661,7 +1702,14 @@ def _publish_generation(
       the following number since either result is a valid successor.
       Mutating callers (appends, compactors) must never use this
       mode — their staged content is only valid against the exact
-      base it was derived from."""
+      base it was derived from.
+
+    In CAS mode None means exactly one thing: the target generation
+    exists (a successor committed). Any other rename failure (EACCES,
+    staging swept, read-only fs) RAISES — retrying cannot help, and
+    conflating it with a lost race misdiagnoses hard faults as
+    contention (r16 review). The pointer flip is flip-with-verify
+    (_flip_pointer_forward), never a blind write."""
     import os
 
     local = local.rstrip("/") or local
@@ -1676,14 +1724,27 @@ def _publish_generation(
             os.rename(staged, target)
         except OSError:
             if base is not None:
-                return None  # CAS failed: stale base, caller re-stages
+                if os.path.isdir(target):
+                    # true CAS loss: a successor committed first. If
+                    # ITS publisher died (or is mid-flip) the pointer
+                    # may still name our stale base — adopt by
+                    # flipping forward so the caller's re-resolve sees
+                    # the successor instead of livelocking on the same
+                    # base forever (r16 review)
+                    _flip_pointer_forward(local)
+                    return None
+                # target absent → NOT a race (EACCES, swept staging,
+                # read-only fs …): reporting it as a lost CAS sends
+                # callers into futile re-stage loops and misdiagnosed
+                # "contention" errors (r16 review) — surface the cause
+                raise
             if os.path.isdir(target) and os.path.isdir(staged):
                 continue  # number taken — retry at the next one
             return None  # staging gone or unrenamable: lost the pass
-        tmp = os.path.join(local, f"_current.tmp.{os.getpid()}")
-        with open(tmp, "w") as fh:
-            fh.write(os.path.basename(target))
-        os.replace(tmp, os.path.join(local, "_current"))
+        # flip-with-verify, never blind (r16 review): if a successor
+        # committed while we were between the rename and this flip,
+        # writing our own name would regress the pointer past it
+        _flip_pointer_forward(local)
         return target
     return None
 
@@ -1712,14 +1773,36 @@ def pin_ann_index_generation(path: str, generation: int | None = None):
             path[len("file://"):] if path.startswith("file://") else path
         )
         local = local.rstrip("/") or local
-        gen_dir = _ann_data_dir(local, generation)
-        name = os.path.basename(gen_dir)
-        if not name.startswith("data.g"):
-            yield gen_dir
-            return
-        pin = os.path.join(local, f"_pin.{os.getpid()}.{name}")
-        with open(pin, "w"):
-            pass
+        pin = gen_dir = None
+        for _ in range(4):
+            gen_dir = _ann_data_dir(local, generation)
+            name = os.path.basename(gen_dir)
+            if not name.startswith("data.g"):
+                yield gen_dir
+                return
+            pin = os.path.join(local, f"_pin.{os.getpid()}.{name}")
+            with open(pin, "w"):
+                pass
+            # verify AFTER the pin lands (r16 review — pin-then-check
+            # is the reader half of the expiry handshake: the expiry
+            # pass renames a candidate aside and THEN re-checks pins,
+            # so a pin created before that re-check is honored, and a
+            # pin created after it finds the dir already gone HERE and
+            # retries against a live generation; no leased generation
+            # is ever removed)
+            if os.path.isdir(gen_dir):
+                break
+            try:
+                os.remove(pin)
+            except OSError:
+                pass
+            pin = None
+        else:
+            raise FileNotFoundError(
+                "pin_ann_index_generation: could not lease a live "
+                f"generation under {local!r} (every resolve raced an "
+                "expiry); retry or re-resolve"
+            )
         try:
             yield gen_dir
         finally:
@@ -1834,15 +1917,40 @@ def expire_ann_index_generations(
     keep = max(1, keep_last)
     if len(gens) <= keep:
         return expired
-    pinned = _pinned_generations(local)
+    pinned = _pinned_generations(local)  # also sweeps dead-pid pins
     for n, d in gens[:-keep]:
-        if os.path.basename(d) == current:
+        name = os.path.basename(d)
+        if name == current:
             continue
-        if os.path.basename(d) in pinned:
+        if name in pinned:
             continue  # leased by a live reader (r16 snapshot pin)
-        if _expired(d):
-            shutil.rmtree(d, ignore_errors=True)
-            expired.append(n)
+        if not _expired(d):
+            continue
+        # two-phase removal closes the pin TOCTOU (r16 review: a pin
+        # landing after a single pre-loop snapshot went unseen):
+        # rename the candidate aside (atomic), THEN re-check pins.
+        # The lease protocol is pin-then-verify, so a pin created
+        # before this re-check is seen and the candidate restored,
+        # while a later pin's verify finds the dir renamed away and
+        # its reader retries against a live generation. A crash
+        # between the rename and the rmtree leaves a dead-pid
+        # data__expired_tmp dir that recovery restores (if pinned) or
+        # sweeps.
+        aside = os.path.join(
+            local, f"data__expired_tmp.{name}.{os.getpid()}"
+        )
+        try:
+            os.rename(d, aside)
+        except OSError:
+            continue  # raced another expiry pass
+        if name in _pinned_generations(local):
+            try:
+                os.rename(aside, d)  # leased mid-flight — restore
+            except OSError:
+                pass
+            continue
+        shutil.rmtree(aside, ignore_errors=True)
+        expired.append(n)
     return expired
 
 
@@ -1920,7 +2028,8 @@ def _recover_compactor_debris(local: str) -> None:
     debris = [
         d
         for suffix in ("__old", "__compact_tmp", "__stage", "__cellold",
-                       "__build_tmp", "__gen_tmp", "__append_tmp")
+                       "__build_tmp", "__gen_tmp", "__append_tmp",
+                       "__expired_tmp")
         for d in globmod.glob(f"{esc}{suffix}*")
         if os.path.isdir(d)
     ]
@@ -1953,21 +2062,33 @@ def _recover_compactor_debris(local: str) -> None:
                         os.rename(
                             os.path.join(d, cd), os.path.join(data, cd)
                         )
+    for d in list(dead):
+        # a crashed expiry pass's renamed-aside candidate
+        # (data__expired_tmp.<gen name>.<pid>, see
+        # expire_ann_index_generations' two-phase removal): if the
+        # generation is leased by a LIVE reader and its original name
+        # is free, RESTORE it instead of sweeping — the expiry crashed
+        # between rename-aside and the pin re-check, and the reader's
+        # lease must still be honored (r16)
+        bn = os.path.basename(d)
+        if bn.startswith("data__expired_tmp."):
+            gen_name = bn[len("data__expired_tmp."):].rsplit(".", 1)[0]
+            if (
+                gen_name.startswith("data.g")
+                and gen_name in _pinned_generations(local)
+                and not os.path.exists(os.path.join(local, gen_name))
+            ):
+                try:
+                    os.rename(d, os.path.join(local, gen_name))
+                    dead.remove(d)
+                except OSError:
+                    pass
     for d in dead:
         shutil.rmtree(d, ignore_errors=True)
     if not legacy:
-        gens = _ann_gen_dirs(local)
-        if gens:
-            try:
-                with open(os.path.join(local, "_current")) as fh:
-                    cur = fh.read().strip()
-            except OSError:
-                cur = ""
-            if cur != os.path.basename(gens[-1][1]):
-                tmp = os.path.join(local, f"_current.tmp.{os.getpid()}")
-                with open(tmp, "w") as fh:
-                    fh.write(os.path.basename(gens[-1][1]))
-                os.replace(tmp, os.path.join(local, "_current"))
+        # adopt any orphan generation (publisher died pre-flip) —
+        # flip-with-verify, converging on the highest (r16 review)
+        _flip_pointer_forward(local)
 
 
 def compact_ann_index(spark: SparkSession, path: str) -> int:
@@ -2045,15 +2166,29 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
         # land at a later number; RE-RUN the pass from the new
         # current generation instead of discarding.
         base = os.path.basename(data)
-        published = _publish_generation(
-            local,
-            tmp,
-            base=(
-                int(base[len("data.g"):])
-                if base.startswith("data.g")
-                else None
-            ),
-        )
+        try:
+            published = _publish_generation(
+                local,
+                tmp,
+                base=(
+                    int(base[len("data.g"):])
+                    if base.startswith("data.g")
+                    else None
+                ),
+            )
+        except OSError as exc:
+            # NON-race failure (r16): degrade like an exhausted race —
+            # table unchanged, delete files retained, purge deferred
+            import warnings
+
+            warnings.warn(
+                "compact_ann_index: generation publish failed "
+                f"({exc}); table unchanged, delete files retained, "
+                "purge deferred",
+                stacklevel=2,
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+            break
         if published is not None:
             _clear_tombstone_files(local, tomb_files)
             break
@@ -2215,15 +2350,33 @@ def compact_ann_index_incremental(
         # mid-pass may carry appended rows our stale stage lacks — the
         # pass must RE-RUN, never land at a later number)
         base = os.path.basename(data)
-        published = _publish_generation(
-            local,
-            newgen,
-            base=(
-                int(base[len("data.g"):])
-                if base.startswith("data.g")
-                else None
-            ),
-        )
+        try:
+            published = _publish_generation(
+                local,
+                newgen,
+                base=(
+                    int(base[len("data.g"):])
+                    if base.startswith("data.g")
+                    else None
+                ),
+            )
+        except OSError as exc:
+            # a NON-race publish failure (r16: _publish_generation now
+            # only returns None for a true CAS loss) — retrying cannot
+            # help, so degrade exactly like an exhausted race: table
+            # unchanged, delete files retained, purge deferred
+            import warnings
+
+            warnings.warn(
+                "compact_ann_index_incremental: generation publish "
+                f"failed ({exc}); table unchanged, delete files "
+                "retained, purge deferred to next pass",
+                stacklevel=2,
+            )
+            shutil.rmtree(newgen, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+            n_targets = 0
+            break
         shutil.rmtree(stage, ignore_errors=True)
         if published is not None:
             if tombs is not None:
@@ -2346,17 +2499,20 @@ def append_to_ann_index(spark: SparkSession, path: str, batch: DataFrame) -> int
     broadcast codebooks (O(|batch|) flops, no shuffle beyond the
     partitioned write) and COMMITTED AS A NEW GENERATION (r16 —
     closes the one unprotected pairing of the v7 layout, the r15
-    verdict item 2): the batch's files are written to a per-pid
-    staging dir, every file of the base generation is HARD-LINKED in
+    verdict item 2): the batch's parquet is written ONCE to a per-pid
+    dir (its content is independent of the base generation), then
+    each commit attempt constructs a successor purely from HARD
+    LINKS — the batch's files plus every file of the base generation
     (metadata-priced — the successor table shares the base's bytes,
-    exactly the incremental compactor's clean-cell trick), and the
-    staged successor publishes through `_publish_generation`'s
-    COMPARE-AND-SWAP mode: the rename is attempted at base+1 only.
-    If a compactor (or another append) committed first, the CAS
-    fails — our staged table is provably stale (it would resurrect
-    the winner's purged rows or drop its appends) — so the append
-    re-resolves the pointer and RE-STAGES from the new current
-    generation, Iceberg's optimistic-commit retry. There is no
+    exactly the incremental compactor's clean-cell trick) — and
+    publishes through `_publish_generation`'s COMPARE-AND-SWAP mode:
+    the rename is attempted at base+1 only. If a compactor (or
+    another append) committed first, the CAS fails — our staged
+    table is provably stale (it would resurrect the winner's purged
+    rows or drop its appends) — so the append re-resolves the pointer
+    and RE-LINKS against the new current generation: the
+    optimistic-commit retry costs metadata ops, never a repeated
+    Spark job (r16 review). There is no
     in-place write and therefore no listing-staleness window at all:
     every interleaving of appends and compactors serializes through
     the pointer, and the former "serialize appends against compaction
@@ -2394,52 +2550,96 @@ def append_to_ann_index(spark: SparkSession, path: str, batch: DataFrame) -> int
     n = coded.count()
     if n == 0:
         return 0
-    base_dir = _ann_data_dir(local)
-    if os.path.basename(base_dir) == "data":  # legacy pre-v7 table
+    if not os.path.exists(os.path.join(local, "_current")):
+        # legacy pre-v7 pointerless table: in-place append. Detected
+        # by the POINTER's absence, never by _ann_data_dir resolving
+        # to the bare `data` dir — on a generation table the pointer
+        # target can be transiently missing and the fallback would
+        # silently land rows in an orphan dir no reader resolves and
+        # expiry later deletes (r16 review)
         (
             coded.repartition(F.col("cell"))
             .write.mode("append")
             .partitionBy("cell")
-            .parquet(base_dir)
+            .parquet(os.path.join(local, "data"))
         )
         return n
-    stage = os.path.join(local, f"data__append_tmp.{os.getpid()}")
-    for attempt in range(16):
-        base_n = int(os.path.basename(base_dir)[len("data.g"):])
-        shutil.rmtree(stage, ignore_errors=True)
-        (
-            coded.repartition(F.col("cell"))
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(stage)
-        )
-        # link the base generation in: the stage becomes a complete
-        # successor table sharing the base's bytes (same inodes)
-        for cd in os.listdir(base_dir):
-            if not cd.startswith("cell="):
-                continue
-            os.makedirs(os.path.join(stage, cd), exist_ok=True)
-            for f in os.listdir(os.path.join(base_dir, cd)):
-                if f.startswith((".", "_")):
-                    continue
-                dst = os.path.join(stage, cd, f)
-                if not os.path.exists(dst):
-                    os.link(os.path.join(base_dir, cd, f), dst)
-        _copy_fp_stamp(base_dir, stage)
-        published = _publish_generation(local, stage, base=base_n)
-        if published is not None:
-            _gc_generations(local)
-            return n
-        shutil.rmtree(stage, ignore_errors=True)
-        # lost the CAS — a successor committed first; re-stage from it
-        # (the winner flips the pointer right after its rename: a
-        # short wait covers the flip-in-flight window)
-        _time.sleep(0.02 * (attempt + 1))
-        base_dir = _ann_data_dir(local)
-    raise RuntimeError(
-        "append_to_ann_index: lost the optimistic-commit race 16 times "
-        "in a row; append not committed (no rows were made visible)"
+    # write the batch's parquet ONCE — its content is independent of
+    # the base generation, so CAS retries re-derive only the LINKS:
+    # a lost race costs metadata ops, not a repeated Spark job (r16
+    # review; this is what makes the append genuinely the Iceberg
+    # fast-append manifest cost class under contention)
+    batch_dir = os.path.join(local, f"data__append_tmp.{os.getpid()}")
+    stage = os.path.join(local, f"data__gen_tmp.{os.getpid()}")
+    shutil.rmtree(batch_dir, ignore_errors=True)
+    (
+        coded.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(batch_dir)
     )
+    try:
+        for attempt in range(16):
+            base_dir = _ann_data_dir(local)
+            name = os.path.basename(base_dir)
+            if not name.startswith("data.g"):
+                # pointer target transiently missing (concurrent
+                # repair in flight): wait it out, never write to the
+                # bare-dir fallback
+                _time.sleep(0.02 * (attempt + 1))
+                continue
+            base_n = int(name[len("data.g"):])
+            shutil.rmtree(stage, ignore_errors=True)
+            os.makedirs(stage)
+            try:
+                # successor = links to the batch's files + links to
+                # every file of the base generation (same inodes —
+                # the tables share bytes)
+                for srcdir in (batch_dir, base_dir):
+                    for cd in os.listdir(srcdir):
+                        if not cd.startswith("cell="):
+                            continue
+                        os.makedirs(
+                            os.path.join(stage, cd), exist_ok=True
+                        )
+                        for f in os.listdir(os.path.join(srcdir, cd)):
+                            if f.startswith((".", "_")):
+                                continue
+                            dst = os.path.join(stage, cd, f)
+                            if not os.path.exists(dst):
+                                os.link(
+                                    os.path.join(srcdir, cd, f), dst
+                                )
+                _copy_fp_stamp(base_dir, stage)
+            except OSError:
+                # the base generation expired mid-link (successors
+                # published and aged it out): a lost race, not a
+                # failure — re-resolve and re-link (r16 review; the
+                # uncaught FileNotFoundError here used to crash the
+                # append instead of retrying)
+                _time.sleep(0.02 * (attempt + 1))
+                continue
+            published = _publish_generation(local, stage, base=base_n)
+            if published is not None:
+                _gc_generations(local)
+                return n
+            # lost the CAS — a successor committed first; re-link
+            # from it (_publish_generation flips the pointer forward
+            # on a lost CAS, so the re-resolve sees the successor
+            # even if its publisher died pre-flip)
+            _time.sleep(0.02 * (attempt + 1))
+        raise RuntimeError(
+            "append_to_ann_index: could not commit after 16 attempts "
+            "(lost every optimistic-commit race, or the pointer "
+            "stayed unresolvable); append not committed (no rows "
+            "were made visible)"
+        )
+    finally:
+        # on success the stage was renamed away and the batch files
+        # live on as links inside the published generation — these
+        # only drop the staging names
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(batch_dir, ignore_errors=True)
 
 
 def delete_from_ann_index(spark: SparkSession, path: str, ids: DataFrame) -> None:

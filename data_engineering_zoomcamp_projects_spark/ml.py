@@ -326,9 +326,11 @@ def _kmeans_assign_udf(cents: list):
     DERIVED-k twin of the literal-HOF path (kmeans_assign_frame picks
     per model size). At the KMEANS_K floor the k x d literal argmin is
     the right plan (pure projection, stats survive, whole-stage
-    codegen); at a corpus-derived k (97 at sf10) the same expression
-    is k x d = ~6k inlined literals whose folds evaluate INTERPRETED
-    per row — measured minutes per pass. Here the centroid matrix
+    codegen); at a corpus-derived k (195 at sf10 with the shipped
+    1024-row cell target) the same expression is k x d = ~12k inlined
+    literals whose folds evaluate INTERPRETED per row — measured
+    minutes per pass (A/B taken at an earlier 2048-row target, k=97;
+    the literal count only grew since). Here the centroid matrix
     ships once inside the UDF closure and each Arrow batch does three
     int64 matrix ops: ||v||^2 + ||c||^2 - 2 v.c^T. Everything stays
     on the integer lattice (|coord| <= 8e7, so the dot term is

@@ -3304,3 +3304,291 @@ def test_generation_pin_protects_long_scans_from_expiry(spark, tmp_path):
         assert not os.path.isdir(cur)
     finally:
         shutil.rmtree(build_ann_index(spark, str(tmp_path)), ignore_errors=True)
+
+
+def test_flip_pointer_forward_never_regresses(tmp_path):
+    """r16 review: the pointer flip must never REGRESS `_current` past
+    a committed successor — a publisher descheduled between its rename
+    and its flip converges on the highest published generation instead
+    of blindly writing its own (which would point readers at a
+    superseded generation whose purged rows have no pending tombstones
+    left)."""
+    import os
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        _flip_pointer_forward,
+    )
+
+    local = str(tmp_path / "idx")
+    os.makedirs(os.path.join(local, "data.g000002"))
+    os.makedirs(os.path.join(local, "data.g000003"))
+    # simulate the late blind flip: the g2 publisher wakes after g3
+    # committed and writes its own (stale) name
+    with open(os.path.join(local, "_current"), "w") as fh:
+        fh.write("data.g000002")
+    _flip_pointer_forward(local)
+    with open(os.path.join(local, "_current")) as fh:
+        assert fh.read().strip() == "data.g000003"
+    assert _ann_data_dir(local).endswith("data.g000003")
+    # idempotent at the top
+    _flip_pointer_forward(local)
+    with open(os.path.join(local, "_current")) as fh:
+        assert fh.read().strip() == "data.g000003"
+
+
+def test_append_refuses_bare_dir_fallback_on_generation_table(
+    spark, tmp_path, monkeypatch
+):
+    """r16 review: on a generation table whose pointer target is
+    missing, append must NEVER take the legacy in-place branch — rows
+    written to the bare `data` fallback are invisible to every reader
+    and later expired (silent loss of an acknowledged append). Entry
+    recovery repairs a stale pointer (pinned first: a broken pointer
+    heals and the append lands normally); if resolution keeps falling
+    back MID-LOOP, the append fails LOUDLY with zero rows visible."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=60)
+    path = build_ann_index(spark, str(tmp_path))
+    try:
+        # (a) a stale pointer is HEALED by entry recovery's
+        # flip-forward, and the append commits normally
+        with open(os.path.join(path, "_current"), "w") as fh:
+            fh.write("data.g999999")  # names a missing target
+        batch = spark.createDataFrame(
+            [(9_000, [1.0] * 64)], "vec_id long, v array<double>"
+        )
+        assert append_to_ann_index(spark, path, batch) == 1
+        with open(os.path.join(path, "_current")) as fh:
+            assert fh.read().strip().startswith("data.g")
+        assert not os.path.isdir(os.path.join(path, "data"))
+        # (b) resolution that keeps falling back to the bare dir
+        # (transient pointer gap recovery can't heal) must never be
+        # written to: the loop waits, then fails loudly
+        real_resolve = similarity._ann_data_dir
+
+        def always_fallback(local, generation=None):
+            if generation is None and os.path.normpath(
+                local
+            ) == os.path.normpath(path):
+                return os.path.join(local, "data")
+            return real_resolve(local, generation)
+
+        monkeypatch.setattr(similarity, "_ann_data_dir", always_fallback)
+        batch2 = spark.createDataFrame(
+            [(9_001, [2.0] * 64)], "vec_id long, v array<double>"
+        )
+        with _pytest.raises(RuntimeError, match="not committed"):
+            append_to_ann_index(spark, path, batch2)
+        monkeypatch.setattr(similarity, "_ann_data_dir", real_resolve)
+        assert not os.path.isdir(os.path.join(path, "data")), (
+            "append wrote into the bare-dir fallback of a generation "
+            "table"
+        )
+        got = {
+            r["vec_id"]
+            for r in spark.read.parquet(_ann_data_dir(path))
+            .select("vec_id")
+            .collect()
+        }
+        assert 9_001 not in got
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_append_publish_hard_failure_surfaces(spark, tmp_path, monkeypatch):
+    """r16 review: a NON-race publish failure (the CAS target does NOT
+    exist — EACCES, swept staging, read-only fs) must RAISE the real
+    cause out of append_to_ann_index, not burn 16 re-stage attempts
+    and then claim a fictitious lost race; staging is cleaned either
+    way."""
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=60)
+    path = build_ann_index(spark, str(tmp_path))
+    try:
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def failing_rename(src, dst):
+            if "__gen_tmp." in src and os.path.basename(dst).startswith(
+                "data.g"
+            ):
+                calls["n"] += 1
+                raise PermissionError(13, "injected publish failure", src)
+            return real_rename(src, dst)
+
+        monkeypatch.setattr("os.rename", failing_rename)
+        batch = spark.createDataFrame(
+            [(9_100, [1.0] * 64)], "vec_id long, v array<double>"
+        )
+        with _pytest.raises(PermissionError):
+            append_to_ann_index(spark, path, batch)
+        monkeypatch.setattr("os.rename", real_rename)
+        assert calls["n"] == 1, "hard failure must not be retried as a race"
+        assert not glob.glob(os.path.join(path, "data__*tmp*")), (
+            "staging not cleaned after a hard publish failure"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_append_cas_retries_are_metadata_priced(spark, tmp_path, monkeypatch):
+    """r16 review: the batch's parquet is written ONCE (its content is
+    independent of the base generation); a lost CAS re-derives only the
+    hard links. Pinned by failing the publish twice (simulated lost
+    races) and counting Spark writes into the batch staging dir —
+    exactly one despite three commit attempts, and every appended row
+    lands in the finally-published generation."""
+    import shutil
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=60)
+    path = build_ann_index(spark, str(tmp_path))
+    try:
+        real_publish = similarity._publish_generation
+        state = {"losses_left": 2, "batch_writes": 0}
+
+        def flaky_publish(local, staged, base=None):
+            if state["losses_left"] > 0:
+                state["losses_left"] -= 1
+                return None  # simulated lost CAS, base unchanged
+            return real_publish(local, staged, base)
+
+        monkeypatch.setattr(similarity, "_publish_generation", flaky_publish)
+        real_parquet = DataFrameWriter.parquet
+
+        def counting_parquet(self, p, *a, **kw):
+            if "__append_tmp" in p:
+                state["batch_writes"] += 1
+            return real_parquet(self, p, *a, **kw)
+
+        monkeypatch.setattr(DataFrameWriter, "parquet", counting_parquet)
+        batch = spark.createDataFrame(
+            [
+                (9_200 + i, [float(i + j + 1) for j in range(64)])
+                for i in range(4)
+            ],
+            "vec_id long, v array<double>",
+        )
+        n = append_to_ann_index(spark, path, batch)
+        assert n == 4
+        assert state["losses_left"] == 0
+        assert state["batch_writes"] == 1, (
+            "a lost CAS re-ran the batch's Spark write instead of "
+            "re-linking"
+        )
+        got = {
+            r["vec_id"]
+            for r in spark.read.parquet(_ann_data_dir(path))
+            .select("vec_id")
+            .collect()
+        }
+        assert {9_200, 9_201, 9_202, 9_203} <= got
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_expiry_two_phase_restores_pin_landing_mid_pass(tmp_path, monkeypatch):
+    """r16 review (pin TOCTOU): a pin created AFTER an expiry pass's
+    pre-loop snapshot must still protect its generation — the pass
+    renames each candidate aside, re-checks pins, and RESTORES a
+    leased one. Simulated by making the FIRST pin listing (the
+    snapshot the old code trusted for the whole loop) miss the pin."""
+    import os
+    import time
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+
+    local = str(tmp_path / "idx")
+    old = time.time() - 10_000
+    for g in (1, 2, 3):
+        d = os.path.join(local, f"data.g{g:06d}")
+        os.makedirs(d)
+        os.utime(d, (old, old))
+    with open(os.path.join(local, "_current"), "w") as fh:
+        fh.write("data.g000003")
+    with open(
+        os.path.join(local, f"_pin.{os.getpid()}.data.g000001"), "w"
+    ):
+        pass
+    real = similarity._pinned_generations
+    calls = {"n": 0}
+
+    def late_pin_view(loc):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return set()  # the snapshot ran before the pin landed
+        return real(loc)
+
+    monkeypatch.setattr(similarity, "_pinned_generations", late_pin_view)
+    expired = similarity.expire_ann_index_generations(
+        local, keep_last=1, max_age_secs=0
+    )
+    assert 1 not in expired
+    assert os.path.isdir(os.path.join(local, "data.g000001")), (
+        "pinned generation removed despite the post-rename re-check"
+    )
+    assert 2 in expired
+    assert not os.path.isdir(os.path.join(local, "data.g000002"))
+    assert calls["n"] >= 2, "no per-candidate pin re-check happened"
+
+
+def test_recovery_restores_crashed_expiry_aside_for_pinned_gen(tmp_path):
+    """r16: a crash between an expiry pass's rename-aside and its pin
+    re-check leaves a dead-pid data__expired_tmp dir; recovery must
+    RESTORE it while a live reader leases the generation, and sweep it
+    otherwise."""
+    import os
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+
+    local = str(tmp_path / "idx")
+    os.makedirs(os.path.join(local, "data.g000005"))
+    with open(os.path.join(local, "_current"), "w") as fh:
+        fh.write("data.g000005")
+    # a crashed (dead-pid) expiry had renamed g4 aside; a live reader
+    # still holds its lease
+    aside = os.path.join(local, "data__expired_tmp.data.g000004.999999999")
+    os.makedirs(os.path.join(aside, "cell=0"))
+    with open(
+        os.path.join(local, f"_pin.{os.getpid()}.data.g000004"), "w"
+    ):
+        pass
+    similarity._recover_compactor_debris(local)
+    assert os.path.isdir(os.path.join(local, "data.g000004", "cell=0")), (
+        "leased generation not restored from crashed expiry debris"
+    )
+    # unleased debris is swept
+    aside2 = os.path.join(local, "data__expired_tmp.data.g000002.999999999")
+    os.makedirs(aside2)
+    similarity._recover_compactor_debris(local)
+    assert not os.path.exists(aside2)
