@@ -1510,16 +1510,25 @@ def build_ann_index(
         # generation out from under the pointer. Same-fp content is
         # bit-identical by determinism, so sparing it is exact; an
         # in-flight reader of a genuinely OLD fingerprint's generation
-        # remains the documented residual of a corpus swap. The legacy
-        # pre-v7 bare `data` dir is the same dead state.
+        # remains the documented residual of a corpus swap — UNLESS it
+        # holds a lease: pin_ann_index_generation protects against
+        # EVERY remover (expiry AND this cleanup; r16 — a lease that
+        # only some removers honored would be a confusing contract),
+        # at the documented price that a pinned old-fp generation
+        # temporarily aliases a lineage number time travel would
+        # otherwise consider this table's own. The legacy pre-v7 bare
+        # `data` dir is the same dead state.
         try:
             with open(os.path.join(path, "_current")) as fh:
                 cur = fh.read().strip()
         except OSError:
             cur = ""
+        pinned = _pinned_generations(path)
         for _n, d in _ann_gen_dirs(path):
             if d == published or os.path.basename(d) == cur:
                 continue
+            if os.path.basename(d) in pinned:
+                continue  # leased by a live reader (r16)
             try:
                 with open(os.path.join(d, "_fp")) as fh:
                     if fh.read() == fp:

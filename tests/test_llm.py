@@ -3592,3 +3592,49 @@ def test_recovery_restores_crashed_expiry_aside_for_pinned_gen(tmp_path):
     os.makedirs(aside2)
     similarity._recover_compactor_debris(local)
     assert not os.path.exists(aside2)
+
+
+def test_build_cleanup_honors_reader_lease(spark, tmp_path):
+    """r16: pin_ann_index_generation protects against EVERY remover —
+    a corpus swap's rebuild cleanup must spare a generation a live
+    reader still leases (old-fingerprint content mid-scan), while
+    unleased old-fp generations drop as before (lineage hygiene for
+    time travel)."""
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        build_ann_index,
+        pin_ann_index_generation,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=60)
+    path = build_ann_index(spark, str(tmp_path))
+    try:
+        with pin_ann_index_generation(path) as leased:
+            leased_rows = sorted(
+                map(tuple, spark.read.parquet(leased).collect())
+            )
+            # corpus swap: new content → new fingerprint → rebuild
+            shutil.rmtree(str(tmp_path / "embeddings.parquet"))
+            _tmp_embeddings_corpus(spark, tmp_path, n=80)
+            path2 = build_ann_index(spark, str(tmp_path))
+            assert path2 == path
+            cur = _ann_data_dir(path)
+            assert cur != leased
+            # the leased generation survived the old-fp cleanup and
+            # still reads exactly its snapshot
+            assert os.path.isdir(leased)
+            assert (
+                sorted(map(tuple, spark.read.parquet(leased).collect()))
+                == leased_rows
+            )
+        # released: a further corpus swap's cleanup drops the now
+        # unleased old-fp generation
+        shutil.rmtree(str(tmp_path / "embeddings.parquet"))
+        _tmp_embeddings_corpus(spark, tmp_path, n=100)
+        build_ann_index(spark, str(tmp_path))
+        assert not os.path.isdir(leased)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
