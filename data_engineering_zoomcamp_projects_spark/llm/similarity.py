@@ -1535,7 +1535,10 @@ def build_ann_index(
                         continue
             except OSError:
                 pass
-            shutil.rmtree(d, ignore_errors=True)
+            # same two-phase handshake as expiry (r16 review, second
+            # pass): a lease landing after the snapshot above is
+            # caught by the re-checks inside the removal
+            _remove_generation_if_unleased(path, d)
         shutil.rmtree(os.path.join(path, "data"), ignore_errors=True)
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
 
@@ -1740,7 +1743,10 @@ def _publish_generation(
                     # flipping forward so the caller's re-resolve sees
                     # the successor instead of livelocking on the same
                     # base forever (r16 review)
-                    _flip_pointer_forward(local)
+                    try:
+                        _flip_pointer_forward(local)
+                    except OSError:
+                        pass  # best-effort; recovery re-runs it
                     return None
                 # target absent → NOT a race (EACCES, swept staging,
                 # read-only fs …): reporting it as a lost CAS sends
@@ -1752,8 +1758,23 @@ def _publish_generation(
             return None  # staging gone or unrenamable: lost the pass
         # flip-with-verify, never blind (r16 review): if a successor
         # committed while we were between the rename and this flip,
-        # writing our own name would regress the pointer past it
-        _flip_pointer_forward(local)
+        # writing our own name would regress the pointer past it.
+        # The rename above made the commit DURABLE — a flip failure
+        # (ENOSPC on the pointer write …) must not be reported as
+        # "nothing committed": callers would retry and double-insert
+        # once adoption makes the orphan visible (r16 review, second
+        # pass). The flip is best-effort; recovery adopts orphans.
+        try:
+            _flip_pointer_forward(local)
+        except OSError as exc:
+            import warnings
+
+            warnings.warn(
+                f"_publish_generation: {os.path.basename(target)} "
+                f"committed but the pointer flip failed ({exc}); the "
+                "next writer's entry recovery adopts it",
+                stacklevel=2,
+            )
         return target
     return None
 
@@ -1856,6 +1877,48 @@ def _pinned_generations(local: str) -> set[str]:
     return pinned
 
 
+def _remove_generation_if_unleased(local: str, d: str) -> bool:
+    """Two-phase, lease-honoring removal of ONE generation dir —
+    shared by expiry and the rebuild cleanup (r16 review, second
+    pass: every remover must run the SAME handshake, or a pin landing
+    after a remover's snapshot is violated by whichever remover
+    skipped it). Re-checks pins immediately before the rename-aside
+    (narrowing caller-snapshot staleness to microseconds), renames the
+    candidate aside (atomic), re-checks pins AGAIN, then removes — or
+    restores when a lease landed mid-flight (the reader half is
+    pin-then-verify, see pin_ann_index_generation). Returns True when
+    the generation was removed. A failed restore warns LOUDLY instead
+    of passing silently: the aside dir carries this live pid, so no
+    other process's recovery will touch it — the warning is the only
+    signal the lease contract needs manual repair."""
+    import os
+    import shutil
+
+    name = os.path.basename(d)
+    if name in _pinned_generations(local):
+        return False
+    aside = os.path.join(local, f"data__expired_tmp.{name}.{os.getpid()}")
+    try:
+        os.rename(d, aside)
+    except OSError:
+        return False  # raced another remover
+    if name in _pinned_generations(local):
+        try:
+            os.rename(aside, d)  # leased mid-flight — restore
+        except OSError as exc:
+            import warnings
+
+            warnings.warn(
+                f"generation removal: could not restore leased {name} "
+                f"from {aside} ({exc}); reader lease violated — "
+                "restore the directory manually",
+                stacklevel=3,
+            )
+        return False
+    shutil.rmtree(aside, ignore_errors=True)
+    return True
+
+
 def _copy_fp_stamp(src_dir: str, dst_dir: str) -> None:
     """Propagate a generation's `_fp` fingerprint stamp (r16) into its
     staged successor, so rebuild cleanup can tell same-table siblings
@@ -1937,29 +2000,16 @@ def expire_ann_index_generations(
             continue
         # two-phase removal closes the pin TOCTOU (r16 review: a pin
         # landing after a single pre-loop snapshot went unseen):
-        # rename the candidate aside (atomic), THEN re-check pins.
-        # The lease protocol is pin-then-verify, so a pin created
-        # before this re-check is seen and the candidate restored,
-        # while a later pin's verify finds the dir renamed away and
-        # its reader retries against a live generation. A crash
-        # between the rename and the rmtree leaves a dead-pid
-        # data__expired_tmp dir that recovery restores (if pinned) or
-        # sweeps.
-        aside = os.path.join(
-            local, f"data__expired_tmp.{name}.{os.getpid()}"
-        )
-        try:
-            os.rename(d, aside)
-        except OSError:
-            continue  # raced another expiry pass
-        if name in _pinned_generations(local):
-            try:
-                os.rename(aside, d)  # leased mid-flight — restore
-            except OSError:
-                pass
-            continue
-        shutil.rmtree(aside, ignore_errors=True)
-        expired.append(n)
+        # fresh pin check, rename the candidate aside (atomic), then
+        # re-check pins AGAIN. The lease protocol is pin-then-verify,
+        # so a pin created before the post-rename re-check is seen
+        # and the candidate restored, while a later pin's verify
+        # finds the dir renamed away and its reader retries against
+        # a live generation. A crash between the rename and the
+        # rmtree leaves a dead-pid data__expired_tmp dir that
+        # recovery restores (if pinned) or sweeps.
+        if _remove_generation_if_unleased(local, d):
+            expired.append(n)
     return expired
 
 
@@ -2038,7 +2088,7 @@ def _recover_compactor_debris(local: str) -> None:
         d
         for suffix in ("__old", "__compact_tmp", "__stage", "__cellold",
                        "__build_tmp", "__gen_tmp", "__append_tmp",
-                       "__expired_tmp")
+                       "__batch_tmp", "__expired_tmp")
         for d in globmod.glob(f"{esc}{suffix}*")
         if os.path.isdir(d)
     ]
@@ -2578,8 +2628,15 @@ def append_to_ann_index(spark: SparkSession, path: str, batch: DataFrame) -> int
     # a lost race costs metadata ops, not a repeated Spark job (r16
     # review; this is what makes the append genuinely the Iceberg
     # fast-append manifest cost class under contention)
-    batch_dir = os.path.join(local, f"data__append_tmp.{os.getpid()}")
-    stage = os.path.join(local, f"data__gen_tmp.{os.getpid()}")
+    # staging names are PER-CALLER as well as per-pid (r16 review,
+    # second pass: the incremental compactor stages under
+    # data__gen_tmp.<pid> — sharing it would let same-process
+    # append/compact threads rmtree each other's half-built stage).
+    # In-process mutators on one table must still not overlap (entry
+    # recovery treats own-pid staging as crash debris); concurrent
+    # PROCESSES are fully serialized by the CAS protocol.
+    batch_dir = os.path.join(local, f"data__batch_tmp.{os.getpid()}")
+    stage = os.path.join(local, f"data__append_tmp.{os.getpid()}")
     shutil.rmtree(batch_dir, ignore_errors=True)
     (
         coded.repartition(F.col("cell"))
@@ -2620,12 +2677,16 @@ def append_to_ann_index(spark: SparkSession, path: str, batch: DataFrame) -> int
                                     os.path.join(srcdir, cd, f), dst
                                 )
                 _copy_fp_stamp(base_dir, stage)
-            except OSError:
+            except FileNotFoundError:
                 # the base generation expired mid-link (successors
                 # published and aged it out): a lost race, not a
                 # failure — re-resolve and re-link (r16 review; the
-                # uncaught FileNotFoundError here used to crash the
-                # append instead of retrying)
+                # uncaught error here used to crash the append
+                # instead of retrying). ONLY FileNotFoundError: other
+                # OSErrors (ENOSPC, EPERM, a filesystem without hard
+                # links) are persistent faults that must surface, not
+                # burn 16 retries and masquerade as a lost race
+                # (second-pass review)
                 _time.sleep(0.02 * (attempt + 1))
                 continue
             published = _publish_generation(local, stage, base=base_n)

@@ -3431,9 +3431,12 @@ def test_append_publish_hard_failure_surfaces(spark, tmp_path, monkeypatch):
         calls = {"n": 0}
 
         def failing_rename(src, dst):
-            if "__gen_tmp." in src and os.path.basename(dst).startswith(
-                "data.g"
-            ):
+            # append stages under data__append_tmp.<pid> (per-caller
+            # name, distinct from the incremental compactor's
+            # data__gen_tmp.<pid>)
+            if "__append_tmp." in src and os.path.basename(
+                dst
+            ).startswith("data.g"):
                 calls["n"] += 1
                 raise PermissionError(13, "injected publish failure", src)
             return real_rename(src, dst)
@@ -3487,7 +3490,7 @@ def test_append_cas_retries_are_metadata_priced(spark, tmp_path, monkeypatch):
         real_parquet = DataFrameWriter.parquet
 
         def counting_parquet(self, p, *a, **kw):
-            if "__append_tmp" in p:
+            if "__batch_tmp" in p:
                 state["batch_writes"] += 1
             return real_parquet(self, p, *a, **kw)
 
@@ -3636,5 +3639,113 @@ def test_build_cleanup_honors_reader_lease(spark, tmp_path):
         _tmp_embeddings_corpus(spark, tmp_path, n=100)
         build_ann_index(spark, str(tmp_path))
         assert not os.path.isdir(leased)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_publish_survives_pointer_flip_failure(spark, tmp_path, monkeypatch):
+    """r16 review, second pass: once the generation RENAME lands the
+    commit is durable — a pointer-flip failure (ENOSPC on the pointer
+    write) must not be reported as 'nothing committed', or a retrying
+    caller would double-insert after orphan adoption. The append
+    returns success with a warning, and the next writer's entry
+    recovery adopts the orphan."""
+    import os
+    import shutil
+    import warnings as _warnings
+
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        _read_ann_index,
+        _recover_compactor_debris,
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=60)
+    path = build_ann_index(spark, str(tmp_path))
+    try:
+        gen_before = _ann_data_dir(path)
+        real_replace = os.replace
+
+        def failing_replace(src, dst):
+            if os.path.basename(dst) == "_current":
+                raise OSError(28, "injected pointer-write failure", dst)
+            return real_replace(src, dst)
+
+        monkeypatch.setattr("os.replace", failing_replace)
+        batch = spark.createDataFrame(
+            [(9_300, [3.0] * 64)], "vec_id long, v array<double>"
+        )
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            n = append_to_ann_index(spark, path, batch)
+        assert n == 1, "durable commit misreported as failure"
+        assert any(
+            "pointer flip failed" in str(w.message) for w in caught
+        )
+        # the pointer still names the old base (the flip failed) ...
+        assert _ann_data_dir(path) == gen_before
+        monkeypatch.setattr("os.replace", real_replace)
+        # ... and the next writer's entry recovery adopts the orphan
+        _recover_compactor_debris(path)
+        assert _ann_data_dir(path) != gen_before
+        got = {
+            int(r["vec_id"])
+            for r in _read_ann_index(spark, path)
+            .select("vec_id")
+            .collect()
+        }
+        assert 9_300 in got
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_build_cleanup_two_phase_catches_late_lease(
+    spark, tmp_path, monkeypatch
+):
+    """r16 review, second pass: the rebuild cleanup runs the SAME
+    two-phase removal handshake as expiry, so a lease landing after
+    its pre-loop pin snapshot is still honored. Simulated by hiding
+    the pin from every listing until the rename-aside has happened —
+    the post-rename re-check must see it and restore."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from data_engineering_zoomcamp_projects_spark.llm import similarity
+    from data_engineering_zoomcamp_projects_spark.llm.similarity import (
+        _ann_data_dir,
+        build_ann_index,
+    )
+
+    _tmp_embeddings_corpus(spark, tmp_path, n=60)
+    path = build_ann_index(spark, str(tmp_path))
+    try:
+        leased = _ann_data_dir(path)
+        pin = os.path.join(
+            path, f"_pin.{os.getpid()}.{os.path.basename(leased)}"
+        )
+        with open(pin, "w"):
+            pass
+        real = similarity._pinned_generations
+
+        def late_pin_view(loc):
+            if _glob.glob(os.path.join(loc, "data__expired_tmp.*")):
+                # post-rename re-check: the pin is visible now
+                return real(loc)
+            return set()  # every earlier listing misses it
+
+        monkeypatch.setattr(
+            similarity, "_pinned_generations", late_pin_view
+        )
+        shutil.rmtree(str(tmp_path / "embeddings.parquet"))
+        _tmp_embeddings_corpus(spark, tmp_path, n=80)
+        build_ann_index(spark, str(tmp_path))
+        monkeypatch.setattr(similarity, "_pinned_generations", real)
+        assert os.path.isdir(leased), (
+            "late lease violated by the rebuild cleanup"
+        )
+        os.remove(pin)
     finally:
         shutil.rmtree(path, ignore_errors=True)
