@@ -1657,7 +1657,20 @@ def _flip_pointer_forward(local: str) -> None:
     (generation numbers grow monotonically) and re-reads after every
     write, so two racing flippers converge on the maximum; the
     theoretical residual (both dying inside the last verify window) is
-    repaired by the next writer's entry recovery."""
+    repaired by the next writer's entry recovery.
+
+    Retention clock (r17, ADVICE): ANN_GEN_RETENTION_SECS promises a
+    superseded generation survives that long AFTER a newer one is
+    published, but expiry ages by dir mtime — the time the files were
+    WRITTEN. A generation that was current for hours would become
+    expiry-eligible the instant two successors landed (and, worse, a
+    freed base+1 number is the enabling condition for the stale-CAS
+    hole _publish_generation now re-verifies). So the flip stamps
+    (os.utime) every generation it supersedes — old current .. top-1;
+    generations below the old current were stamped by their own
+    supersession flips — plus the legacy bare `data` dir on a
+    migrating table's first flip. Ages are then measured from
+    supersession, matching the documented contract."""
     import os
 
     for _ in range(4):
@@ -1665,6 +1678,7 @@ def _flip_pointer_forward(local: str) -> None:
         if not gens:
             return
         top = os.path.basename(gens[-1][1])
+        top_n = gens[-1][0]
         try:
             with open(os.path.join(local, "_current")) as fh:
                 cur = fh.read().strip()
@@ -1675,7 +1689,7 @@ def _flip_pointer_forward(local: str) -> None:
         tail = cur[len("data.g"):] if cur.startswith("data.g") else ""
         if (
             tail.isdigit()
-            and int(tail) > int(top[len("data.g"):])
+            and int(tail) > top_n
             and os.path.isdir(os.path.join(local, cur))
         ):
             return  # already ahead of our directory listing
@@ -1683,6 +1697,25 @@ def _flip_pointer_forward(local: str) -> None:
         with open(tmp, "w") as fh:
             fh.write(top)
         os.replace(tmp, os.path.join(local, "_current"))
+        # supersession stamp: only the generations THIS flip moved
+        # past (never everything below top — re-stamping long-
+        # superseded generations on every flip would stop a hot
+        # table from ever expiring anything)
+        cur_n = int(tail) if tail.isdigit() else None
+        for n, d in gens:
+            if n >= top_n or (cur_n is not None and n < cur_n):
+                continue
+            try:
+                os.utime(d)
+            except OSError:
+                pass
+        if cur_n is None:
+            legacy = os.path.join(local, "data")
+            if os.path.isdir(legacy):
+                try:
+                    os.utime(legacy)
+                except OSError:
+                    pass
         # loop: re-verify the write still names the highest generation
 
 
@@ -1716,18 +1749,49 @@ def _publish_generation(
       mode — their staged content is only valid against the exact
       base it was derived from.
 
-    In CAS mode None means exactly one thing: the target generation
-    exists (a successor committed). Any other rename failure (EACCES,
-    staging swept, read-only fs) RAISES — retrying cannot help, and
-    conflating it with a lost race misdiagnoses hard faults as
-    contention (r16 review). The pointer flip is flip-with-verify
-    (_flip_pointer_forward), never a blind write."""
+    In CAS mode None means a successor committed first: either the
+    target generation exists, or the head already advanced PAST the
+    target (r17, ADVICE high — see below). Any other rename failure
+    (EACCES, staging swept, read-only fs) RAISES — retrying cannot
+    help, and conflating it with a lost race misdiagnoses hard faults
+    as contention (r16 review). The pointer flip is flip-with-verify
+    (_flip_pointer_forward), never a blind write.
+
+    Stale-base hole (r17, ADVICE high): a CAS whose base+1 number was
+    used by a successor that has since EXPIRED would find the target
+    name free, rename "successfully" at a number BELOW the live top,
+    and report a win — planting a non-lineage generation no reader
+    resolves (silent append loss; a compactor would clear tombstones
+    whose rows live on in the real top: deleted rows resurrect).
+    Closed twice over: (1) before consuming the staging, the CAS
+    re-lists generations and returns None when any successor > base
+    exists; (2) after the rename, it re-verifies the head actually
+    advanced to exactly base+1 — if a higher generation exists the
+    just-renamed target is rolled back (rmtree) and None returned, so
+    the caller re-derives from the true current generation. The
+    rollback can never remove a generation a successor built on: a
+    CAS successor must first RESOLVE the pointer to us, which only
+    happens after this function flips it — i.e. after the verify
+    passed. (_flip_pointer_forward's supersession stamping makes the
+    enabling condition — a freed base+1 inside the verify window —
+    require >= retention seconds of stall between the two checks.)"""
     import os
+    import shutil
 
     local = local.rstrip("/") or local
     for _ in range(16):
         if base is not None:
             nxt = base + 1
+            gens = _ann_gen_dirs(local)
+            if gens and gens[-1][0] > base:
+                # successors already exist — base+1 is (or was) taken;
+                # even if the number is now free (expired successor),
+                # committing there would land BELOW the live top
+                try:
+                    _flip_pointer_forward(local)
+                except OSError:
+                    pass
+                return None
         else:
             gens = _ann_gen_dirs(local)
             nxt = (gens[-1][0] + 1) if gens else 1
@@ -1756,6 +1820,23 @@ def _publish_generation(
             if os.path.isdir(target) and os.path.isdir(staged):
                 continue  # number taken — retry at the next one
             return None  # staging gone or unrenamable: lost the pass
+        if base is not None:
+            # post-rename head verify (r17, ADVICE high): the rename
+            # succeeded, but if a generation > nxt exists the base+1
+            # number had been freed by expiry and this commit sits
+            # BELOW the live top — roll it back and report the lost
+            # race so the caller re-derives. Safe: no reader or CAS
+            # successor can have adopted the target yet (the pointer
+            # has not been flipped to it, and higher generations are
+            # never flipped back), so nothing was made visible.
+            gens = _ann_gen_dirs(local)
+            if gens and gens[-1][0] > nxt:
+                shutil.rmtree(target, ignore_errors=True)
+                try:
+                    _flip_pointer_forward(local)
+                except OSError:
+                    pass
+                return None
         # flip-with-verify, never blind (r16 review): if a successor
         # committed while we were between the rename and this flip,
         # writing our own name would regress the pointer past it.
@@ -1784,9 +1865,18 @@ def pin_ann_index_generation(path: str, generation: int | None = None):
     snapshot pinning, for scans that may outlive the retention window
     (r16, closing the r15 verdict's 'retention age vs in-flight
     scans' hole): a context manager that drops a
-    `_pin.<pid>.data.g<N>` file which expire_ann_index_generations
-    refuses to expire past while the owning process lives. Dead-pid
-    pins are swept by the expiry pass itself (crash-safe: a reader
+    `_pin.<pid>.<nonce>.data.g<N>` file which
+    expire_ann_index_generations
+    refuses to expire past while the owning process lives. The nonce
+    (r17, ADVICE) makes each lease's file unique: two readers in one
+    process pinning the same generation hold INDEPENDENT files, so
+    the first to exit can no longer delete the lease out from under
+    the other. Liveness is judged by os.kill(pid, 0) — the protocol
+    assumes every participant shares ONE pid namespace (the same
+    assumption as the local-filesystem-only layout: containers
+    sharing the index volume but not a pid namespace would misread
+    live readers as dead). Dead-pid pins are swept by the expiry
+    pass itself (crash-safe: a reader
     that dies releases its lease by dying). Yields the pinned
     generation directory — hand it to serve_ann_index via
     `generation=` or read it directly; without a pin, a scan slower
@@ -1796,6 +1886,7 @@ def pin_ann_index_generation(path: str, generation: int | None = None):
     dir (rewrites there are whole-dir swaps; nothing to lease)."""
     import contextlib
     import os
+    import uuid
 
     @contextlib.contextmanager
     def _lease():
@@ -1810,7 +1901,9 @@ def pin_ann_index_generation(path: str, generation: int | None = None):
             if not name.startswith("data.g"):
                 yield gen_dir
                 return
-            pin = os.path.join(local, f"_pin.{os.getpid()}.{name}")
+            pin = os.path.join(
+                local, f"_pin.{os.getpid()}.{uuid.uuid4().hex}.{name}"
+            )
             with open(pin, "w"):
                 pass
             # verify AFTER the pin lands (r16 review — pin-then-check
@@ -1857,6 +1950,13 @@ def _pinned_generations(local: str) -> set[str]:
         parts = os.path.basename(p).split(".", 2)
         if len(parts) != 3 or not parts[1].isdigit():
             continue
+        # r17 lease files are _pin.<pid>.<nonce>.<gen name>; r16 files
+        # (no nonce) still parse — parts[2] is the gen name directly
+        rest = parts[2]
+        if not rest.startswith("data.g"):
+            _nonce, _, rest = rest.partition(".")
+        if not rest.startswith("data.g"):
+            continue
         pid = int(parts[1])
         alive = pid == os.getpid()
         if not alive:
@@ -1868,7 +1968,7 @@ def _pinned_generations(local: str) -> set[str]:
             except PermissionError:
                 alive = True  # exists under another uid
         if alive:
-            pinned.add(parts[2])
+            pinned.add(rest)
         else:
             try:
                 os.remove(p)
@@ -2192,49 +2292,65 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     _recover_compactor_debris(local)
     tmp = os.path.join(local, f"data__compact_tmp.{os.getpid()}")
     for attempt in range(4):
-        # purge pending tombstones in the same rewrite (the
-        # merge-on-read deletes become physical here, then the delete
-        # files are cleared; crash ordering is safe: tombstones are
-        # removed only AFTER the purged generation is published, and
-        # re-anti-joining already-purged ids is a no-op). Snapshot the
-        # delete-file LIST first: a delete landing mid-compaction must
-        # survive the clear (it is not purged by this pass) — only the
-        # files this rewrite actually folded in are removed (r15).
-        tomb_files = _tombstone_files(local)
-        src = spark.read.parquet(data)
-        if tomb_files:
-            src = src.join(
-                F.broadcast(
-                    spark.read.parquet(*tomb_files).select("vec_id")
-                ),
-                "vec_id",
-                "left_anti",
-            )
-        shutil.rmtree(tmp, ignore_errors=True)
-        (
-            src.repartition(F.col("cell"))
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(tmp)
+        # LEASE the base generation for the whole rewrite (r17,
+        # ADVICE medium): appends publish generations and run expiry
+        # after every commit, and a base superseded by just two
+        # appends could otherwise be expired mid-rewrite — yanking
+        # files out from under the in-flight Spark job
+        # (FAILED_READ_FILE). The pin makes expiry skip the base
+        # until this pass's read completes; a base that expired
+        # before the pin landed reads as a lost race (re-resolve).
+        base = os.path.basename(data)
+        base_n = (
+            int(base[len("data.g"):]) if base.startswith("data.g") else None
         )
-        _copy_fp_stamp(data, tmp)
+        try:
+            lease = pin_ann_index_generation(
+                local, base_n
+            ) if base_n is not None else None
+            if lease is not None:
+                data = lease.__enter__()
+        except FileNotFoundError:
+            data = _ann_data_dir(local)
+            continue
+        try:
+            # purge pending tombstones in the same rewrite (the
+            # merge-on-read deletes become physical here, then the delete
+            # files are cleared; crash ordering is safe: tombstones are
+            # removed only AFTER the purged generation is published, and
+            # re-anti-joining already-purged ids is a no-op). Snapshot the
+            # delete-file LIST first: a delete landing mid-compaction must
+            # survive the clear (it is not purged by this pass) — only the
+            # files this rewrite actually folded in are removed (r15).
+            tomb_files = _tombstone_files(local)
+            src = spark.read.parquet(data)
+            if tomb_files:
+                src = src.join(
+                    F.broadcast(
+                        spark.read.parquet(*tomb_files).select("vec_id")
+                    ),
+                    "vec_id",
+                    "left_anti",
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                src.repartition(F.col("cell"))
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(tmp)
+            )
+            _copy_fp_stamp(data, tmp)
+        finally:
+            if lease is not None:
+                lease.__exit__(None, None, None)
         # CAS publish against the exact base we rewrote (r16): losing
         # means a successor committed mid-pass — since appends now
         # publish generations too, the winner's content may DIFFER
         # from our source (new rows), so a stale rewrite must never
         # land at a later number; RE-RUN the pass from the new
         # current generation instead of discarding.
-        base = os.path.basename(data)
         try:
-            published = _publish_generation(
-                local,
-                tmp,
-                base=(
-                    int(base[len("data.g"):])
-                    if base.startswith("data.g")
-                    else None
-                ),
-            )
+            published = _publish_generation(local, tmp, base=base_n)
         except OSError as exc:
             # NON-race failure (r16): degrade like an exhausted race —
             # table unchanged, delete files retained, purge deferred
@@ -2324,129 +2440,35 @@ def compact_ann_index_incremental(
     n_targets = 0
     published = None
     for attempt in range(4):
-        per_cell: dict[str, list[str]] = {}
-        for f in globmod.glob(
-            os.path.join(globmod.escape(data), "cell=*", "*.parquet")
-        ):
-            per_cell.setdefault(
-                os.path.basename(os.path.dirname(f)), []
-            ).append(f)
-        targets = {c for c, fs in per_cell.items() if len(fs) >= min_files}
-        tomb_files = _tombstone_files(local)
-        tombs = (
-            spark.read.parquet(*tomb_files) if tomb_files else None
+        # LEASE the base generation for the whole pass (r17, ADVICE
+        # medium — same hole as compact_ann_index, and worse here:
+        # the hard-link construction below reads the base's inodes
+        # file by file, so an expiry mid-pass fails half-way through
+        # newgen assembly). Expired-before-pin reads as a lost race.
+        _base_name = os.path.basename(data)
+        _base_n = (
+            int(_base_name[len("data.g"):])
+            if _base_name.startswith("data.g")
+            else None
         )
-        if tombs is not None:
-            if "cell" in tombs.columns and tombs.filter(
-                F.col("cell").isNull()
-            ).limit(1).count() == 0:
-                # metadata-priced discovery (r14 review): the delete
-                # files carry the partition like Iceberg's — no table
-                # scan; a replayed takedown may target already-purged
-                # rows, which costs a wasted (correct) rewrite of its
-                # cells at most
-                tomb_cells = tombs.select("cell").distinct().collect()
-            else:
-                # legacy vec_id-only delete files: one table scan
-                tomb_cells = (
-                    spark.read.parquet(data)
-                    .select("vec_id", "cell")
-                    .join(F.broadcast(tombs.select("vec_id")), "vec_id")
-                    .select("cell")
-                    .distinct()
-                    .collect()
-                )
-            tomb_dirs = (
-                {f"cell={r['cell']}" for r in tomb_cells} & set(per_cell)
-            )
-            if tomb_dirs:
-                targets |= tomb_dirs
-            else:
-                # nothing the delete files point at exists any more (a
-                # replay after a completed purge, or a crash after the
-                # publish but before the tombstone clear): the purge
-                # is already complete — clear the snapshot files now
-                # instead of taxing every future serve with a dead
-                # anti-join (r14 review)
-                _clear_tombstone_files(local, tomb_files)
-                tombs = None
-        n_targets = len(targets)
-        if not targets:
-            break
-        cell_vals = sorted(int(c.split("=", 1)[1]) for c in targets)
-        src = spark.read.parquet(data)
-        if tombs is not None:
-            src = src.join(
-                F.broadcast(tombs.select("vec_id")), "vec_id", "left_anti"
-            )
-        stage = os.path.join(local, f"data__stage.{os.getpid()}")
-        shutil.rmtree(stage, ignore_errors=True)
-        (
-            src.filter(F.col("cell").isin(cell_vals))
-            .repartition(F.col("cell"))
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(stage)
-        )
-        # construct the next generation: links for clean cells, moves
-        # for rewritten ones, nothing for purged ones
-        newgen = os.path.join(local, f"data__gen_tmp.{os.getpid()}")
-        shutil.rmtree(newgen, ignore_errors=True)
-        os.makedirs(newgen)
-        for c, files in sorted(per_cell.items()):
-            if c in targets:
-                staged = os.path.join(stage, c)
-                if os.path.isdir(staged):
-                    os.rename(staged, os.path.join(newgen, c))
-                # else: every row of this cell was tombstoned — purged
-            else:
-                os.makedirs(os.path.join(newgen, c))
-                for f in files:
-                    os.link(f, os.path.join(newgen, c, os.path.basename(f)))
-        _copy_fp_stamp(data, newgen)
-        # CAS publish against the exact base this pass rewrote (r16,
-        # same rationale as compact_ann_index: a successor committed
-        # mid-pass may carry appended rows our stale stage lacks — the
-        # pass must RE-RUN, never land at a later number)
-        base = os.path.basename(data)
         try:
-            published = _publish_generation(
-                local,
-                newgen,
-                base=(
-                    int(base[len("data.g"):])
-                    if base.startswith("data.g")
-                    else None
-                ),
+            _lease = pin_ann_index_generation(
+                local, _base_n
+            ) if _base_n is not None else None
+            if _lease is not None:
+                data = _lease.__enter__()
+        except FileNotFoundError:
+            data = _ann_data_dir(local)
+            continue
+        try:
+            published, n_targets, retry = _compact_incremental_pass(
+                spark, local, data, min_files
             )
-        except OSError as exc:
-            # a NON-race publish failure (r16: _publish_generation now
-            # only returns None for a true CAS loss) — retrying cannot
-            # help, so degrade exactly like an exhausted race: table
-            # unchanged, delete files retained, purge deferred
-            import warnings
-
-            warnings.warn(
-                "compact_ann_index_incremental: generation publish "
-                f"failed ({exc}); table unchanged, delete files "
-                "retained, purge deferred to next pass",
-                stacklevel=2,
-            )
-            shutil.rmtree(newgen, ignore_errors=True)
-            shutil.rmtree(stage, ignore_errors=True)
-            n_targets = 0
+        finally:
+            if _lease is not None:
+                _lease.__exit__(None, None, None)
+        if not retry:
             break
-        shutil.rmtree(stage, ignore_errors=True)
-        if published is not None:
-            if tombs is not None:
-                # every tombstoned cell was in the rewrite set and the
-                # purged generation is published — exactly the
-                # snapshot delete files can go (a delete that landed
-                # mid-pass stays pending)
-                _clear_tombstone_files(local, tomb_files)
-            _gc_generations(local)
-            break
-        shutil.rmtree(newgen, ignore_errors=True)
         data = _ann_data_dir(local)
     else:
         # every attempt lost the optimistic-commit race (or the
@@ -2469,6 +2491,143 @@ def compact_ann_index_incremental(
             os.path.join(_ann_data_dir(local), "cell=*", "*.parquet")
         )
     )
+
+
+def _compact_incremental_pass(
+    spark: SparkSession, local: str, data: str, min_files: int
+) -> tuple[str | None, int, bool]:
+    """One leased attempt of compact_ann_index_incremental: returns
+    (published dir or None, cells_rewritten, retry?) where retry=True
+    means the CAS was lost and the caller should re-resolve and
+    re-run. Split out in r17 so the reader lease (ADVICE medium) can
+    wrap exactly one pass."""
+    import glob as globmod
+    import os
+    import shutil
+
+    per_cell: dict[str, list[str]] = {}
+    for f in globmod.glob(
+        os.path.join(globmod.escape(data), "cell=*", "*.parquet")
+    ):
+        per_cell.setdefault(
+            os.path.basename(os.path.dirname(f)), []
+        ).append(f)
+    targets = {c for c, fs in per_cell.items() if len(fs) >= min_files}
+    tomb_files = _tombstone_files(local)
+    tombs = (
+        spark.read.parquet(*tomb_files) if tomb_files else None
+    )
+    if tombs is not None:
+        if "cell" in tombs.columns and tombs.filter(
+            F.col("cell").isNull()
+        ).limit(1).count() == 0:
+            # metadata-priced discovery (r14 review): the delete
+            # files carry the partition like Iceberg's — no table
+            # scan; a replayed takedown may target already-purged
+            # rows, which costs a wasted (correct) rewrite of its
+            # cells at most
+            tomb_cells = tombs.select("cell").distinct().collect()
+        else:
+            # legacy vec_id-only delete files: one table scan
+            tomb_cells = (
+                spark.read.parquet(data)
+                .select("vec_id", "cell")
+                .join(F.broadcast(tombs.select("vec_id")), "vec_id")
+                .select("cell")
+                .distinct()
+                .collect()
+            )
+        tomb_dirs = (
+            {f"cell={r['cell']}" for r in tomb_cells} & set(per_cell)
+        )
+        if tomb_dirs:
+            targets |= tomb_dirs
+        else:
+            # nothing the delete files point at exists any more (a
+            # replay after a completed purge, or a crash after the
+            # publish but before the tombstone clear): the purge
+            # is already complete — clear the snapshot files now
+            # instead of taxing every future serve with a dead
+            # anti-join (r14 review)
+            _clear_tombstone_files(local, tomb_files)
+            tombs = None
+    n_targets = len(targets)
+    if not targets:
+        return None, 0, False
+    cell_vals = sorted(int(c.split("=", 1)[1]) for c in targets)
+    src = spark.read.parquet(data)
+    if tombs is not None:
+        src = src.join(
+            F.broadcast(tombs.select("vec_id")), "vec_id", "left_anti"
+        )
+    stage = os.path.join(local, f"data__stage.{os.getpid()}")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        src.filter(F.col("cell").isin(cell_vals))
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(stage)
+    )
+    # construct the next generation: links for clean cells, moves
+    # for rewritten ones, nothing for purged ones
+    newgen = os.path.join(local, f"data__gen_tmp.{os.getpid()}")
+    shutil.rmtree(newgen, ignore_errors=True)
+    os.makedirs(newgen)
+    for c, files in sorted(per_cell.items()):
+        if c in targets:
+            staged = os.path.join(stage, c)
+            if os.path.isdir(staged):
+                os.rename(staged, os.path.join(newgen, c))
+            # else: every row of this cell was tombstoned — purged
+        else:
+            os.makedirs(os.path.join(newgen, c))
+            for f in files:
+                os.link(f, os.path.join(newgen, c, os.path.basename(f)))
+    _copy_fp_stamp(data, newgen)
+    # CAS publish against the exact base this pass rewrote (r16,
+    # same rationale as compact_ann_index: a successor committed
+    # mid-pass may carry appended rows our stale stage lacks — the
+    # pass must RE-RUN, never land at a later number)
+    base = os.path.basename(data)
+    try:
+        published = _publish_generation(
+            local,
+            newgen,
+            base=(
+                int(base[len("data.g"):])
+                if base.startswith("data.g")
+                else None
+            ),
+        )
+    except OSError as exc:
+        # a NON-race publish failure (r16: _publish_generation now
+        # only returns None for a true CAS loss) — retrying cannot
+        # help, so degrade exactly like an exhausted race: table
+        # unchanged, delete files retained, purge deferred
+        import warnings
+
+        warnings.warn(
+            "compact_ann_index_incremental: generation publish "
+            f"failed ({exc}); table unchanged, delete files "
+            "retained, purge deferred to next pass",
+            stacklevel=2,
+        )
+        shutil.rmtree(newgen, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        return None, 0, False
+    shutil.rmtree(stage, ignore_errors=True)
+    if published is not None:
+        if tombs is not None:
+            # every tombstoned cell was in the rewrite set and the
+            # purged generation is published — exactly the
+            # snapshot delete files can go (a delete that landed
+            # mid-pass stays pending)
+            _clear_tombstone_files(local, tomb_files)
+        _gc_generations(local)
+        return published, n_targets, False
+    shutil.rmtree(newgen, ignore_errors=True)
+    return None, n_targets, True
 
 
 def _read_ann_index(
