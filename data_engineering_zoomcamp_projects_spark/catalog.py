@@ -230,6 +230,63 @@ def model_cache_path(
     )
 
 
+#: (absolute path) -> (stat fingerprint, inferred schema). Parquet
+#: schema INFERENCE launches a footer-reading Spark job per
+#: spark.read.parquet call (~0.3-0.5 s of fixed driver+scheduling cost
+#: at any scale factor; an explicit .schema() read is ~50 ms). The
+#: memo holds the schema inference itself produced for these exact
+#: bytes — metadata, never data — keyed by the same (size, mtime_ns)
+#: fingerprint discipline as model_cache_path, so a regenerated corpus
+#: re-infers. At deploy scale this is what a real catalog (metastore /
+#: Iceberg manifest) provides: scans plan from recorded schemas, not
+#: per-query footer sampling (guide §6 driver-side planning costs).
+_PARQUET_SCHEMA_MEMO: dict[str, tuple[str, object]] = {}
+
+
+def _parquet_stat_fp(path: str) -> str:
+    """(size, mtime_ns) fingerprint of a parquet file, or the folded
+    per-file stats of a directory table (the model_cache_path rule:
+    a directory's own stat is not a content fingerprint)."""
+    import os
+
+    if os.path.isdir(path):
+        entries = []
+        for root_dir, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue
+                st = os.stat(os.path.join(root_dir, f))
+                rel = os.path.relpath(os.path.join(root_dir, f), path)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+        return ";".join(sorted(entries))
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def read_parquet_fast(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the schema-inference job memoized per
+    (path, content fingerprint). First open of given bytes infers
+    exactly as before and records the result; subsequent opens pass
+    the recorded schema explicitly — identical DataFrame, no
+    footer-sampling job. Data is always read from the parquet files at
+    execution time; only the schema (metadata) is reused."""
+    try:
+        fp = _parquet_stat_fp(path)
+    except OSError:
+        # unreadable/missing path: let spark.read raise its own error
+        return spark.read.parquet(path)
+    hit = _PARQUET_SCHEMA_MEMO.get(path)
+    if hit is not None and hit[0] == fp:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    if len(_PARQUET_SCHEMA_MEMO) >= 256:
+        # bounded-memo discipline: generation-dir keys retire as
+        # tables compact; cap instead of growing for session lifetime
+        _PARQUET_SCHEMA_MEMO.clear()
+    _PARQUET_SCHEMA_MEMO[path] = (fp, df.schema)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; Catalyst handles column pruning and
     predicate pushdown into this parquet read.
@@ -256,7 +313,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # conf.set of an unchanged value is cheap.)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = read_parquet_fast(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -2635,6 +2635,7 @@ def _read_ann_index(
     path: str,
     with_label: bool = False,
     data_dir: str | None = None,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """The persisted index as sim_topk_ivfpq's corpus_coded shape.
     `cell` comes back as a partition column (directory-encoded int) —
@@ -2643,7 +2644,12 @@ def _read_ann_index(
     serving; unfiltered serves leave it out so parquet column pruning
     keeps their scan exactly as narrow as before. `data_dir` pins an
     already-resolved generation dir (r15) so a serve's two scans read
-    the SAME snapshot; default resolves the `_current` pointer."""
+    the SAME snapshot; default resolves the `_current` pointer.
+    `table` (r17) passes an already-opened read of that dir so a serve
+    needing both the coded and the raw-vector shape lists/infers the
+    partitioned tree ONCE — the two shapes are projections of one
+    relation, and opening it twice paid a second driver-side file
+    listing + footer schema pass per serve for nothing."""
     cols = [
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
@@ -2652,19 +2658,30 @@ def _read_ann_index(
     ]
     if with_label:
         cols.append(F.col("label"))
-    return spark.read.parquet(data_dir or _ann_data_dir(path)).select(*cols)
+    if table is None:
+        from ..catalog import read_parquet_fast
+
+        table = read_parquet_fast(spark, data_dir or _ann_data_dir(path))
+    return table.select(*cols)
 
 
 def _read_ann_vectors(
-    spark: SparkSession, path: str, data_dir: str | None = None
+    spark: SparkSession,
+    path: str,
+    data_dir: str | None = None,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """The persisted index's raw-vector payload (vec_id, cell, v,
     vnorm) — the survivor re-fetch source on the self-contained serve
     path. Keeping `cell` lets the re-fetch join partition-prune to the
     probed cells; vnorm is the build-time value, bit-identical to what
-    the live path recomputes post-join. `data_dir` as in
+    the live path recomputes post-join. `data_dir`/`table` as in
     _read_ann_index."""
-    return spark.read.parquet(data_dir or _ann_data_dir(path)).select(
+    if table is None:
+        from ..catalog import read_parquet_fast
+
+        table = read_parquet_fast(spark, data_dir or _ann_data_dir(path))
+    return table.select(
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
         "v",
@@ -3066,9 +3083,12 @@ def serve_ann_index(
             F.broadcast(tombs.select("vec_id")), "vec_id", "left_anti"
         )
 
+    from ..catalog import read_parquet_fast
+
+    table = read_parquet_fast(spark, gen_dir)
     cand = _read_ann_index(
         spark, path, with_label=candidate_filter is not None,
-        data_dir=gen_dir,
+        data_dir=gen_dir, table=table,
     )
     if candidate_filter is not None:
         cand = cand.filter(candidate_filter).drop("label")
@@ -3077,7 +3097,9 @@ def serve_ann_index(
         queries,
         _anti(cand),
         (cb, pqcb),
-        vectors=_anti(_read_ann_vectors(spark, path, data_dir=gen_dir)),
+        vectors=_anti(
+            _read_ann_vectors(spark, path, data_dir=gen_dir, table=table)
+        ),
         k=k,
         n_probe=n_probe,
     )

@@ -16,6 +16,8 @@ in the state store. Every job here sets an explicit watermark.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
 from typing import Iterator
 
 import pandas as pd
@@ -69,7 +71,16 @@ def load_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        probe = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+        probe_path = os.path.join(sf_dir, glob)
+        if any(ch in glob for ch in "*?[") or not os.path.exists(probe_path):
+            probe = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+        else:
+            # literal single-table glob: the footer probe is the same
+            # schema load_table memoizes — reuse it instead of paying
+            # a fresh inference job per stream start (r17)
+            from ..catalog import read_parquet_fast
+
+            probe = read_parquet_fast(spark, probe_path)
         ts_type = dict(probe.dtypes).get("ts")
         schema = EVENTS_FILE_SCHEMA if ts_type == "bigint" else probe.schema
     except Exception:
@@ -625,17 +636,46 @@ FROM documents d
 """
 
 
+@contextmanager
+def _stream_partition_scope(spark: SparkSession):
+    """Pin streaming shuffle/state partitions to actual parallelism for
+    the duration of a synchronous stream drain (r17, guide §2.4).
+
+    The batch default (2x cores) is a pre-AQE *ceiling* that adaptive
+    coalescing shrinks at runtime — but Structured Streaming does not
+    re-plan with AQE, so a streaming aggregation materializes exactly
+    ``spark.sql.shuffle.partitions`` state-store instances per stateful
+    operator per micro-batch, each paying fixed init/commit cost.
+    Interleaved A/B at sf0.1 (local[32], 64 -> 32): 2.1 s -> 1.4 s per
+    stream_live_tumbling_hourly run; the cost is near-linear in the
+    partition count. ``defaultParallelism`` (total cores, locally and
+    on a cluster) is the scale-adaptive choice; override with
+    SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS where a deployment sizes its
+    state-store count independently (the value is baked into stream
+    checkpoints, so production picks it deliberately).
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    target = env or str(spark.sparkContext.defaultParallelism)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame to completion synchronously into an
     in-memory table (test/dev harness)."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_partition_scope(df.sparkSession):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return q
 
 
@@ -752,14 +792,15 @@ def sink_foreach_batch_parquet(df: DataFrame, out_dir: str, checkpoint: str):
             .parquet(out_dir)
         )
 
-    q = (
-        df.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(_write)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_partition_scope(df.sparkSession):
+        q = (
+            df.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(_write)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return q
 
 
