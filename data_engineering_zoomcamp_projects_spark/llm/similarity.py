@@ -658,6 +658,35 @@ def _ivf_model(spark, sf_dir, corpus):
     return model
 
 
+#: (application id, expression key) -> constructed Column. Building
+#: the serve chain's HOF expression trees costs ~0.5 s of py4j
+#: round-trips per serve (measured: _nearest_cells+_pq_lut ~290 ms,
+#: _pq_score ~88 ms — pure driver-side construction, no job), and the
+#: trees depend only on COLUMN NAMES, not on any DataFrame. Unresolved
+#: Columns are immutable expression trees that the analyzer resolves
+#: per plan, so reusing one across plans is exact; keyed by
+#: applicationId so a new session/JVM rebuilds (r17, guide §7.3
+#: driver-side latency).
+_EXPR_MEMO: dict[tuple, Column] = {}
+
+
+def _memo_col(key: tuple, build) -> Column:
+    """Session-scoped memo for pure (name-parameterized) Column
+    expression trees — the _CODEBOOK_MEMO discipline applied to
+    driver-side expression construction."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    app = s.sparkContext.applicationId if s is not None else None
+    k = (app,) + key
+    hit = _EXPR_MEMO.get(k)
+    if hit is None:
+        if len(_EXPR_MEMO) >= 64:
+            _EXPR_MEMO.clear()  # bound stale-session entries
+        hit = _EXPR_MEMO[k] = build()
+    return hit
+
+
 def _nearest_cells(cb, df, vec_col, out_col, n_probe):
     """Hierarchical cell assignment over the broadcast two-level
     codebook — shared by sim_topk_ivf and sim_topk_ivfpq (r11: lifted
@@ -672,52 +701,64 @@ def _nearest_cells(cb, df, vec_col, out_col, n_probe):
     # two scalars. cells[] is ordered by sc_id (supers are a
     # stride over id-sorted centroids), so -index ties exactly
     # match the oracle's (sim DESC, sc_id ASC) head.
-    sc_scored = F.transform(
-        F.col("cells"),
-        lambda c, i: F.struct(
-            _dot_double(vec, c["scv"]).alias("sim"),
-            (-i).alias("neg_idx"),
-        ),
-    )
-    best_sc = F.array_max(sc_scored)  # (sim desc, sc_id asc) head
+    # Expression trees below depend only on `vec_col`/`n_probe` —
+    # memoized per session (_memo_col; ~200 ms of py4j construction
+    # per serve otherwise).
+    def _build_chosen() -> Column:
+        sc_scored = F.transform(
+            F.col("cells"),
+            lambda c, i: F.struct(
+                _dot_double(vec, c["scv"]).alias("sim"),
+                (-i).alias("neg_idx"),
+            ),
+        )
+        best_sc = F.array_max(sc_scored)  # (sim desc, sc_id asc) head
+        return F.element_at(
+            F.col("cells"), (F.lit(1) - best_sc["neg_idx"]).cast("int")
+        )
+
+    def _build_mem() -> Column:
+        chosen = F.col("_chosen")
+        return F.zip_with(
+            chosen["mids"],
+            chosen["mvecs"],
+            lambda cid, cv: F.struct(
+                _dot_double(vec, cv).alias("sim"), cid.alias("cent_id")
+            ),
+        )
+
     # STAGE the winning cell: `chosen` is field-read twice (mids,
     # mvecs), and inline it embeds the whole super-scoring
     # transform — re-inlined per read, the ~sqrt(k) super dots ran
     # TWICE per row (caught by the round-10 re-inlining guard;
     # measured 12.8 -> ~9 s at sf1). A named non-cheap column is
     # single-evaluation under CollapseProject.
-    df = df.withColumn(
-        "_chosen",
-        F.element_at(
-            F.col("cells"), (F.lit(1) - best_sc["neg_idx"]).cast("int")
-        ),
-    )
-    chosen = F.col("_chosen")
-    mem = F.zip_with(
-        chosen["mids"],
-        chosen["mvecs"],
-        lambda cid, cv: F.struct(
-            _dot_double(vec, cv).alias("sim"), cid.alias("cent_id")
-        ),
-    )
+    df = df.withColumn("_chosen", _memo_col(("nc_chosen", vec_col), _build_chosen))
     if n_probe == 1:
-        neg = F.transform(
-            mem,
-            lambda s: F.struct(
-                s["sim"].alias("sim"), (-s["cent_id"]).alias("neg_id")
-            ),
-        )
-        cell = -F.array_max(neg)["neg_id"]  # null on empty group
+        def _build_cell1() -> Column:
+            neg = F.transform(
+                _build_mem(),
+                lambda s: F.struct(
+                    s["sim"].alias("sim"), (-s["cent_id"]).alias("neg_id")
+                ),
+            )
+            return -F.array_max(neg)["neg_id"]  # null on empty group
+
+        cell = _memo_col(("nc_cell1", vec_col), _build_cell1)
         return df.withColumn(out_col, cell).drop("cells", "_chosen")
-    ranked = F.array_sort(
-        mem,
-        lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
-        .when(l["sim"] < r["sim"], F.lit(1))
-        .when(l["cent_id"] < r["cent_id"], F.lit(-1))
-        .when(l["cent_id"] > r["cent_id"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    tops = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cent_id"])
+
+    def _build_tops() -> Column:
+        ranked = F.array_sort(
+            _build_mem(),
+            lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
+            .when(l["sim"] < r["sim"], F.lit(1))
+            .when(l["cent_id"] < r["cent_id"], F.lit(-1))
+            .when(l["cent_id"] > r["cent_id"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cent_id"])
+
+    tops = _memo_col(("nc_tops", vec_col, n_probe), _build_tops)
     return df.withColumn(out_col, F.explode(tops)).drop("cells", "_chosen")
 
 
@@ -992,17 +1033,24 @@ def _pq_lut(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
     from ..functions.vector import dot_dec
 
     df = df.crossJoin(F.broadcast(pqcb))
-    vec = F.col(vec_col)
-    lut = F.transform(
-        F.col("pq"),
-        lambda subcb, s: F.transform(
-            subcb,
-            lambda c: dot_dec(
-                F.slice(vec, s * F.lit(PQ_DSUB) + F.lit(1), PQ_DSUB), c
+
+    def _build_lut() -> Column:
+        vec = F.col(vec_col)
+        return F.transform(
+            F.col("pq"),
+            lambda subcb, s: F.transform(
+                subcb,
+                lambda c: dot_dec(
+                    F.slice(vec, s * F.lit(PQ_DSUB) + F.lit(1), PQ_DSUB), c
+                ),
             ),
-        ),
-    )
-    return df.withColumn("pq_lut", lut).drop("pq")
+        )
+
+    # the LUT tree depends only on the column name — memoized per
+    # session (~150 ms of py4j construction per serve otherwise)
+    return df.withColumn(
+        "pq_lut", _memo_col(("pq_lut", vec_col), _build_lut)
+    ).drop("pq")
 
 
 def _pq_score(code_col: str, lut_col: str) -> Column:
@@ -1014,15 +1062,19 @@ def _pq_score(code_col: str, lut_col: str) -> Column:
     inner-product approximation q . x~."""
     from ..functions.vector import ACC
 
-    score = None
-    for s in range(PQ_M):
-        shift = PQ_K ** (PQ_M - 1 - s)
-        code_s = F.expr(f"({code_col} div {shift}) % {PQ_K}").cast("int")
-        term = F.element_at(
-            F.element_at(F.col(lut_col), s + 1), code_s + F.lit(1)
-        )
-        score = term if score is None else (score + term).cast(ACC)
-    return score
+    def _build() -> Column:
+        score = None
+        for s in range(PQ_M):
+            shift = PQ_K ** (PQ_M - 1 - s)
+            code_s = F.expr(f"({code_col} div {shift}) % {PQ_K}").cast("int")
+            term = F.element_at(
+                F.element_at(F.col(lut_col), s + 1), code_s + F.lit(1)
+            )
+            score = term if score is None else (score + term).cast(ACC)
+        return score
+
+    # name-parameterized tree — memoized per session (~90 ms/serve)
+    return _memo_col(("pq_score", code_col, lut_col), _build)
 
 
 def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
