@@ -328,7 +328,18 @@ def dedup_fuzzy_names_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_nationkey", F.xxhash64("variant").alias("vh"))
         .localCheckpoint(eager=False)
     )
-    a, b = vh.alias("a"), vh.alias("b")
+    # Join strategy pinned to sort-merge (r17, guide §3.1): the
+    # checkpointed variant frame is a stats-less ExistingRDD whose
+    # size estimate carries over from the PRE-explode plan (~6 MB at
+    # sf1), so the planner auto-broadcast what is really a ~20M-row /
+    # ~500 MB frame — a hash relation that costs more to build than
+    # the shuffle it saves (interleaved A/B at sf1: BHJ 16-30 s vs
+    # SMJ/SHJ 6-7 s for the candidate phase) and that scales WITH the
+    # corpus, i.e. would blow the 8 GB broadcast cap at deploy scale.
+    # SMJ over shuffle-hash: equal measured cost, but the merge side
+    # spills gracefully where a per-partition hash build of a
+    # corpus-sized side can OOM.
+    a, b = vh.alias("a"), vh.alias("b").hint("merge")
     ids = (
         a.join(
             b,
