@@ -444,6 +444,13 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # the two cell histograms' full outer join (no broadcast form;
         # both sides are k-cell metadata frames at any corpus size)
         "sim_index_drift_monitor",
+        # the SymSpell variant self-join is pinned to sort-merge (r17,
+        # guide §3.1): both sides are the corpus-sized exploded-variant
+        # frame, whose ExistingRDD size estimate (carried over from the
+        # pre-explode checkpoint) tricked the planner into broadcasting
+        # ~20M rows at sf1 — a hash relation that grows with the corpus
+        # and crosses the 8 GB broadcast cap long before 100 TB
+        "dedup_fuzzy_names_symspell",
     }
     id_bearing = __import__("re").compile(r"(_pid|key|_?id($|_))")
     worst = []
