@@ -242,11 +242,42 @@ def model_cache_path(
 #: per-query footer sampling (guide §6 driver-side planning costs).
 _PARQUET_SCHEMA_MEMO: dict[str, tuple[str, object]] = {}
 
+#: (application id, absolute path) -> (stat fingerprint, DataFrame).
+#: One step past the schema memo (r18): the OPENED relation itself is
+#: reused while its bytes are unchanged, so repeat opens skip the file
+#: LISTING as well as the inference. A partitioned directory table
+#: with more leaf dirs than
+#: spark.sql.sources.parallelPartitionDiscovery.threshold (default 32
+#: — the persisted ANN index at bench SF has ~48 cell= dirs) lists via
+#: a DISTRIBUTED Spark job on every open (~0.3 s + one job of fixed
+#: machinery per serve, measured warm); the relation memo replays the
+#: already-resolved InMemoryFileIndex instead. Still metadata only —
+#: every execution reads the parquet bytes fresh; a changed file set
+#: or content is a fingerprint miss that re-lists and re-infers.
+#: Keyed by applicationId so frames bound to a stopped session are
+#: never replayed into a new one.
+_PARQUET_RELATION_MEMO: dict[tuple[str, str], tuple[str, DataFrame]] = {}
 
-def _parquet_stat_fp(path: str) -> str:
+#: loud-degrade flags (one warning per session each, the r13 ADVICE
+#: rule: a silent no-op hides the optimization's absence)
+_FP_DEGRADE_LOGGED = False
+
+#: cap on the per-open fingerprint walk: a directory table with more
+#: data files than this skips memoization entirely (correct behavior —
+#: every open lists/infers as stock Spark does) instead of paying an
+#: O(files) driver-side stat pass per query construction (r17 verdict
+#: item 2). At deploy scale a manifest-backed format (Iceberg/Delta)
+#: replaces this memo outright; sandbox tables sit far below the cap.
+_FP_WALK_CAP = 4096
+
+
+def _parquet_stat_fp(path: str) -> str | None:
     """(size, mtime_ns) fingerprint of a parquet file, or the folded
     per-file stats of a directory table (the model_cache_path rule:
-    a directory's own stat is not a content fingerprint)."""
+    a directory's own stat is not a content fingerprint). Returns
+    None — memoization skipped, with a once-per-session warning — when
+    the directory holds more than _FP_WALK_CAP data files, so driver
+    time per open stays bounded at any table size."""
     import os
 
     if os.path.isdir(path):
@@ -255,6 +286,21 @@ def _parquet_stat_fp(path: str) -> str:
             for f in sorted(files):
                 if f.startswith((".", "_")):
                     continue
+                if len(entries) >= _FP_WALK_CAP:
+                    global _FP_DEGRADE_LOGGED
+                    if not _FP_DEGRADE_LOGGED:
+                        _FP_DEGRADE_LOGGED = True
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "parquet memo disabled for %s: more than %d "
+                            "data files; every open will re-list and "
+                            "re-infer (use a manifest-backed table "
+                            "format at this size)",
+                            path,
+                            _FP_WALK_CAP,
+                        )
+                    return None
                 st = os.stat(os.path.join(root_dir, f))
                 rel = os.path.relpath(os.path.join(root_dir, f), path)
                 entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
@@ -264,26 +310,53 @@ def _parquet_stat_fp(path: str) -> str:
 
 
 def read_parquet_fast(spark: SparkSession, path: str) -> DataFrame:
-    """spark.read.parquet with the schema-inference job memoized per
-    (path, content fingerprint). First open of given bytes infers
-    exactly as before and records the result; subsequent opens pass
-    the recorded schema explicitly — identical DataFrame, no
-    footer-sampling job. Data is always read from the parquet files at
-    execution time; only the schema (metadata) is reused."""
+    """spark.read.parquet with the metadata work memoized per
+    (path, content fingerprint): the first open of given bytes lists
+    and infers exactly as before; while the fingerprint holds,
+    subsequent opens return the SAME resolved relation — no listing
+    job, no footer-sampling job. Data is always read from the parquet
+    files at execution time; only metadata (file index + schema) is
+    reused — the in-process equivalent of a metastore/manifest (guide
+    §6: table formats with manifest metadata avoid directory listing
+    altogether; this is the strongest practical lever on a query whose
+    cost is per-call planning machinery). A non-local path (object
+    store) has no os.stat fingerprint: the memo skips loudly once per
+    session and every open degrades to stock spark.read.parquet."""
     try:
         fp = _parquet_stat_fp(path)
     except OSError:
         # unreadable/missing path: let spark.read raise its own error
+        # (or, on object-store URIs, read without memoization)
+        global _FP_DEGRADE_LOGGED
+        if not _FP_DEGRADE_LOGGED:
+            _FP_DEGRADE_LOGGED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "parquet memo has no local stat fingerprint for %s; "
+                "every open pays full listing + inference",
+                path,
+            )
         return spark.read.parquet(path)
-    hit = _PARQUET_SCHEMA_MEMO.get(path)
-    if hit is not None and hit[0] == fp:
-        return spark.read.schema(hit[1]).parquet(path)
-    df = spark.read.parquet(path)
-    if len(_PARQUET_SCHEMA_MEMO) >= 256:
-        # bounded-memo discipline: generation-dir keys retire as
-        # tables compact; cap instead of growing for session lifetime
-        _PARQUET_SCHEMA_MEMO.clear()
-    _PARQUET_SCHEMA_MEMO[path] = (fp, df.schema)
+    if fp is None:  # over the walk cap — memoization skipped loudly
+        return spark.read.parquet(path)
+    rkey = (spark.sparkContext.applicationId, path)
+    rhit = _PARQUET_RELATION_MEMO.get(rkey)
+    if rhit is not None and rhit[0] == fp:
+        return rhit[1]
+    shit = _PARQUET_SCHEMA_MEMO.get(path)
+    if shit is not None and shit[0] == fp:
+        df = spark.read.schema(shit[1]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if len(_PARQUET_SCHEMA_MEMO) >= 256:
+            # bounded-memo discipline: generation-dir keys retire as
+            # tables compact; cap instead of growing per session
+            _PARQUET_SCHEMA_MEMO.clear()
+        _PARQUET_SCHEMA_MEMO[path] = (fp, df.schema)
+    if len(_PARQUET_RELATION_MEMO) >= 256:
+        _PARQUET_RELATION_MEMO.clear()
+    _PARQUET_RELATION_MEMO[rkey] = (fp, df)
     return df
 
 

@@ -690,9 +690,13 @@ def _memo_col(key: tuple, build) -> Column:
 def _nearest_cells(cb, df, vec_col, out_col, n_probe):
     """Hierarchical cell assignment over the broadcast two-level
     codebook — shared by sim_topk_ivf and sim_topk_ivfpq (r11: lifted
-    out of sim_topk_ivf unchanged)."""
+    out of sim_topk_ivf unchanged). ``cb=None`` (r18) means the
+    caller already cross-joined a frame carrying the `cells` column —
+    the combined-model-frame serve path (`_model_frame`), which folds
+    this helper's broadcast with the LUT's into one exchange."""
     vec = F.col(vec_col)
-    df = df.crossJoin(F.broadcast(cb))
+    if cb is not None:
+        df = df.crossJoin(F.broadcast(cb))
     # score supers as slim (sim, -index) structs; the winning
     # cell's member arrays are fetched AFTER the argmax via
     # element_at. The previous form carried every super's
@@ -870,6 +874,43 @@ def _pq_frame(spark, pq) -> DataFrame:
     return spark.createDataFrame([(pq,)], "pq array<array<array<double>>>")
 
 
+def _model_frame(spark, cells, pq) -> DataFrame:
+    """IVF cells + PQ codebook as ONE one-row broadcast frame (r18,
+    guide §2.4/§3): the serve chain's query side used to cross-join
+    two separate one-row model frames — `cells` for cell assignment,
+    `pq` for the LUT — paying two broadcast exchanges and two BNL
+    nodes per plan rendering. One frame carrying both columns halves
+    that machinery; column schemas match `_cells_frame`/`_pq_frame`
+    field for field, so every downstream expression tree is
+    unchanged."""
+    return spark.createDataFrame(
+        [([tuple(c) for c in cells], pq)],
+        "cells array<struct<sc_id:bigint,scv:array<double>,"
+        "mids:array<bigint>,mvecs:array<array<double>>>>, "
+        "pq array<array<array<double>>>",
+    )
+
+
+#: (application id, model key) -> combined one-row model frame — the
+#: _CODEBOOK_MEMO discipline for the live (corpus-trained) serve path
+_MODEL_FRAME_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _live_model_frame(spark, sf_dir, corpus) -> DataFrame:
+    """Combined (cells, pq) one-row frame for the corpus-derived serve
+    path, memoized per (app, sf_dir) like the underlying codebooks."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MODEL_FRAME_MEMO.get(key)
+    if hit is not None:
+        return hit
+    _, cells = _ivf_model(spark, sf_dir, corpus)
+    _, pq = _pq_codebook(spark, sf_dir, corpus)
+    frame = _model_frame(spark, cells, pq)
+    _MODEL_FRAME_MEMO.clear()
+    _MODEL_FRAME_MEMO[key] = frame
+    return frame
+
+
 def _pq_codebook(spark, sf_dir, corpus):
     """Per-subspace PQ codebook: `pq[s][p] = the p-th centroid's 8-dim
     slice of subspace s`, returned as (one-row broadcast frame, plain
@@ -1029,10 +1070,13 @@ def _pq_lut(df: DataFrame, vec_col: str, pqcb: DataFrame) -> DataFrame:
     lut[s][p] = dot_dec(query subspace s, centroid p of subspace s) —
     PQ_M x PQ_K exact decimals (1 KB per query). Queries are the
     bounded side, so the LUT rides the broadcast with them and the
-    candidate score is 8 array lookups + 7 exact adds per pair."""
+    candidate score is 8 array lookups + 7 exact adds per pair.
+    ``pqcb=None`` (r18) means the caller already cross-joined a frame
+    carrying the `pq` column (the combined-model-frame serve path)."""
     from ..functions.vector import dot_dec
 
-    df = df.crossJoin(F.broadcast(pqcb))
+    if pqcb is not None:
+        df = df.crossJoin(F.broadcast(pqcb))
 
     def _build_lut() -> Column:
         vec = F.col(vec_col)
@@ -1103,7 +1147,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none — driver-contract Part C ANN family."""
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     cb = _ivf_codebook(spark, sf_dir, corpus)
-    pqcb, pq_py = _pq_codebook(spark, sf_dir, corpus)
+    _pqcb, pq_py = _pq_codebook(spark, sf_dir, corpus)
 
     # corpus side: cell + packed PQ code + vnorm — the vector itself
     # is dropped before the candidate join (the point of PQ). Arrow
@@ -1111,7 +1155,11 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twin, which pytest pins output-equal)
     corpus_coded = _coded_frame(cb, pq_py, corpus, ["vec_id", "cell", "vnorm"])
     return _ivfpq_serve(
-        spark, queries, corpus_coded, (cb, pqcb), corpus=corpus
+        spark,
+        queries,
+        corpus_coded,
+        _live_model_frame(spark, sf_dir, corpus),
+        corpus=corpus,
     )
 
 
@@ -1133,9 +1181,21 @@ def _ivfpq_serve(
     — the two entries share this code AND the oracle, expression for
     expression.
 
-    ``model`` is the frozen (IVF cells frame, PQ codebook frame) pair
-    — derived from the corpus on the live path, loaded from the index
-    sidecar on the persisted path (r13: serving never re-trains).
+    ``model`` is the frozen COMBINED one-row (cells, pq) model frame
+    (`_model_frame`) — derived from the corpus on the live path,
+    loaded from the index sidecar on the persisted path (r13: serving
+    never re-trains). r18 (guide §2.4/§7.3): it used to be two
+    separate one-row frames, costing two broadcast exchanges + two
+    BNL nodes per plan rendering on the query side; one combined
+    frame halves that fixed machinery with every downstream
+    expression unchanged. The query frame itself is lazily
+    localCheckpointed: it feeds TWO consumers (the cell/LUT side and
+    the exact re-rank re-attach), which previously re-computed the
+    query scan + norms once per consumer — the checkpoint computes
+    the bounded query side once and both broadcasts read it (guide
+    §5: cut lineage for a reused, recompute-expensive intermediate;
+    queries are the bounded side by design, so the materialization is
+    metadata-scale at any corpus size).
     Exactly one of ``vectors``/``corpus`` supplies the survivor
     full-vector re-fetch: ``vectors`` is a (vec_id, cell, v, vnorm)
     frame (the self-contained index table — survivors keep their cell
@@ -1158,13 +1218,21 @@ def _ivfpq_serve(
         raise ValueError("pass exactly one of vectors/corpus")
     from ..functions.vector import dot_dec
 
-    cb, pqcb = model
+    # bounded frame, two consumers (LUT/cell side + exact re-attach):
+    # compute once, read twice (see docstring)
+    queries = queries.localCheckpoint(eager=False)
 
     # query side: LUT first, THEN the nprobe=2 cell explode — the
     # other order re-evaluates the PQ_M x PQ_K decimal dots once per
-    # probe row (2x the heaviest query-side map work; r11 review)
+    # probe row (2x the heaviest query-side map work; r11 review).
+    # ONE cross-join of the combined (cells, pq) model frame feeds
+    # both helpers (cb/pqcb=None: columns already attached).
     query_side = _nearest_cells(
-        cb, _pq_lut(queries, "qv", pqcb), "qv", "qcell", n_probe
+        None,
+        _pq_lut(queries.crossJoin(F.broadcast(model)), "qv", None),
+        "qv",
+        "qcell",
+        n_probe,
     ).withColumn(
         "qcell", F.coalesce(F.col("qcell"), F.lit(-2).cast("long"))
     ).select("query_id", "qcell", "qnorm", "pq_lut")
@@ -1505,7 +1573,7 @@ def build_ann_index(
         train_src = corpus
         memo_key = sf_dir
     cb, cells_py = _ivf_model(spark, memo_key, train_src)
-    pqcb, pq_py = _pq_codebook(spark, memo_key, train_src)
+    _pqcb, pq_py = _pq_codebook(spark, memo_key, train_src)
     coded = _coded_frame(
         cb, pq_py, train_src, ["vec_id", "cell", "vnorm", "v", "label"]
     )
@@ -2749,12 +2817,15 @@ _SIDECAR_MEMO: dict[tuple[str, str], tuple] = {}
 
 
 def _sidecar_model(spark: SparkSession, path: str) -> tuple:
-    """The frozen (IVF cells frame, PQ codebook frame, plain pq list)
-    persisted in the index's `_ann_meta.json`. JSON round-trips Python
-    floats exactly (repr-based), so the reconstructed broadcast model
-    is bit-identical to the trained one — pytest-pinned. No corpus
-    scan, no Spark job: this is what lets a serving/appending session
-    run from the index directory alone."""
+    """The frozen (IVF cells frame, COMBINED (cells, pq) model frame,
+    plain pq list) persisted in the index's `_ann_meta.json`. JSON
+    round-trips Python floats exactly (repr-based), so the
+    reconstructed broadcast model is bit-identical to the trained one
+    — pytest-pinned. No corpus scan, no Spark job: this is what lets
+    a serving/appending session run from the index directory alone.
+    Slot 1 carries the combined serve-side frame since r18
+    (`_model_frame`); corpus-side assignment paths keep using the
+    pure cells frame in slot 0."""
     import json
     import os
 
@@ -2766,7 +2837,7 @@ def _sidecar_model(spark: SparkSession, path: str) -> tuple:
         model = json.load(fh)["model"]
     out = (
         _cells_frame(spark, model["cells"]),
-        _pq_frame(spark, model["pq"]),
+        _model_frame(spark, model["cells"], model["pq"]),
         model["pq"],
     )
     _SIDECAR_MEMO.clear()
@@ -3124,7 +3195,7 @@ def serve_ann_index(
     concurrent compactor then serves correct rows: a tombstone set
     captured pre-clear anti-joins already-purged ids (a no-op), and a
     post-flip pointer read serves the purged generation outright."""
-    cb, pqcb, _ = _sidecar_model(spark, path)
+    _cb, model, _pq = _sidecar_model(spark, path)
     tombs = _read_tombstones(spark, path)
     gen_dir = _ann_data_dir(path, generation)
 
@@ -3148,7 +3219,7 @@ def serve_ann_index(
         spark,
         queries,
         _anti(cand),
-        (cb, pqcb),
+        model,
         vectors=_anti(
             _read_ann_vectors(spark, path, data_dir=gen_dir, table=table)
         ),
