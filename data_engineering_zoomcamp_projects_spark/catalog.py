@@ -91,7 +91,10 @@ def _local_parquet_path(uri: str) -> str:
 
 
 def widen_if_narrow(
-    spark: SparkSession, df: DataFrame, min_bytes: int = 2 * 1024 * 1024
+    spark: SparkSession,
+    df: DataFrame,
+    min_bytes: int = 2 * 1024 * 1024,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """Adaptive compensation for pathologically narrow scans: the
     driver/test parquet files ship ONE row group per file, so a scan
@@ -116,6 +119,21 @@ def widen_if_narrow(
     prices under 1 MB after column pruning) pass 0 to widen whenever
     narrow; the default serves JVM-side explode/HOF work where the
     exchange only pays for itself on MB-scale inputs.
+
+    ``split_bytes`` (r18, guide §2.6) sizes the widened width to the
+    relation instead of jumping straight to ``defaultParallelism``:
+    target = clamp(ceil(size / split_bytes), planned splits, default
+    parallelism). Callers whose per-row work is LIGHT Python (the PNG
+    codec measures 0.03 ms/row) pass it so a KB-scale frame widens to
+    a handful of tasks, not 32 — at bench SF a 32-task Python stage
+    under bursty host contention rolls 32 straggler dice for ~30 ms
+    of compute each (the r17 driver pair: the 32-core run LOST to the
+    8-core run on this entry), while at sf1+ the size-scaled target
+    saturates at defaultParallelism so nothing changes where the data
+    is big enough to matter. None (default) keeps the flat
+    full-parallelism jump for heavy-per-row callers (symspell,
+    hashed-bigram features) whose Python seconds dwarf any byte
+    estimate.
 
     The narrowness probe counts PLANNED splits capped by the scanned
     files' actual parquet ROW-GROUP count (r13 finding): Spark plans
@@ -177,6 +195,10 @@ def widen_if_narrow(
     except Exception:
         return df
     if size >= min_bytes:
+        if split_bytes is not None and split_bytes > 0:
+            target = min(target, max(parts, -(-size // split_bytes)))
+            if target <= parts:
+                return df
         return df.repartition(target)
     return df
 

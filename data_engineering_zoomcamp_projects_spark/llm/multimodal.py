@@ -455,7 +455,10 @@ RESIZE_SCHEMA = (
 
 
 def _resize_payload_frame(
-    spark: SparkSession, sf_dir: str, widen_min_bytes: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    widen_min_bytes: int | None = None,
+    widen_split_bytes: int | None = None,
 ) -> DataFrame:
     """(doc_id, payload) with the synthesized 256-byte raster: 16
     chained md5 blocks — the documents table ships no real rasters;
@@ -476,12 +479,26 @@ def _resize_payload_frame(
     pruned sf0.1 frame skips the exchange (it measurably lost there,
     the pipeline_ccnet precedent) while the ~2.5 MB sf1 frame still
     widens (2.55 -> ~1.1 s warm). A real binary corpus has
-    maxPartitionBytes-sized splits and skips this either way."""
+    maxPartitionBytes-sized splits and skips this either way.
+
+    r18 (guide §2.6 stragglers): the codec path passes
+    widen_split_bytes so its width is SIZE-SCALED instead of a flat
+    jump to default parallelism — the PNG codec measures 0.03 ms/row,
+    so at bench SF a 32-task Python stage is ~30 ms of compute per
+    task wrapped in 32 draws against bursty host contention (the r17
+    driver pair saw the 32-core run LOSE to the 8-core run, in-run
+    spread 3.69); the sf0.1 frame now widens to 4 tasks while sf1+
+    still saturates at defaultParallelism (the 6.3 -> 1.5 s win there
+    is untouched). The JVM-only resize keeps the flat jump (its
+    md5-chain work is the heavy part and it only widens on MB-scale
+    frames anyway)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     if widen_min_bytes is not None:
         from ..catalog import widen_if_narrow
 
-        d = widen_if_narrow(spark, d, min_bytes=widen_min_bytes)
+        d = widen_if_narrow(
+            spark, d, min_bytes=widen_min_bytes, split_bytes=widen_split_bytes
+        )
     return d.select(
         "doc_id", F.unhex(chained_md5_hex(IMG_W * IMG_W // 16)).alias("payload")
     )
@@ -622,9 +639,9 @@ def multimodal_image_decode_resize(spark: SparkSession, sf_dir: str) -> DataFram
                 }
             )
 
-    return _resize_payload_frame(spark, sf_dir, widen_min_bytes=0).mapInPandas(
-        decode_resize, schema=RESIZE_SCHEMA
-    )
+    return _resize_payload_frame(
+        spark, sf_dir, widen_min_bytes=0, widen_split_bytes=64 * 1024
+    ).mapInPandas(decode_resize, schema=RESIZE_SCHEMA)
 
 
 def image_resize_native(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -680,6 +680,40 @@ def test_widen_if_narrow_widens_narrow_heavy_scan(spark, sf_dir):
     assert widen_if_narrow(spark, wide, min_bytes=0) is wide
 
 
+def test_widen_if_narrow_split_bytes_scales_width(spark, sf_dir):
+    """r18 (guide §2.6): with split_bytes set, the widened width is
+    ceil(size/split_bytes) clamped to [planned splits, default
+    parallelism] — a KB-scale frame widens to a handful of tasks (or
+    skips the exchange entirely when the target is no wider than the
+    scan), while a huge split target must not narrow below the planned
+    count, and a tiny one still caps at the session default."""
+    from data_engineering_zoomcamp_projects_spark.catalog import widen_if_narrow
+
+    target = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = d.rdd.getNumPartitions()
+    if parts * 4 > target:  # testdata changed shape; nothing to pin
+        return
+    # tiny split -> saturates at default parallelism (sf1 behavior)
+    assert (
+        widen_if_narrow(spark, d, min_bytes=0, split_bytes=1).rdd.getNumPartitions()
+        == target
+    )
+    # huge split -> target collapses to the planned count: NO exchange
+    assert widen_if_narrow(spark, d, min_bytes=0, split_bytes=1 << 40) is d
+    # in-between: strictly between the scan width and the default
+    import math
+
+    size = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    split = max(1, size // (parts * 2 + 1))  # -> ~2*parts+1 tasks
+    want = min(target, max(parts, math.ceil(size / split)))
+    got = widen_if_narrow(
+        spark, d, min_bytes=0, split_bytes=split
+    ).rdd.getNumPartitions()
+    assert got == want
+    assert parts < got < target
+
+
 def test_sim_index_query_reuses_persisted_index(spark, sf_dir):
     """r12 (verdict item 3): the persisted-ANN-index serve half must
     pay NO corpus-side index construction — no Arrow PQ-code assignment
