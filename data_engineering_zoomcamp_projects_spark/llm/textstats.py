@@ -944,14 +944,29 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural log-probability of the document's bigrams and perplexity =
     exp(cross_entropy).
 
-    Scale design: counts reduce corpus -> vocab-sized model tables
-    (bigram types + a window-partial context sum — no vocab-sized join,
-    one shuffle by left symbol); V is a one-row broadcast; -ln p is
-    computed once per bigram TYPE (O(vocab) transcendentals, not
-    O(corpus)) and immediately quantized to exact micro-nat longs, so
-    the per-document reduction is pure integer arithmetic with map-side
-    combine — the same two-phase corpus->vocab shape as
-    text_bpe_learn_merges.
+    Scale design (restructured r18, guide §2.3/§2.4): the corpus pair
+    stream reduces DIRECTLY to the vocab^2-bounded bigram-type model
+    (map-side partial aggregation — each task ships at most its local
+    type counts, never instance- or (doc, type)-grain rows), and the
+    per-document reduction joins the raw pair stream with the
+    broadcast scored model and aggregates by doc_id map-side — the
+    exact integer identities n_bigrams = count(instances) and
+    total_u = sum(lp_u per instance) make this bit-equal to the old
+    (doc_id, a, b)-grain intermediate, whose corpus-sized exchange
+    (62.8 MB at sf1, materialized twice: the AQE stage cache did not
+    dedup the two consumers) this removes outright. The model is
+    localCheckpointed — a BOUNDED barrier (9,310 rows at sf1) — so the
+    vocab and scoring consumers read it without re-running the
+    explode, and V is derived from the model's own keys plus the
+    no-explode single-token-doc scan (distinct(a) u distinct(b) u
+    {only token of 1-token docs} is set-identical to distinct over
+    all tokens for every input), removing the third full corpus
+    explode. -ln p is computed once per bigram TYPE (O(vocab)
+    transcendentals, not O(corpus)) and immediately quantized to
+    exact micro-nat longs, so the per-document reduction is pure
+    integer arithmetic with map-side combine. Interleaved A/B:
+    sf1 ~5.2 -> ~3.9 s, sf0.1 ~1.65 -> ~1.34 s, jobs 12 -> 11;
+    rows verified equal at sf0.01/sf0.1/sf1.
 
     Cross-engine parity: the only float crossing the oracle boundary
     per bigram type is round(-ln p, 6) (the fn_math_suite precedent);
@@ -964,23 +979,29 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
     t = d.select("doc_id", toks.alias("ts"))
     n_pairs = F.greatest(F.size("ts") - 1, F.lit(0))
-    doc_bg = (
-        t.select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    F.slice("ts", 1, n_pairs),
-                    F.slice("ts", 2, n_pairs),
-                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                )
-            ).alias("p"),
-        )
-        .groupBy("doc_id", F.col("p.a").alias("a_key"), F.col("p.b").alias("b_key"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, n_pairs),
+                F.slice("ts", 2, n_pairs),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a_key"), F.col("p.b").alias("b_key"))
+    model = (
+        pairs.groupBy("a_key", "b_key")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
     )
-    model = doc_bg.groupBy("a_key", "b_key").agg(F.sum("cnt").alias("c_ab"))
-    vocab = t.select(F.explode("ts").alias("tok")).agg(
-        F.count_distinct("tok").alias("v")
+    singles = t.filter(F.size("ts") == 1).select(
+        F.element_at("ts", 1).alias("tok")
+    )
+    vocab = (
+        model.select(F.col("a_key").alias("tok"))
+        .union(model.select(F.col("b_key").alias("tok")))
+        .union(singles)
+        .agg(F.count_distinct("tok").alias("v"))
     )
     c_a = F.sum("c_ab").over(Window.partitionBy("a_key"))
     p = (F.col("c_ab").cast("double") + F.lit(0.5)) / (
@@ -993,12 +1014,20 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lp_u"),
     )
+    # r18 (guide §3.1): the broadcast is PINNED to the bounded side.
+    # Before the restructure the planner's size estimate for the
+    # (doc, a, b)-grain aggregate (an agg above an explode carries the
+    # pre-explode scan size) auto-broadcast the CORPUS-GRAIN side — at
+    # sf1 a 2.56M-row / ~60 MB hash relation (driver collect 0.9 s +
+    # broadcast 0.7 s per run), and one that grows with the corpus,
+    # i.e. crosses the 8 GB broadcast cap long before 100 TB (the
+    # symspell r17 bug class). `scored` is vocab^2-bounded model state.
     per_doc = (
-        doc_bg.join(scored, ["a_key", "b_key"])
+        pairs.join(F.broadcast(scored), ["a_key", "b_key"])
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").cast("long").alias("n_bigrams"),
-            F.sum(F.col("cnt") * F.col("lp_u")).alias("total_u"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lp_u").alias("total_u"),
         )
     )
     ce = (
