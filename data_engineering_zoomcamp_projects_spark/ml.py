@@ -690,16 +690,22 @@ def _lg_grad_pairs(n_feats: int = LOGREG_FEATS) -> list[tuple[str, str]]:
     return pairs
 
 
-def _lg_update_cols(n_feats: int = LOGREG_FEATS) -> list[str]:
+def _lg_update_pairs(n_feats: int = LOGREG_FEATS) -> list[tuple[str, str]]:
+    """(expression, weight column) for each lattice weight update."""
+
     def upd(w, g):
         return (
             f"CAST({w} - FLOOR((0.5 * CAST({g} AS DOUBLE)) / CAST(n AS DOUBLE))"
-            f" AS BIGINT) AS {w}"
+            f" AS BIGINT)"
         )
 
-    return [upd("wbq", "sgqb")] + [
-        upd(f"w{j}q", f"sgq{j}") for j in range(n_feats)
+    return [(upd("wbq", "sgqb"), "wbq")] + [
+        (upd(f"w{j}q", f"sgq{j}"), f"w{j}q") for j in range(n_feats)
     ]
+
+
+def _lg_update_cols(n_feats: int = LOGREG_FEATS) -> list[str]:
+    return [f"{e} AS {w}" for e, w in _lg_update_pairs(n_feats)]
 
 
 def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,6 +737,75 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lg_train_score(spark, feats, LOGREG_FEATS)
 
 
+#: (applicationId, n_feats) -> the full set of name-parameterized
+#: Column lists the lattice-GD loop uses. The loop's expressions are
+#: identical across iterations AND across query calls (they reference
+#: only fixed column names), but the old selectExpr form re-parsed
+#: ~900-char strings once per iteration per call, and a naive
+#: per-Column rebuild is worse still: cProfile showed 3,813 py4j
+#: round trips = 1.7 s per classifier construction, nearly all of it
+#: Column creation. Unresolved Columns are immutable trees the
+#: analyzer resolves per plan, so whole LISTS of them are reusable —
+#: one build per session (the similarity._memo_col discipline, guide
+#: §7.3 driver-side latency), keyed by applicationId so a new session
+#: rebuilds.
+_LG_COLS_MEMO: dict[tuple[str | None, int], dict] = {}
+
+
+def _lg_cols(n_feats: int) -> dict:
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    app = s.sparkContext.applicationId if s is not None else None
+    k = (app, n_feats)
+    hit = _LG_COLS_MEMO.get(k)
+    if hit is None:
+        if len(_LG_COLS_MEMO) >= 64:
+            _LG_COLS_MEMO.clear()  # bound stale-session entries
+        wcols = ["wbq"] + [f"w{j}q" for j in range(n_feats)]
+        z = _lg_z(n_feats)
+        grad_pairs = _lg_grad_pairs(n_feats)
+        hit = _LG_COLS_MEMO[k] = {
+            "w": [F.col(c) for c in wcols],
+            "zero_w": [F.lit(0).cast("long").alias(c) for c in wcols],
+            "grad": [F.expr(e).alias(nm) for e, nm in grad_pairs],
+            "agg": [
+                F.count(F.lit(1)).cast("long").alias("n"),
+                *[
+                    F.sum(F.col(nm).cast("decimal(38,0)")).alias(f"s{nm}")
+                    for _, nm in grad_pairs
+                ],
+                *[F.min(c).alias(c) for c in wcols],
+            ],
+            "upd": [
+                F.col("n"),
+                *[F.expr(e).alias(c) for e, c in _lg_update_pairs(n_feats)],
+            ],
+            "score": [
+                F.col("y"),
+                *[F.col(c) for c in wcols],
+                F.expr(
+                    f"CASE WHEN ({z} > 0.0) = (y = 1) THEN 1 ELSE 0 END"
+                ).alias("ok"),
+            ],
+            "score_agg": [
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("y").cast("long").alias("n_pos"),
+                F.sum("ok").cast("long").alias("n_correct"),
+                *[F.min(c).alias(c) for c in wcols],
+            ],
+            "filter_out": [
+                F.col("doc_id"),
+                F.col("y"),
+                F.expr(
+                    f"ROUND((0.5 + {z} / (2.0 * (1.0 + ABS({z})))), 6)"
+                ).alias("quality_score"),
+                F.expr(f"CAST(({z}) > 0.0 AS INT)").alias("keep"),
+            ],
+        }
+    return hit
+
+
 def _lg_train(
     spark: SparkSession, feats: DataFrame, n_feats: int, iters: int = LOGREG_ITERS
 ) -> tuple[DataFrame, DataFrame]:
@@ -740,30 +815,24 @@ def _lg_train(
     lattice-quantized gradient longs map-side-combinably, and projects
     the weight update. Returns (checkpointed feats, one-row trained
     weight frame). No collect — optimizer state never leaves the
-    plan."""
+    plan.
+
+    r18: iteration 1's weight frame is all zeros BY CONSTRUCTION, so
+    it rides as literal columns instead of a broadcast one-row frame —
+    one less BroadcastExchange + nested-loop join per entry, and the
+    optimizer constant-folds the zero terms out of the first
+    iteration's gradient (identical arithmetic: the expressions read
+    the same zero longs either way)."""
     feats = feats.localCheckpoint(eager=False)  # shared by all iterations
-    wcols = ["wbq"] + [f"w{j}q" for j in range(n_feats)]
-    w = spark.range(1).selectExpr(*[f"CAST(0 AS BIGINT) AS {c}" for c in wcols])
+    cols = _lg_cols(n_feats)
+    w: DataFrame | None = None  # None = the all-zero init, as literals
     for _ in range(iters):
-        g = (
-            feats.crossJoin(F.broadcast(w))
-            .selectExpr(
-                *wcols,
-                *[
-                    f"{expr} AS {name}"
-                    for expr, name in _lg_grad_pairs(n_feats)
-                ],
-            )
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                *[
-                    F.sum(F.col(name).cast("decimal(38,0)")).alias(f"s{name}")
-                    for _, name in _lg_grad_pairs(n_feats)
-                ],
-                *[F.min(c).alias(c) for c in wcols],
-            )
-        )
-        w = g.selectExpr("n", *_lg_update_cols(n_feats))
+        if w is None:
+            base = feats.select("*", *cols["zero_w"])
+        else:
+            base = feats.crossJoin(F.broadcast(w))
+        g = base.select(*cols["w"], *cols["grad"]).agg(*cols["agg"])
+        w = g.select(*cols["upd"])
     return feats, w
 
 
@@ -772,21 +841,11 @@ def _lg_train_score(
 ) -> DataFrame:
     """`_lg_train` plus the final training-set scoring pass."""
     feats, w = _lg_train(spark, feats, n_feats, iters)
-    wcols = ["wbq"] + [f"w{j}q" for j in range(n_feats)]
+    cols = _lg_cols(n_feats)
     score = (
         feats.crossJoin(F.broadcast(w))
-        .selectExpr(
-            "y",
-            *wcols,
-            f"CASE WHEN ({_lg_z(n_feats)} > 0.0) = (y = 1) THEN 1 ELSE 0 END"
-            " AS ok",
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("y").cast("long").alias("n_pos"),
-            F.sum("ok").cast("long").alias("n_correct"),
-            *[F.min(c).alias(c) for c in wcols],
-        )
+        .select(*cols["score"])
+        .agg(*cols["score_agg"])
     )
     return score
 
@@ -1120,12 +1179,8 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark HALF_UP round == DuckDB half-away-from-zero).
     Reference parity: none — driver-contract Part C curation family."""
     feats, w = _lg_train(spark, _tqc_features(spark, sf_dir), TQC_BUCKETS)
-    z = _lg_z(TQC_BUCKETS)
-    return feats.crossJoin(F.broadcast(w)).selectExpr(
-        "doc_id",
-        "y",
-        f"ROUND((0.5 + {z} / (2.0 * (1.0 + ABS({z})))), 6) AS quality_score",
-        f"CAST(({z}) > 0.0 AS INT) AS keep",
+    return feats.crossJoin(F.broadcast(w)).select(
+        *_lg_cols(TQC_BUCKETS)["filter_out"]
     )
 
 
