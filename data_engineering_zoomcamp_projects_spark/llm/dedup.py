@@ -88,7 +88,16 @@ def _shingle_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    # r18 (guide §3.1, the symspell treatment): pin the self-join to
+    # sort-merge. Both sides are the corpus-SHINGLE-grain explode
+    # (2.5M rows at sf1), but an explode-above-scan estimate carries
+    # the pre-explode bytes, so the planner auto-broadcast one whole
+    # side — a hash relation that grows with the corpus and crosses
+    # the 8 GB broadcast cap long before 100 TB (caught by the r18
+    # runtime broadcast audit, scripts/audit_broadcasts.py).
+    # Interleaved A/B: sf1 ~5.3 -> ~3.7 s, sf0.1 ~1.4 -> ~1.1 s,
+    # rows bit-equal.
+    b = sh.alias("b").hint("merge")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -4235,8 +4235,14 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: each retriever reduces to a top-RRF_LIST_N candidate
     list via orderBy+limit (TakeOrdered — no global window over the
     corpus); ranks are then row_numbered on the post-LIMIT 60-row heads
-    (metadata grain, the prep_vocab_topk precedent) and fused with a
-    60x60 full outer join on doc_id. The lexical side costs one
+    (metadata grain, the prep_vocab_topk precedent) and fused by
+    union + groupBy(doc_id) with max-aggregation — algebraically
+    identical to the oracle's 60x60 FULL OUTER join because doc_ids
+    are unique within each row_number head and max over {rank, NULL}
+    reproduces the outer join's NULL semantics, while costing ONE
+    hash-agg exchange instead of the sort-merge join's two sorted
+    exchanges (r18 interleaved A/B: sf1 ~3.6 -> ~2.9 s, sf0.1 neutral,
+    rows bit-equal). The lexical side costs one
     filtered token pass; the semantic side one linear decimal-cosine
     scan (the single-query column of sim_topk_bruteforce). 1/(k+r) is
     rational on integer ranks — micro-quantized per term, summed as
@@ -4275,8 +4281,18 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         )
 
+    # union + max-agg fusion (see docstring): bit-equal to the full
+    # outer join on these unique-doc_id heads, one exchange, no sorts
+    unioned = lex_ranked.select(
+        "doc_id", F.col("r_lex"), F.lit(None).cast("int").alias("r_sem")
+    ).unionByName(
+        sem_ranked.select(
+            "doc_id", F.lit(None).cast("int").alias("r_lex"), F.col("r_sem")
+        )
+    )
     fused = (
-        lex_ranked.join(sem_ranked, "doc_id", "full_outer")
+        unioned.groupBy("doc_id")
+        .agg(F.max("r_lex").alias("r_lex"), F.max("r_sem").alias("r_sem"))
         .select(
             "doc_id",
             "r_lex",

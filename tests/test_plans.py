@@ -437,10 +437,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "graph_triangle_count",  # (doc_a, doc_b) closure probe
         "quality_snapshot_diff",  # row-key full diff
         "subq_exists_multi_order_days",  # c_custkey
-        # the fusion full outer join of the two post-LIMIT 60-row
-        # candidate lists (full outer has no broadcast form; both
-        # sides are bounded by RRF_LIST_N at any corpus size)
-        "sim_hybrid_rrf",
+        # (r18: sim_hybrid_rrf's fusion full outer join left this set —
+        # the two post-LIMIT candidate lists now fuse by union +
+        # max-aggregation, bit-equal and sort-free)
         # the two cell histograms' full outer join (no broadcast form;
         # both sides are k-cell metadata frames at any corpus size)
         "sim_index_drift_monitor",
@@ -451,6 +450,12 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # ~20M rows at sf1 — a hash relation that grows with the corpus
         # and crosses the 8 GB broadcast cap long before 100 TB
         "dedup_fuzzy_names_symspell",
+        # the exact-shingle self-join is pinned to sort-merge for the
+        # same reason (r18): both sides are the corpus-shingle-grain
+        # explode (2.5M rows at sf1) whose pre-explode size estimate
+        # tricked the planner into broadcasting a whole side — caught
+        # by the runtime broadcast audit; sf1 A/B ~5.3 -> ~3.7 s
+        "dedup_shingle_jaccard",
     }
     id_bearing = __import__("re").compile(r"(_pid|key|_?id($|_))")
     worst = []
