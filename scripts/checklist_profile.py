@@ -35,16 +35,18 @@ def main() -> None:
         plan = formatted_plan(qs[name](spark, sf_dir))
         n = lambda pat: len(re.findall(pat, plan))  # noqa: E731
         pushed = "y" if re.search(r"PushedFilters: \[[^\]]", plan) else ""
-        print(
-            f"| {name} | {n(r'[(]\\d+[)] Exchange')} "
-            f"| {n(r'[(]\\d+[)] ReusedExchange')} "
-            f"| {n(r'[(]\\d+[)] SortMergeJoin')} "
-            f"| {n(r'[(]\\d+[)] BroadcastHashJoin')} "
-            f"| {n(r'[(]\\d+[)] BroadcastNestedLoopJoin')} "
-            f"| {n(r'[(]\\d+[)] ArrowEvalPython')} "
-            f"| {n(r'[(]\\d+[)] (MapInPandas|MapInArrow|PythonMapInArrow)')} "
-            f"| {n(r'[(]\\d+[)] Window')} | {pushed} |"
-        )
+        counts = [
+            n(r"[(]\d+[)] Exchange"),
+            n(r"[(]\d+[)] ReusedExchange"),
+            n(r"[(]\d+[)] SortMergeJoin"),
+            n(r"[(]\d+[)] BroadcastHashJoin"),
+            n(r"[(]\d+[)] BroadcastNestedLoopJoin"),
+            n(r"[(]\d+[)] ArrowEvalPython"),
+            n(r"[(]\d+[)] (MapInPandas|MapInArrow|PythonMapInArrow)"),
+            n(r"[(]\d+[)] Window"),
+        ]
+        cells = " | ".join(str(c) for c in counts)
+        print(f"| {name} | {cells} | {pushed} |")
 
 
 if __name__ == "__main__":
